@@ -1,0 +1,165 @@
+"""Unified configuration for the LIA-TPU inference framework.
+
+The reference (ece-fast-lab/ISCA-2025-LIA) spreads configuration over three tiers:
+argparse CLI flags (examples/cpu/inference/python/llm/run.py:196-215), kwargs smuggled
+through HF ``generate(**kwargs)`` (intel_extension_for_pytorch/transformers/generation/
+greedy_search.py:130-137) and ``model.config`` attributes. Here everything collapses into
+three explicit dataclasses:
+
+- :class:`ModelConfig` — architecture description (OPT + Llama families).
+- :class:`RuntimeConfig` — placement/streaming knobs (the LIA policy vector analog:
+  ``prefill_policy``/``decoding_policy``/``gpu_percentage``/``num_minibatch``/
+  ``pin_weight``/``enable_cxl`` from the reference CLI become ``prefill_policy``/
+  ``decode_policy``/``hbm_percentage``/``num_minibatch``/``stream_weights``).
+- :class:`GenerationConfig` — decode loop parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+class Activation(str, enum.Enum):
+    RELU = "relu"
+    GELU = "gelu"
+    SILU = "silu"  # used as SwiGLU gate in llama-style MLPs
+
+
+class Norm(str, enum.Enum):
+    LAYERNORM = "layernorm"
+    RMSNORM = "rmsnorm"
+
+
+class Placement(str, enum.Enum):
+    """Where an operator group executes.
+
+    TPU-native mapping of the reference's per-operator placement (GPU vs AMX-CPU,
+    intel_extension_for_pytorch/transformers/models/reference/modules/decoder.py:172-335):
+    - ``TPU``      — compute on the TPU chip, weights already in HBM (policy-3 analog).
+    - ``TPU_STREAMED`` — compute on TPU with weights streamed host→HBM per layer
+      (policy-0/2 streamed analog; lia/modeling_opt.py:270-318).
+    - ``HOST``     — compute on the TPU-VM host via XLA:CPU (policy-1 AMX analog).
+    """
+
+    TPU = "tpu"
+    TPU_STREAMED = "tpu_streamed"
+    HOST = "host"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture config covering the OPT and Llama families.
+
+    OPT quirks mirrored from the reference's patched modeling
+    (lia/modeling_opt.py:357-378): learned positional embeddings with an offset of 2,
+    positions derived from the attention mask (left-padding aware); opt-350m's
+    ``word_embed_proj_dim`` in/out projections; pre- vs post-layernorm placement.
+    """
+
+    name: str = "opt-125m"
+    vocab_size: int = 50272
+    hidden_size: int = 768
+    ffn_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    num_kv_heads: int = 12  # < num_heads => GQA (llama-3)
+    head_dim: int = 64
+    max_position_embeddings: int = 2048
+    activation: Activation = Activation.RELU
+    norm: Norm = Norm.LAYERNORM
+    pre_norm: bool = True  # OPT do_layer_norm_before / llama always True
+    final_norm: bool = True
+    rope: bool = False
+    rope_theta: float = 10000.0
+    learned_pos: bool = True
+    pos_offset: int = 2  # OPT's offset-2 learned-position quirk
+    tie_embeddings: bool = True
+    word_embed_proj_dim: Optional[int] = None  # opt-350m: 512 != hidden 1024
+    attn_bias: bool = True
+    mlp_bias: bool = True
+    norm_eps: float = 1e-5
+    dtype: str = "bfloat16"
+
+    @property
+    def embed_dim(self) -> int:
+        return self.word_embed_proj_dim or self.hidden_size
+
+    @property
+    def q_heads_per_kv(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    @property
+    def num_params(self) -> int:
+        """Approximate parameter count (for memory budgeting / rooflines)."""
+        h, f, l, v = self.hidden_size, self.ffn_size, self.num_layers, self.vocab_size
+        kvd = self.num_kv_heads * self.head_dim
+        qd = self.num_heads * self.head_dim
+        attn = h * qd + 2 * h * kvd + qd * h
+        mlp = 2 * h * f if self.activation != Activation.SILU else 3 * h * f
+        embed = v * self.embed_dim + (
+            0 if self.rope else (self.max_position_embeddings + self.pos_offset) * h
+        )
+        return l * (attn + mlp) + embed + (0 if self.tie_embeddings else v * self.embed_dim)
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Weight-only quantization config (reference: run.py:109-166 WOQ knobs)."""
+
+    weight_dtype: str = "none"  # none | int8 | int4
+    group_size: int = -1  # -1 = per-channel
+    sym: bool = True
+    kv_cache_dtype: str = "none"  # none | int8
+
+    @property
+    def enabled(self) -> bool:
+        return self.weight_dtype != "none"
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Placement + streaming knobs — the LIA policy surface, TPU-native.
+
+    Reference semantics (lia/modeling_opt.py:1167-1176, README.md:75-87):
+    policy 0 = all ops on accelerator w/ streamed weights + host KV; 1 = all host;
+    2 = linears on accelerator, attention on host; 3 = accelerator-resident;
+    ``gpu_percentage`` = fraction of layers promoted to residency. Here:
+    ``hbm_percentage`` layers are HBM-resident (policy-3 analog), the rest follow
+    ``prefill_policy``/``decode_policy``.
+    """
+
+    prefill_policy: int = 3
+    decode_policy: int = 3
+    hbm_percentage: int = 100
+    num_minibatch: int = 1
+    stream_weights: bool = False  # force host-resident weights + per-layer streaming
+    overlap: bool = True  # --no-overlap kill-switch analog (serialize transfers)
+    use_pallas: bool = True  # use Pallas kernels (False => pure-XLA fallback)
+    mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model) mesh axes
+    mesh_axis_names: Tuple[str, ...] = ("data", "model")
+    quant: QuantConfig = QuantConfig()
+
+    def replace(self, **kw) -> "RuntimeConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 32
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    num_beams: int = 1
+    eos_token_id: Optional[int] = None  # None => never stop early
+    pad_token_id: int = 1  # OPT's pad token
+    token_latency: bool = True  # per-token wall-clock list (greedy_search.py:424)
+
+    def replace(self, **kw) -> "GenerationConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,274 @@
+"""Functional transformer decoder core shared by the OPT and Llama families.
+
+TPU-first redesign of the reference's module-surgery stack: where IPEX patches HF
+modules in place (`_IPEXAttentionRef`/`_IPEXDecoderLayerRef`,
+intel_extension_for_pytorch/transformers/optimize.py:118-437) and LIA re-implements
+`OPTDecoder.forward` as an imperative CUDA-stream scheduler (lia/modeling_opt.py:1021),
+here the model is a pure function over an explicit parameter pytree:
+
+- layer parameters are **stacked** with a leading ``[L, ...]`` axis, so the resident
+  fast path is a single ``lax.scan`` over layers (one XLA compilation, full fusion),
+  and the streamed path (weight tiering) just slices one layer's subtree out —
+  the same pytree serves both execution modes;
+- prefill and decode are separate jitted functions with static shapes (bucketed
+  lengths replace the reference's preallocated ``tgt_len+max_new_tokens`` caches,
+  lia/modeling_opt.py:1277-1279);
+- OPT quirks (offset-2 learned positions computed from the attention mask,
+  lia/modeling_opt.py:357-378; opt-350m word_embed_proj; pre/post-LN) are expressed
+  in config, not subclassing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lia_tpu.config import Activation, ModelConfig, Norm
+from lia_tpu.ops import attention as att
+from lia_tpu.ops import kv_cache as kvc
+from lia_tpu.ops.norms import layernorm, rmsnorm
+from lia_tpu.ops.rope import apply_rope
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Linear / norm helpers
+# ---------------------------------------------------------------------------
+
+
+def linear(x: jnp.ndarray, w: Any, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x @ w (+ b) with fp32 MXU accumulation; returns x.dtype.
+
+    ``w`` may be a raw ``[in, out]`` array or a quantized weight record (dispatched
+    in :mod:`lia_tpu.ops.quant`) — the single dispatch point that lets WOQ slot in
+    underneath every projection, mirroring how the reference routes every linear
+    through tpp_linear*/woq_linear* (models/cpu/fusions/linear_fusion.py:14-422).
+    """
+    from lia_tpu.ops.quant import is_quantized, quantized_matmul
+
+    if is_quantized(w):
+        y = quantized_matmul(x, w)
+    else:
+        y = jax.lax.dot_general(
+            x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def norm(cfg: ModelConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.norm == Norm.RMSNORM:
+        return rmsnorm(x, p["scale"], cfg.norm_eps)
+    return layernorm(x, p["scale"], p["bias"], cfg.norm_eps)
+
+
+def activation_fn(cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.activation == Activation.RELU:
+        return jax.nn.relu(x)
+    if cfg.activation == Activation.GELU:
+        return jax.nn.gelu(x)
+    return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer
+# ---------------------------------------------------------------------------
+
+
+def qkv_project(
+    cfg: ModelConfig, lp: Params, x: jnp.ndarray, positions: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project hidden → (q, k, v) heads and apply RoPE if configured.
+
+    x: [B, S, H]; positions: [B, S] logical token positions (pad-aware).
+    """
+    B, S, _ = x.shape
+    a = lp["attn"]
+    q = linear(x, a["wq"], a.get("bq")).reshape(B, S, cfg.num_heads, cfg.head_dim)
+    k = linear(x, a["wk"], a.get("bk")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    v = linear(x, a["wv"], a.get("bv")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.rope:
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+    return q, k, v
+
+
+def mlp(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
+    m = lp["mlp"]
+    if cfg.activation == Activation.SILU:  # SwiGLU (llama)
+        gate = jax.nn.silu(linear(x, m["wg"], None).astype(jnp.float32))
+        up = linear(x, m["w1"], None).astype(jnp.float32)
+        return linear((gate * up).astype(x.dtype), m["w2"], m.get("b2"))
+    h = activation_fn(cfg, linear(x, m["w1"], m.get("b1")))
+    return linear(h, m["w2"], m.get("b2"))
+
+
+def decoder_layer_prefill(
+    cfg: ModelConfig,
+    lp: Params,
+    x: jnp.ndarray,  # [B, S, H]
+    k_layer: jnp.ndarray,  # [B, S_max, N_kv, D]
+    v_layer: jnp.ndarray,
+    start: jnp.ndarray,  # scalar write offset into the cache
+    attn_ctx: att.PrefillAttn,
+    positions: jnp.ndarray,  # [B, S]
+):
+    """One decoder layer over a full (bucketed) prompt chunk.
+
+    Parity: policy-dispatching layer forward
+    (models/reference/modules/decoder.py:172-335) collapsed to the pure-TPU path;
+    placement policies are handled a level up by the scheduler, not inside the layer.
+    """
+    residual = x
+    h = norm(cfg, lp["ln1"], x) if cfg.pre_norm else x
+    q, k, v = qkv_project(cfg, lp, h, positions)
+    attn_out = att.attend_prefill(q, k, v, attn_ctx)
+    B, S, _, _ = attn_out.shape
+    h = linear(attn_out.reshape(B, S, -1), lp["attn"]["wo"], lp["attn"].get("bo"))
+    x = residual + h
+    if not cfg.pre_norm:
+        x = norm(cfg, lp["ln1"], x)
+
+    residual = x
+    h = norm(cfg, lp["ln2"], x) if cfg.pre_norm else x
+    h = mlp(cfg, lp, h)
+    x = residual + h
+    if not cfg.pre_norm:
+        x = norm(cfg, lp["ln2"], x)
+
+    k_layer, v_layer = kvc.update_layer(k_layer, v_layer, k, v, start)
+    return x, k_layer, v_layer
+
+
+def decoder_layer_decode(
+    cfg: ModelConfig,
+    lp: Params,
+    x: jnp.ndarray,  # [B, 1, H]
+    k_layer: jnp.ndarray,  # [B, S_max, N_kv, D]
+    v_layer: jnp.ndarray,
+    start: jnp.ndarray,  # scalar write slot (== cache length before this token)
+    attn_ctx: att.DecodeAttn,
+    positions: jnp.ndarray,  # [B, 1]
+):
+    """One decoder layer for a single decode step, attending over the full cache.
+
+    Parity: the decode path of _OPTAttention_forward + masked_multihead_self_attention
+    (models/reference/modules/attentions.py:312-557; MaskedMultiHeadAttentionKrnl.cpp).
+    """
+    residual = x
+    h = norm(cfg, lp["ln1"], x) if cfg.pre_norm else x
+    q, k, v = qkv_project(cfg, lp, h, positions)
+    k_layer, v_layer = kvc.update_layer(k_layer, v_layer, k, v, start)
+    attn_out = att.attend_decode(q, k_layer, v_layer, attn_ctx)
+    B = x.shape[0]
+    h = linear(attn_out.reshape(B, 1, -1), lp["attn"]["wo"], lp["attn"].get("bo"))
+    x = residual + h
+    if not cfg.pre_norm:
+        x = norm(cfg, lp["ln1"], x)
+
+    residual = x
+    h = norm(cfg, lp["ln2"], x) if cfg.pre_norm else x
+    h = mlp(cfg, lp, h)
+    x = residual + h
+    if not cfg.pre_norm:
+        x = norm(cfg, lp["ln2"], x)
+    return x, k_layer, v_layer
+
+
+# ---------------------------------------------------------------------------
+# Embedding / head
+# ---------------------------------------------------------------------------
+
+
+def embed(
+    cfg: ModelConfig, params: Params, tokens: jnp.ndarray, positions: jnp.ndarray
+) -> jnp.ndarray:
+    """Token + (learned position) embedding. positions: [B, S] logical positions."""
+    x = jnp.take(params["embed_tokens"], tokens, axis=0)
+    if "proj_in" in params:
+        x = linear(x, params["proj_in"])
+    if cfg.learned_pos:
+        # OPT offset-2 quirk: learned table row = position + 2; pad slots clamp to
+        # row `pos_offset - 1` (HF uses cumsum(mask)-1 → -1+2 = 1 for pads, which is
+        # masked out of attention anyway). (lia/modeling_opt.py:357-378)
+        pos = jnp.maximum(positions, -1) + cfg.pos_offset
+        x = x + jnp.take(params["embed_positions"], pos, axis=0)
+    return x.astype(jnp.dtype(cfg.dtype))
+
+
+def lm_head(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Hidden → vocab logits (fp32). x: [B, S, H] (callers slice to last token first —
+    the `lm_head_generation` parity trick, models/reference/models.py:424-431)."""
+    if "final_norm" in params:
+        x = norm(cfg, params["final_norm"], x)
+    if "proj_out" in params:
+        x = linear(x, params["proj_out"])
+    if "lm_head" in params:
+        w = params["lm_head"]
+    else:  # tied embeddings
+        w = params["embed_tokens"].T
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-model prefill / decode (resident fast path: scan over stacked layers)
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    cfg: ModelConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, S] left-padded to the bucket
+    input_mask: jnp.ndarray,  # [B, S] bool
+    cache: kvc.KVCache,
+) -> Tuple[jnp.ndarray, kvc.KVCache]:
+    """Run the prompt; returns (last-token logits [B, V], updated cache)."""
+    positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1  # pad-aware
+    x = embed(cfg, params, tokens, positions)
+    ctx = att.prefill_attn_ctx(input_mask)
+    start = cache.length
+
+    def body(h, per_layer):
+        lp, kl, vl = per_layer
+        h, kl, vl = decoder_layer_prefill(cfg, lp, h, kl, vl, start, ctx, positions)
+        return h, (kl, vl)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    cache = cache._replace(k=k_new, v=v_new)
+    cache = kvc.advance(cache, input_mask, tokens.shape[1])
+    logits = lm_head(cfg, params, x[:, -1:, :])[:, 0, :]
+    return logits, cache
+
+
+def decode_step(
+    cfg: ModelConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, 1]
+    positions: jnp.ndarray,  # [B, 1] logical positions of these tokens
+    cache: kvc.KVCache,
+) -> Tuple[jnp.ndarray, kvc.KVCache]:
+    """One greedy/sampling decode step; returns (logits [B, V], updated cache)."""
+    x = embed(cfg, params, tokens, positions)
+    slot_mask = jax.lax.dynamic_update_slice(
+        cache.mask, jnp.ones((tokens.shape[0], 1), jnp.bool_), (0, cache.length)
+    )
+    ctx = att.decode_attn_ctx(slot_mask, cache.length + 1)
+    start = cache.length
+
+    def body(h, per_layer):
+        lp, kl, vl = per_layer
+        h, kl, vl = decoder_layer_decode(cfg, lp, h, kl, vl, start, ctx, positions)
+        return h, (kl, vl)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    cache = cache._replace(k=k_new, v=v_new)
+    cache = kvc.advance(cache, jnp.ones((tokens.shape[0], 1), jnp.bool_), 1)
+    logits = lm_head(cfg, params, x)[:, 0, :]
+    return logits, cache

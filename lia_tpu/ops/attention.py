@@ -1,0 +1,134 @@
+"""Attention ops — XLA reference implementations.
+
+Reference equivalents:
+- prefill: csrc/cpu/aten/kernels/FlashAttentionKrnl.cpp (tiled causal flash attention)
+- decode:  csrc/cpu/aten/kernels/MaskedMultiHeadAttentionKrnl.cpp (indirect-access KV)
+
+These jnp versions are the golden models (fp32 softmax/accumulation) and the fallback
+path; the Pallas flash/decode kernels in :mod:`lia_tpu.ops.pallas_attention` are tested
+against them (same strategy as the reference's test_masked_mha.py golden comparisons).
+
+Layout convention everywhere: hidden [B, S, H]; Q [B, S, N, D]; K/V [B, S_kv, N_kv, D].
+GQA is expressed by reshaping Q to [B, S, N_kv, G, D] so no KV head replication is ever
+materialized (MXU sees a batched matmul over N_kv groups).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # large-negative additive mask; avoids NaNs from true -inf rows
+
+
+def attend(
+    q: jnp.ndarray,  # [B, Sq, N, D]
+    k: jnp.ndarray,  # [B, Skv, N_kv, D]
+    v: jnp.ndarray,  # [B, Skv, N_kv, D]
+    mask: jnp.ndarray,  # [B, Sq, Skv] bool — True = attend
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """General masked attention, fp32 softmax. Returns [B, Sq, N, D]."""
+    B, Sq, N, D = q.shape
+    Nkv = k.shape[2]
+    G = N // Nkv
+    scale = scale if scale is not None else D**-0.5
+
+    qg = q.reshape(B, Sq, Nkv, G, D).astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # scores: [B, Nkv, G, Sq, Skv]
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, kf)
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
+    return out.reshape(B, Sq, N, D).astype(q.dtype)
+
+
+def causal_mask(
+    input_mask: jnp.ndarray,  # [B, S] bool — True at real-token slots
+) -> jnp.ndarray:
+    """Causal ∧ padding mask for prefill: [B, S, S]."""
+    S = input_mask.shape[1]
+    causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    return causal[None, :, :] & input_mask[:, None, :]
+
+
+def decode_mask(
+    slot_mask: jnp.ndarray,  # [B, S_max] bool — occupied-slot mask from the KV cache
+    length: jnp.ndarray,  # scalar — valid cache length incl. the token being decoded
+) -> jnp.ndarray:
+    """Key-validity mask for decode: [B, 1, S_max]."""
+    S_max = slot_mask.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S_max), 1)
+    return (slot_mask & (pos < length))[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Dispatched entry points (Pallas fast path / jnp fallback)
+# ---------------------------------------------------------------------------
+
+
+class PrefillAttn(NamedTuple):
+    """Attention context for a prompt chunk (built once, shared by all layers)."""
+
+    input_mask: jnp.ndarray  # [B, S] bool
+    mask: jnp.ndarray  # [B, S, S] causal ∧ padding
+
+
+class DecodeAttn(NamedTuple):
+    """Attention context for one decode step over the KV cache."""
+
+    slot_mask: jnp.ndarray  # [B, S_max] bool, incl. the current token's slot
+    length: jnp.ndarray  # scalar int32, incl. the current token
+    mask: jnp.ndarray  # [B, 1, S_max]
+
+
+def prefill_attn_ctx(input_mask: jnp.ndarray) -> PrefillAttn:
+    return PrefillAttn(input_mask, causal_mask(input_mask))
+
+
+def decode_attn_ctx(slot_mask: jnp.ndarray, length: jnp.ndarray) -> DecodeAttn:
+    """``slot_mask``/``length`` must already include the token being decoded."""
+    return DecodeAttn(slot_mask, length, decode_mask(slot_mask, length))
+
+
+def attend_prefill(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, ctx: PrefillAttn
+) -> jnp.ndarray:
+    """Prefill attention: Pallas flash kernel on TPU, jnp fallback elsewhere."""
+    from lia_tpu.ops import dispatch
+
+    S = q.shape[1]
+    if dispatch.use_pallas():
+        bq = dispatch.pick_block(S, 256)
+        bk = dispatch.pick_block(S, 512)
+        if bq is not None and bk is not None:
+            from lia_tpu.ops.pallas_attention import flash_attention_prefill
+
+            return flash_attention_prefill(
+                q, k, v, ctx.input_mask, block_q=bq, block_k=bk,
+                interpret=dispatch.interpret_mode(),
+            )
+    return attend(q, k, v, ctx.mask)
+
+
+def attend_decode(
+    q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray, ctx: DecodeAttn
+) -> jnp.ndarray:
+    """Decode attention over the cache: Pallas kernel on TPU, jnp fallback."""
+    from lia_tpu.ops import dispatch
+
+    S_max = k_cache.shape[1]
+    if dispatch.use_pallas():
+        bk = dispatch.pick_block(S_max, 512)
+        if bk is not None:
+            from lia_tpu.ops.pallas_attention import decode_attention
+
+            return decode_attention(
+                q, k_cache, v_cache, ctx.slot_mask, ctx.length, block_k=bk,
+                interpret=dispatch.interpret_mode(),
+            )
+    return attend(q, k_cache, v_cache, ctx.mask)

@@ -1,0 +1,51 @@
+"""Kernel dispatch: Pallas fast path vs pure-XLA fallback.
+
+The reference picks kernels via ISA dynamic dispatch
+(csrc/cpu/dyndisp/DispatchStub.cpp + cpu_feature.cpp AMX detection); on TPU there is
+one ISA per chip, so dispatch reduces to: use the Pallas kernel when (a) we are on a
+TPU backend (or tests force interpret mode) and (b) the shapes satisfy the kernel's
+tiling constraints — otherwise fall back to the jnp golden path. The
+``--no-pallas`` CLI flag (RuntimeConfig.use_pallas=False) is the kill-switch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+_FORCE: Optional[bool] = None  # None = auto (pallas on TPU, jnp elsewhere)
+_INTERPRET: Optional[bool] = None  # None = auto (interpret off TPU)
+
+
+def set_use_pallas(v: Optional[bool]) -> None:
+    global _FORCE
+    _FORCE = v
+
+
+def set_interpret(v: Optional[bool]) -> None:
+    """Force Pallas interpreter mode (tests exercise kernels on CPU this way)."""
+    global _INTERPRET
+    _INTERPRET = v
+
+
+def use_pallas() -> bool:
+    if _FORCE is not None:
+        return _FORCE
+    return jax.default_backend() == "tpu"
+
+
+def interpret_mode() -> bool:
+    if _INTERPRET is not None:
+        return _INTERPRET
+    return jax.default_backend() != "tpu"
+
+
+def pick_block(n: int, target: int, minimum: int = 8) -> Optional[int]:
+    """Largest divisor of ``n`` that is ≤ target and a multiple of ``minimum``."""
+    b = min(target, n)
+    while b >= minimum:
+        if n % b == 0 and b % minimum == 0:
+            return b
+        b -= minimum
+    return None

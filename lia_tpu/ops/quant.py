@@ -1,0 +1,154 @@
+"""Weight-only quantization (INT8 / INT4) with dequant fused into the matmul.
+
+Reference equivalents: the WOQ GEMM kernels csrc/cpu/aten/kernels/WoqTppKrnl.cpp
+(dequant intrinsics :132-536, grouped dequant :886-1069) / WoqLinearKrnl.cpp and the
+``WeightOnlyQuantizedLinear`` module
+(intel_extension_for_pytorch/nn/modules/weight_only_quantization.py:17), with CLI
+knobs weight-dtype/group-size/lowp-mode (examples run.py:109-166).
+
+TPU design: weights live in HBM as int8 (or nibble-packed int4) plus per-group fp
+scales; dequantization happens on the way into the MXU. Two paths:
+
+- **XLA path** (this module): ``convert → scale → dot``. XLA fuses the elementwise
+  dequant chain into the matmul operand read, so HBM traffic is the quantized bytes —
+  already the main win.
+- **Pallas path** (:mod:`lia_tpu.ops.pallas_matmul`): blocked kernel that DMAs int8
+  tiles HBM→VMEM and dequantizes in-register before the MXU — used on the decode
+  hot path where the XLA fusion boundary isn't tight enough.
+
+A quantized weight is a :class:`QuantizedWeight` pytree node — ``q``/``s`` are array
+leaves (so stacked-layer slicing, device_put, and jit tracing all work unchanged)
+while ``fmt`` rides in static aux data. ``fmt`` is ``woq_int8`` or ``woq_int4``
+(nibble-packed along the `in` axis).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lia_tpu.config import ModelConfig, QuantConfig
+
+QUANT_FORMATS = ("woq_int8", "woq_int4")
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedWeight:
+    """Pytree node: quantized values + grouped scales; format tag is static."""
+
+    __slots__ = ("q", "s", "fmt")
+
+    def __init__(self, q, s, fmt: str):
+        self.q = q
+        self.s = s
+        self.fmt = fmt
+
+    def tree_flatten(self):
+        return (self.q, self.s), self.fmt
+
+    @classmethod
+    def tree_unflatten(cls, fmt, children):
+        return cls(children[0], children[1], fmt)
+
+    def __repr__(self):
+        return f"QuantizedWeight({self.fmt}, q={getattr(self.q, 'shape', None)})"
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, QuantizedWeight)
+
+
+# ---------------------------------------------------------------------------
+# Quantize (host-side, numpy — runs at load time like the reference's
+# quantize-on-load WOQ flow)
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
+    """Quantize ``[..., in, out]`` symmetric per-(group, out-channel).
+
+    group_size == -1 → one group over the whole `in` axis (per-out-channel scales).
+    """
+    w = np.asarray(w, np.float32)
+    *lead, K, N = w.shape
+    g = K if qc.group_size <= 0 else qc.group_size
+    assert K % g == 0, f"in-dim {K} not divisible by group size {g}"
+    ng = K // g
+    wg = w.reshape(*lead, ng, g, N)
+    if qc.weight_dtype == "int8":
+        qmax = 127.0
+    elif qc.weight_dtype == "int4":
+        qmax = 7.0
+    else:
+        raise ValueError(qc.weight_dtype)
+    scale = np.abs(wg).max(axis=-2, keepdims=True) / qmax  # [..., ng, 1, N]
+    scale = np.maximum(scale, 1e-8)
+    q = np.rint(wg / scale).clip(-qmax - 1, qmax).astype(np.int8)
+    q = q.reshape(*lead, K, N)
+    s = scale.squeeze(-2).astype(np.float32)  # [..., ng, N]
+    if qc.weight_dtype == "int4":
+        # biased nibbles in [0, 15], packed two-per-byte along `in`
+        b = (q + 8).astype(np.uint8)
+        packed = (b[..., 0::2, :] & 0xF) | (b[..., 1::2, :] << 4)  # [..., K/2, N]
+        return QuantizedWeight(packed, s, "woq_int4")
+    return QuantizedWeight(q, s, "woq_int8")
+
+
+def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
+    """Quantize every decoder-layer matmul weight (stacked [L, in, out]).
+
+    Embeddings, norms, biases, and the lm_head stay high-precision — same scope as
+    the reference WOQ flow (it quantizes the linear layers only).
+    """
+    out = dict(params)
+    layers = params["layers"]
+    new_layers: Dict[str, Any] = {}
+    for grp_name, grp in layers.items():
+        new_grp: Dict[str, Any] = {}
+        for k, v in grp.items():
+            if k.startswith("w") and np.ndim(v) == 3:
+                new_grp[k] = quantize_weight(np.asarray(v), qc)
+            else:
+                new_grp[k] = v
+        new_layers[grp_name] = new_grp
+    out["layers"] = new_layers
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dequantizing matmul (XLA path)
+# ---------------------------------------------------------------------------
+
+
+def dequantize(rec: "QuantizedWeight", dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Materialize the fp weight [..., K, N] (golden path / XLA pre-fusion form)."""
+    q, s = rec.q, rec.s
+    if rec.fmt == "woq_int4":
+        lo = (q & 0xF).astype(jnp.int8) - 8
+        hi = (q >> 4).astype(jnp.int8) - 8
+        # interleave back along the packed axis: [..., K/2, N] pairs -> [..., K, N]
+        K2, N = q.shape[-2], q.shape[-1]
+        qi = jnp.stack([lo, hi], axis=-2).reshape(*q.shape[:-2], 2 * K2, N)
+    else:
+        qi = q
+    *lead, K, N = qi.shape
+    ng = s.shape[-2]
+    wg = qi.reshape(*lead, ng, K // ng, N).astype(jnp.float32)
+    w = wg * s[..., :, None, :]
+    return w.reshape(*lead, K, N).astype(dtype)
+
+
+def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
+    """x @ dequant(rec) with fp32 accumulation; returns fp32.
+
+    The Pallas fused kernel takes over on TPU for the decode hot path (dispatched in
+    :func:`lia_tpu.models.transformer.linear` once enabled); this XLA form relies on
+    operand fusion to avoid materializing the bf16 weight in HBM.
+    """
+    w = dequantize(rec, jnp.bfloat16)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )

@@ -1,0 +1,54 @@
+"""Token selection: greedy, temperature, top-k, top-p.
+
+Parity surface: the reference ships four patched HF generation modes
+(_greedy_search / _sample / _beam_search / _beam_sample,
+intel_extension_for_pytorch/transformers/generation/). Greedy and sampling are pure
+per-step functions here; beam search lives in the engine (it needs the KV reorder,
+see :func:`lia_tpu.ops.kv_cache.beam_reorder`).
+
+All ops are jit-friendly (static k, no data-dependent shapes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lia_tpu.config import GenerationConfig
+
+NEG_INF = -1e30
+
+
+def greedy(logits: jnp.ndarray) -> jnp.ndarray:
+    """[B, V] → [B] int32."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    vals, _ = jax.lax.top_k(logits, k)
+    thresh = vals[..., -1:]
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens until cumulative prob exceeds p (always keep the top token)
+    keep = jnp.roll(cum < p, 1, axis=-1).at[..., 0].set(True)
+    thresh = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def sample(
+    logits: jnp.ndarray, key: jax.Array, gen: GenerationConfig
+) -> jnp.ndarray:
+    """One sampling step honoring temperature/top-k/top-p. [B, V] → [B]."""
+    if not gen.do_sample:
+        return greedy(logits)
+    x = logits / jnp.maximum(gen.temperature, 1e-6)
+    if gen.top_k > 0:
+        x = apply_top_k(x, gen.top_k)
+    if gen.top_p < 1.0:
+        x = apply_top_p(x, gen.top_p)
+    return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)

@@ -1,0 +1,121 @@
+"""Tensor-parallel sharding rules for parameters and KV cache.
+
+Mirror of the reference's two TP flavors — DeepSpeed AutoTP's row/col split with an
+allreduce after out-proj and fc2 (models/reference/modules/decoder.py:233-247) and
+IPEX-native head sharding (transformers/tensor_parallel.py:266-414:
+``shard_mha_weights``/``shard_mlp_weights``/``shard_lm_head_weights``) — expressed the
+TPU way: ``NamedSharding`` annotations on the parameter pytree. XLA GSPMD derives the
+two per-layer ``psum`` points (post-attention out-proj, post-fc2) automatically from
+the row-sharded wo/w2, so no explicit collective calls appear in model code.
+
+Column-split (output dim on "model"): wq, wk, wv, w1, wg + their biases.
+Row-split   (input dim on "model"):  wo, w2.
+Vocab-split: embed_tokens, lm_head.
+Replicated:  norms, positions, small biases after row-split matmuls.
+KV cache:    heads on "model", batch on "data".
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lia_tpu.config import ModelConfig
+from lia_tpu.ops.kv_cache import KVCache
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_pspecs(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree matching ``params``' structure (stacked [L, ...] layers)."""
+    M = "model"
+
+    def attn_spec(attn: Dict[str, Any]) -> Dict[str, Any]:
+        out = {}
+        for k in attn:
+            if k in ("wq", "wk", "wv"):
+                out[k] = P(None, None, M)  # [L, H, out] — column split
+            elif k == "wo":
+                out[k] = P(None, M, None)  # [L, QD, H] — row split
+            elif k in ("bq", "bk", "bv"):
+                out[k] = P(None, M)
+            else:  # bo — after the psum, replicated
+                out[k] = P(None, None)
+        return out
+
+    def mlp_spec(mlp: Dict[str, Any]) -> Dict[str, Any]:
+        out = {}
+        for k in mlp:
+            if k in ("w1", "wg"):
+                out[k] = P(None, None, M)
+            elif k == "w2":
+                out[k] = P(None, M, None)
+            elif k == "b1":
+                out[k] = P(None, M)
+            else:  # b2
+                out[k] = P(None, None)
+        return out
+
+    def norm_spec(n: Dict[str, Any]) -> Dict[str, Any]:
+        return {k: P(None, None) for k in n}
+
+    specs: Dict[str, Any] = {
+        "embed_tokens": P(M, None),
+        "layers": {
+            "ln1": norm_spec(params["layers"]["ln1"]),
+            "attn": attn_spec(params["layers"]["attn"]),
+            "ln2": norm_spec(params["layers"]["ln2"]),
+            "mlp": mlp_spec(params["layers"]["mlp"]),
+        },
+    }
+    if "embed_positions" in params:
+        specs["embed_positions"] = P(None, None)
+    if "proj_in" in params:
+        specs["proj_in"] = P(None, None)
+        specs["proj_out"] = P(None, None)
+    if "final_norm" in params:
+        specs["final_norm"] = {k: P(None) for k in params["final_norm"]}
+    if "lm_head" in params:
+        specs["lm_head"] = P(None, M)
+    return specs
+
+
+def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        param_pspecs(cfg, params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def cache_pspecs() -> KVCache:
+    """KV cache: [L, B, S, N_kv, D] — batch on data, heads on model."""
+    return KVCache(
+        k=P(None, "data", None, "model", None),
+        v=P(None, "data", None, "model", None),
+        length=P(),
+        mask=P("data", None),
+    )
+
+
+def cache_shardings(mesh: Mesh) -> KVCache:
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        cache_pspecs(),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Token/mask arrays: [B, S] — batch on data."""
+    return NamedSharding(mesh, P("data", None))
+
+
+def shard_params(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
+    """Place a host parameter tree onto the mesh with TP/DP shardings."""
+    shardings = param_shardings(cfg, params, mesh)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)

@@ -1,0 +1,95 @@
+"""Tiered weight manager: HBM-resident prefix + host-DRAM streamed remainder.
+
+TPU-native analog of LIA's weight placement machinery (lia/modeling_opt.py):
+- ``move_gpu_layer`` (:229-268) — the first ``gpu_percentage``% of layers promoted to
+  device residency → here the first ``hbm_percentage``% are ``jax.device_put`` once
+  at startup (policy-3 residency);
+- ``create_buffer``/``load_layer``/``layer_copy`` (:90-165, :270-318) — the 16-tensor
+  double-buffered CUDA-stream pipeline → here a one-thread prefetch executor that
+  ``jax.device_put``s layer ``i+1``'s parameter subtree while layer ``i`` computes
+  (JAX transfers are async; the thread isolates the host-side staging copy);
+- ``pin_memory``/CXL realloc (:167-227) — host weights are kept as numpy arrays in
+  DRAM; on TPU-VM there is no NUMA tiering to manage, the analog knob is simply
+  which fraction of layers live in HBM.
+
+The manager is deliberately model-agnostic: it only sees a stacked ``[L, ...]``
+parameter subtree and hands out per-layer subtrees.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+
+def slice_layer(stacked: Dict[str, Any], idx: int) -> Dict[str, Any]:
+    """Extract layer ``idx``'s parameter subtree from the stacked host tree."""
+    return jax.tree.map(lambda a: a[idx], stacked)
+
+
+class TieredWeightManager:
+    """Owns host weights, the resident prefix, and the streaming double buffer."""
+
+    def __init__(
+        self,
+        layers_host: Dict[str, Any],  # stacked [L, ...] numpy tree
+        num_layers: int,
+        hbm_percentage: int = 100,
+        overlap: bool = True,
+        device: Optional[jax.Device] = None,
+    ):
+        self.layers_host = layers_host
+        self.num_layers = num_layers
+        self.n_resident = min(num_layers, num_layers * hbm_percentage // 100)
+        self.overlap = overlap
+        self.device = device or jax.devices()[0]
+        # resident prefix: one transfer of the stacked prefix (not per-layer)
+        if self.n_resident > 0:
+            prefix = jax.tree.map(lambda a: a[: self.n_resident], layers_host)
+            self.resident = jax.device_put(prefix, self.device)
+        else:
+            self.resident = None
+        self._pool = cf.ThreadPoolExecutor(max_workers=1) if overlap else None
+        self._inflight: Dict[int, cf.Future] = {}
+
+    # -- streaming -----------------------------------------------------------
+
+    def _put(self, idx: int):
+        return jax.device_put(slice_layer(self.layers_host, idx), self.device)
+
+    def prefetch(self, idx: int) -> None:
+        """Start the async host→HBM copy of layer ``idx`` (load_layer analog)."""
+        if idx >= self.num_layers or idx < self.n_resident or idx in self._inflight:
+            return
+        if self._pool is not None:
+            self._inflight[idx] = self._pool.submit(self._put, idx)
+
+    def get_layer(self, idx: int) -> Dict[str, Any]:
+        """Return layer ``idx``'s device params (resident slice or streamed copy)."""
+        if idx < self.n_resident:
+            return jax.tree.map(lambda a: a[idx], self.resident)
+        fut = self._inflight.pop(idx, None)
+        if fut is not None:
+            return fut.result()
+        return self._put(idx)
+
+    def memory_report(self) -> Dict[str, float]:
+        def nbytes(tree):
+            return sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree)) if tree else 0
+
+        total = nbytes(self.layers_host)
+        res = total * self.n_resident / max(self.num_layers, 1)
+        return {
+            "layer_bytes_total": float(total),
+            "resident_bytes": float(res),
+            "resident_layers": float(self.n_resident),
+            "streamed_layers": float(self.num_layers - self.n_resident),
+            "hbm_resident_frac": float(res / total) if total else 1.0,
+        }
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)

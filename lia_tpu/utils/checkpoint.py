@@ -1,0 +1,241 @@
+"""Parameter initialization and checkpoint I/O.
+
+Covers the reference's checkpoint surface (SURVEY §5): HF ``from_pretrained``-style
+loading (here: safetensors state dicts mapped into our pytree), the FlexGen-style
+dummy-weight generator for giant configs
+(examples/cpu/inference/python/llm/utils/opt-weight-gen.py:8-40), and native
+save/load of (possibly quantized) parameter trees.
+
+All loaders return **host-resident numpy trees** with layers stacked ``[L, ...]``:
+host residency is the natural starting state for the tiered weight manager
+(the CXL/DRAM analog), and ``jax.device_put`` of the whole tree is the resident path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from lia_tpu.config import Activation, ModelConfig, Norm
+
+Params = Dict[str, Any]
+
+_DTYPES = {"bfloat16": np.dtype("float32"), "float32": np.dtype("float32")}
+
+
+def _np_dtype(name: str):
+    # numpy has no bfloat16; use ml_dtypes (shipped with jax)
+    if name == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
+def init_dummy_params(cfg: ModelConfig, seed: int = 0, scale: float = 0.006) -> Params:
+    """Random weights for any config size (OPT-175B dummy-weight analog).
+
+    Generated layer-group by layer-group in float32 then cast, to bound peak host
+    memory; small init scale keeps logits finite for arbitrary depth.
+    """
+    rng = np.random.default_rng(seed)
+    dt = _np_dtype(cfg.dtype)
+    H, F, L = cfg.hidden_size, cfg.ffn_size, cfg.num_layers
+    E = cfg.embed_dim
+    QD = cfg.num_heads * cfg.head_dim
+    KD = cfg.num_kv_heads * cfg.head_dim
+
+    def w(*shape):
+        return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(dt)
+
+    def zeros(*shape):
+        return np.zeros(shape, dt)
+
+    def ones(*shape):
+        return np.ones(shape, dt)
+
+    def norm_p():
+        p = {"scale": ones(L, H)}
+        if cfg.norm == Norm.LAYERNORM:
+            p["bias"] = zeros(L, H)
+        return p
+
+    attn: Params = {"wq": w(L, H, QD), "wk": w(L, H, KD), "wv": w(L, H, KD), "wo": w(L, QD, H)}
+    if cfg.attn_bias:
+        attn.update(bq=zeros(L, QD), bk=zeros(L, KD), bv=zeros(L, KD), bo=zeros(L, H))
+    if cfg.activation == Activation.SILU:
+        mlp: Params = {"wg": w(L, H, F), "w1": w(L, H, F), "w2": w(L, F, H)}
+    else:
+        mlp = {"w1": w(L, H, F), "w2": w(L, F, H)}
+        if cfg.mlp_bias:
+            mlp.update(b1=zeros(L, F), b2=zeros(L, H))
+
+    params: Params = {
+        "embed_tokens": w(cfg.vocab_size, E),
+        "layers": {"ln1": norm_p(), "attn": attn, "ln2": norm_p(), "mlp": mlp},
+    }
+    if cfg.learned_pos:
+        params["embed_positions"] = w(cfg.max_position_embeddings + cfg.pos_offset, H)
+    if cfg.word_embed_proj_dim:
+        params["proj_in"] = w(E, H)
+        params["proj_out"] = w(H, E)
+    if cfg.final_norm:
+        fn = {"scale": np.ones((H,), dt)}
+        if cfg.norm == Norm.LAYERNORM:
+            fn["bias"] = np.zeros((H,), dt)
+        params["final_norm"] = fn
+    if not cfg.tie_embeddings:
+        params["lm_head"] = w(E, cfg.vocab_size)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# HF state-dict mapping (OPT + Llama)
+# ---------------------------------------------------------------------------
+
+
+def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Params:
+    """Map an HF state dict (numpy arrays) into our stacked pytree.
+
+    HF linears store ``weight`` as [out, in]; we store [in, out] for ``x @ w``.
+    OPT key layout per transformers' modeling_opt; Llama per modeling_llama.
+    """
+    dt = _np_dtype(cfg.dtype)
+    L = cfg.num_layers
+
+    def get(key):
+        arr = sd[key]
+        return np.asarray(arr, dtype=np.float32)
+
+    def wT(key):
+        return get(key).T.astype(dt)
+
+    def raw(key):
+        return get(key).astype(dt)
+
+    def stack(fmt, transpose=False):
+        f = wT if transpose else raw
+        return np.stack([f(fmt.format(i)) for i in range(L)])
+
+    is_opt = cfg.activation != Activation.SILU
+    if is_opt:
+        pre = "model.decoder."
+        params: Params = {"embed_tokens": raw(pre + "embed_tokens.weight")}
+        params["embed_positions"] = raw(pre + "embed_positions.weight")
+        if cfg.word_embed_proj_dim:
+            params["proj_in"] = wT(pre + "project_in.weight")
+            params["proj_out"] = wT(pre + "project_out.weight")
+        if cfg.final_norm:
+            params["final_norm"] = {
+                "scale": raw(pre + "final_layer_norm.weight"),
+                "bias": raw(pre + "final_layer_norm.bias"),
+            }
+        lp = pre + "layers.{}."
+        attn = {
+            "wq": stack(lp + "self_attn.q_proj.weight", True),
+            "wk": stack(lp + "self_attn.k_proj.weight", True),
+            "wv": stack(lp + "self_attn.v_proj.weight", True),
+            "wo": stack(lp + "self_attn.out_proj.weight", True),
+            "bq": stack(lp + "self_attn.q_proj.bias"),
+            "bk": stack(lp + "self_attn.k_proj.bias"),
+            "bv": stack(lp + "self_attn.v_proj.bias"),
+            "bo": stack(lp + "self_attn.out_proj.bias"),
+        }
+        params["layers"] = {
+            "ln1": {
+                "scale": stack(lp + "self_attn_layer_norm.weight"),
+                "bias": stack(lp + "self_attn_layer_norm.bias"),
+            },
+            "attn": attn,
+            "ln2": {
+                "scale": stack(lp + "final_layer_norm.weight"),
+                "bias": stack(lp + "final_layer_norm.bias"),
+            },
+            "mlp": {
+                "w1": stack(lp + "fc1.weight", True),
+                "b1": stack(lp + "fc1.bias"),
+                "w2": stack(lp + "fc2.weight", True),
+                "b2": stack(lp + "fc2.bias"),
+            },
+        }
+        return params
+
+    pre = "model."
+    params = {"embed_tokens": raw(pre + "embed_tokens.weight")}
+    params["final_norm"] = {"scale": raw(pre + "norm.weight")}
+    if not cfg.tie_embeddings:
+        params["lm_head"] = wT("lm_head.weight")
+    lp = pre + "layers.{}."
+    params["layers"] = {
+        "ln1": {"scale": stack(lp + "input_layernorm.weight")},
+        "attn": {
+            "wq": stack(lp + "self_attn.q_proj.weight", True),
+            "wk": stack(lp + "self_attn.k_proj.weight", True),
+            "wv": stack(lp + "self_attn.v_proj.weight", True),
+            "wo": stack(lp + "self_attn.o_proj.weight", True),
+        },
+        "ln2": {"scale": stack(lp + "post_attention_layernorm.weight")},
+        "mlp": {
+            "wg": stack(lp + "mlp.gate_proj.weight", True),
+            "w1": stack(lp + "mlp.up_proj.weight", True),
+            "w2": stack(lp + "mlp.down_proj.weight", True),
+        },
+    }
+    return params
+
+
+def load_hf_checkpoint(cfg: ModelConfig, path: str) -> Params:
+    """Load HF safetensors shards from a local directory into our pytree."""
+    from safetensors.numpy import load_file
+
+    sd: Dict[str, np.ndarray] = {}
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    for f in files:
+        sd.update(load_file(os.path.join(path, f)))
+    return params_from_hf_state_dict(cfg, sd)
+
+
+# ---------------------------------------------------------------------------
+# Native flat save/load
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Params, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
+    tree: Params = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params(params: Params, path: str) -> None:
+    from safetensors.numpy import save_file
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(params)
+    # safetensors has no bfloat16-in-numpy issue via ml_dtypes views; store raw bytes
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()}, path)
+
+
+def load_params(path: str) -> Params:
+    from safetensors.numpy import load_file
+
+    return _unflatten(load_file(path))

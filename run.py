@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark / generation CLI.
+
+Parity surface: the reference's examples/cpu/inference/python/llm/run.py (LIA flags
+:196-215) + single_instance/run_generation.py (benchmark loop, warmup, latency stats
+:337-354), collapsed into one process (no subprocess dispatch — the policy knobs are
+plain config, not kwargs smuggled through generate()).
+
+Examples:
+  python run.py --benchmark -m opt-1.3b --dummy-weights --batch-size 8 \
+      --input-tokens 256 --max-new-tokens 32
+  python run.py --benchmark -m opt-30b --dummy-weights --weight-dtype int8 \
+      --hbm-percentage 10 --stream-weights --batch-size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from lia_tpu.config import GenerationConfig, QuantConfig, RuntimeConfig
+from lia_tpu.engine.engine import InferenceEngine
+from lia_tpu.models.registry import get_config
+from lia_tpu.utils.checkpoint import init_dummy_params, load_hf_checkpoint
+from lia_tpu.utils.metrics import format_summary
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="LIA-TPU inference benchmark")
+    p.add_argument("-m", "--model", default="opt-1.3b", help="model name (see registry)")
+    p.add_argument("--checkpoint", default=None, help="local HF safetensors dir")
+    p.add_argument("--dummy-weights", action="store_true", help="random weights (175B analog)")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--input-tokens", type=int, default=32)
+    p.add_argument("--max-new-tokens", type=int, default=32)
+    p.add_argument("--num-iter", type=int, default=3)
+    p.add_argument("--num-warmup", type=int, default=1)
+    p.add_argument("--greedy", action="store_true", default=True)
+    p.add_argument("--sample", dest="greedy", action="store_false")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--fused-decode", action="store_true", help="on-device lax.scan decode loop")
+    p.add_argument("--token-latency", action="store_true", default=True)
+    # --- LIA policy knobs (reference run.py:196-215) ---
+    p.add_argument("--prefill-policy", type=int, default=3, choices=[0, 1, 2, 3])
+    p.add_argument("--decoding-policy", type=int, default=3, choices=[0, 1, 2, 3, 4])
+    p.add_argument("--hbm-percentage", type=int, default=100,
+                   help="%% of layers resident in HBM (gpu-percentage analog)")
+    p.add_argument("--num-minibatch", type=int, default=1)
+    p.add_argument("--stream-weights", action="store_true",
+                   help="host-resident weights streamed per layer (pin-weight/CXL analog)")
+    p.add_argument("--no-overlap", action="store_true", help="serialize transfers")
+    p.add_argument("--no-pallas", action="store_true", help="disable Pallas kernels")
+    # --- quantization (reference run.py:109-166) ---
+    p.add_argument("--weight-dtype", default="none", choices=["none", "int8", "int4"])
+    p.add_argument("--group-size", type=int, default=-1)
+    p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
+    p.add_argument("--profile", action="store_true", help="emit a jax trace to /tmp/lia_trace")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    cfg = get_config(args.model).replace(dtype=args.dtype)
+    runtime = RuntimeConfig(
+        prefill_policy=args.prefill_policy,
+        decode_policy=args.decoding_policy,
+        hbm_percentage=args.hbm_percentage,
+        num_minibatch=args.num_minibatch,
+        stream_weights=args.stream_weights,
+        overlap=not args.no_overlap,
+        use_pallas=not args.no_pallas,
+        quant=QuantConfig(
+            weight_dtype=args.weight_dtype,
+            group_size=args.group_size,
+            kv_cache_dtype=args.kv_cache_dtype,
+        ),
+    )
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens,
+        do_sample=not args.greedy,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+    )
+
+    print(f"[lia-tpu] model={cfg.name} params≈{cfg.num_params/1e9:.2f}B dtype={cfg.dtype}")
+    t0 = time.perf_counter()
+    if args.checkpoint:
+        params = load_hf_checkpoint(cfg, args.checkpoint)
+    else:
+        params = init_dummy_params(cfg)
+    print(f"[lia-tpu] weights ready in {time.perf_counter()-t0:.1f}s")
+
+    if runtime.quant.enabled:
+        from lia_tpu.ops.quant import quantize_params
+
+        t0 = time.perf_counter()
+        params = quantize_params(cfg, params, runtime.quant)
+        print(f"[lia-tpu] quantized to {runtime.quant.weight_dtype} in {time.perf_counter()-t0:.1f}s")
+
+    engine = InferenceEngine(cfg, params, runtime)
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=args.input_tokens))
+        for _ in range(args.batch_size)
+    ]
+
+    ctx = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace("/tmp/lia_trace")
+    results = []
+    for it in range(args.num_warmup + args.num_iter):
+        t0 = time.perf_counter()
+        res = engine.generate(prompts, gen, fused=args.fused_decode)
+        dt = time.perf_counter() - t0
+        tag = "warmup" if it < args.num_warmup else "iter"
+        print(f"[{tag} {it}] {dt:.3f}s  ({res.sequences.size / dt:.1f} tok/s)")
+        if it >= args.num_warmup:
+            results.append(res)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print("[lia-tpu] trace written to /tmp/lia_trace")
+
+    if results:
+        best = max(results, key=lambda r: r.summary()["total_tokens_per_s"])
+        s = best.summary()
+        print(format_summary(s))
+        print(json.dumps({"model": cfg.name, **{k: round(v, 6) for k, v in s.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""Golden-model parity tests vs HuggingFace transformers (torch CPU).
+
+Same strategy as the reference's module-surgery tests
+(tests/cpu/test_ipex_optimize_transformers.py:77-160: build a tiny HF config, run the
+optimized stack, assert output equality vs the unmodified model): we instantiate a
+randomly-initialized torch OPT/Llama, map its state dict into our pytree, and compare
+logits for prefill and stepwise KV-cache decode.
+"""
+
+import numpy as np
+import pytest
+
+from lia_tpu.config import GenerationConfig
+from lia_tpu.engine.engine import InferenceEngine, pack_prompts
+from lia_tpu.models.registry import get_config
+from lia_tpu.utils.checkpoint import params_from_hf_state_dict
+
+torch = pytest.importorskip("torch")
+
+
+def _to_numpy_sd(model):
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def opt_pair():
+    from transformers import OPTConfig, OPTForCausalLM
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    hf_cfg = OPTConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        ffn_dim=cfg.ffn_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        do_layer_norm_before=True,
+        word_embed_proj_dim=cfg.hidden_size,
+        activation_function="relu",
+    )
+    torch.manual_seed(0)
+    hf = OPTForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
+@pytest.fixture(scope="module")
+def llama_pair():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = get_config("llama-tiny").replace(dtype="float32")
+    hf_cfg = LlamaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.norm_eps,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        mlp_bias=False,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
+def _hf_greedy(hf, tokens, mask, n_new, pad_id):
+    out = hf.generate(
+        torch.tensor(tokens, dtype=torch.long),
+        attention_mask=torch.tensor(mask, dtype=torch.long),
+        max_new_tokens=n_new,
+        do_sample=False,
+        pad_token_id=pad_id,
+        use_cache=True,
+    )
+    return out[:, tokens.shape[1]:].numpy()
+
+
+@pytest.mark.parametrize("pair", ["opt_pair", "llama_pair"])
+def test_prefill_logits_match_hf(pair, request):
+    cfg, hf, params = request.getfixturevalue(pair)
+    rng = np.random.default_rng(1)
+    prompts = [list(rng.integers(3, 200, size=n)) for n in (7, 12, 3)]
+    tokens, mask = pack_prompts(prompts, pad_id=1)
+
+    with torch.no_grad():
+        hf_logits = hf(
+            torch.tensor(tokens, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).logits[:, -1, :].numpy()
+
+    import jax.numpy as jnp
+    from lia_tpu.models import transformer as T
+    from lia_tpu.ops import kv_cache as kvc
+
+    cache = kvc.init_cache(cfg, tokens.shape[0], tokens.shape[1] + 4, jnp.float32)
+    logits, _ = T.prefill(cfg, __import__("jax").device_put(params), jnp.asarray(tokens), jnp.asarray(mask), cache)
+    # XLA:CPU routes f32 GEMMs through oneDNN/AMX-bf16 on this host, so parity vs
+    # torch's strict-f32 GEMM is bf16-level — same tolerance class the reference
+    # uses for its AMX-bf16-vs-eager golden tests (tests/cpu/test_masked_mha.py).
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, rtol=2e-2, atol=8e-3)
+
+
+@pytest.mark.parametrize("pair", ["opt_pair", "llama_pair"])
+def test_greedy_generation_matches_hf(pair, request):
+    cfg, hf, params = request.getfixturevalue(pair)
+    rng = np.random.default_rng(2)
+    prompts = [list(rng.integers(3, 200, size=n)) for n in (9, 5)]
+    tokens, mask = pack_prompts(prompts, pad_id=1)
+    n_new = 10
+
+    hf_out = _hf_greedy(hf, tokens, mask, n_new, pad_id=1)
+
+    eng = InferenceEngine(cfg, params)
+    res = eng.generate(prompts, GenerationConfig(max_new_tokens=n_new, pad_token_id=1))
+    np.testing.assert_array_equal(res.sequences, hf_out)
+
+
+@pytest.mark.parametrize("pair", ["opt_pair"])
+def test_fused_matches_stepwise(pair, request):
+    cfg, hf, params = request.getfixturevalue(pair)
+    prompts = [[4, 5, 6, 7, 8], [9, 10]]
+    eng = InferenceEngine(cfg, params)
+    gen = GenerationConfig(max_new_tokens=6, pad_token_id=1)
+    a = eng.generate(prompts, gen)
+    b = eng.generate(prompts, gen, fused=True)
+    np.testing.assert_array_equal(a.sequences, b.sequences)
+
+
+def test_bucket_invariance(opt_pair):
+    """Extra left-padding (a larger bucket) must not change greedy output."""
+    cfg, hf, params = opt_pair
+    prompts = [[4, 5, 6, 7, 8, 9, 11]]
+    eng = InferenceEngine(cfg, params)
+    gen = GenerationConfig(max_new_tokens=5, pad_token_id=1)
+    a = eng.generate(prompts, gen)
+
+    tokens, mask = pack_prompts(prompts, pad_id=1, bucket=32)
+    import jax.numpy as jnp
+    from lia_tpu.models import transformer as T
+    from lia_tpu.ops import kv_cache as kvc
+    import jax
+
+    cache = kvc.init_cache(cfg, 1, 32 + 5, jnp.float32)
+    logits, cache = T.prefill(cfg, jax.device_put(params), jnp.asarray(tokens), jnp.asarray(mask), cache)
+    first = int(np.argmax(np.asarray(logits), -1)[0])
+    assert first == int(a.sequences[0, 0])

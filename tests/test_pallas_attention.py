@@ -1,0 +1,85 @@
+"""Pallas attention kernels vs the jnp golden model (interpret mode on CPU).
+
+Same op-level golden-comparison strategy as the reference's test_masked_mha.py
+(:784 sweeps beam/greedy, first/next token, dtypes, padding) and its flash-attention
+coverage: sweep padding patterns, GQA, dtypes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lia_tpu.ops import attention as att
+from lia_tpu.ops.pallas_attention import decode_attention, flash_attention_prefill
+
+
+def make_qkv(rng, B, S, N, Nkv, D, dtype):
+    q = jnp.asarray(rng.standard_normal((B, S, N, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, S, Nkv, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, S, Nkv, D)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("pads", [(0, 0), (3, 7), (15, 0)])
+@pytest.mark.parametrize("gqa", [False, True])
+def test_flash_prefill_matches_golden(rng, pads, gqa):
+    B, S, N, D = 2, 32, 4, 16
+    Nkv = 2 if gqa else N
+    q, k, v = make_qkv(rng, B, S, N, Nkv, D, jnp.float32)
+    mask = np.ones((B, S), bool)
+    for b, p in enumerate(pads):
+        mask[b, :p] = False
+    mask = jnp.asarray(mask)
+
+    ref = att.attend(q, k, v, att.causal_mask(mask))
+    out = flash_attention_prefill(q, k, v, mask, block_q=16, block_k=16, interpret=True)
+    # padded query rows are garbage in both — compare valid rows only
+    m = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_prefill_bf16(rng):
+    B, S, N, D = 1, 32, 2, 16
+    q, k, v = make_qkv(rng, B, S, N, N, D, jnp.bfloat16)
+    mask = jnp.ones((B, S), bool)
+    ref = att.attend(q, k, v, att.causal_mask(mask))
+    out = flash_attention_prefill(q, k, v, mask, block_q=16, block_k=16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+@pytest.mark.parametrize("length,pads", [(5, (0, 0)), (9, (2, 4)), (16, (0, 3))])
+@pytest.mark.parametrize("gqa", [False, True])
+def test_decode_matches_golden(rng, length, pads, gqa):
+    B, S_max, N, D = 2, 16, 4, 16
+    Nkv = 2 if gqa else N
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S_max, Nkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S_max, Nkv, D)), jnp.float32)
+    slot_mask = np.zeros((B, S_max), bool)
+    for b, p in enumerate(pads):
+        slot_mask[b, p:length] = True  # left-padded: pads invalid, then real slots
+    slot_mask = jnp.asarray(slot_mask)
+    ln = jnp.asarray(length, jnp.int32)
+
+    ref = att.attend(q, k, v, att.decode_mask(slot_mask, ln))
+    out = decode_attention(q, k, v, slot_mask, ln, block_k=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_ignores_stale_slots(rng):
+    """Slots beyond `length` must not leak even if slot_mask is stale there."""
+    B, S_max, N, D = 1, 16, 2, 8
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S_max, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S_max, N, D)), jnp.float32)
+    mask_all = jnp.ones((B, S_max), bool)
+    out_a = decode_attention(q, k, v, mask_all, jnp.asarray(6, jnp.int32), block_k=8, interpret=True)
+    k2 = k.at[:, 8:].set(99.0)  # poison the tail
+    v2 = v.at[:, 8:].set(-99.0)
+    out_b = decode_attention(q, k2, v2, mask_all, jnp.asarray(6, jnp.int32), block_k=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6, atol=1e-6)

@@ -1,0 +1,38 @@
+"""Fused dequant-matmul kernel vs golden (reference analog: WoqTppKrnl tests in
+test_quantization_default_recipe.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lia_tpu.config import QuantConfig
+from lia_tpu.ops.pallas_matmul import woq_matmul
+from lia_tpu.ops.quant import dequantize, quantize_weight
+
+import jax
+
+
+@pytest.mark.parametrize("gs", [-1, 32, 64])
+@pytest.mark.parametrize("wdtype", ["int8", "int4"])
+def test_woq_matmul_matches_dequant(rng, wdtype, gs):
+    M, K, N = 16, 128, 64
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.1
+    rec = jax.tree.map(jnp.asarray, quantize_weight(w, QuantConfig(weight_dtype=wdtype, group_size=gs)))
+    ref = np.asarray(x) @ np.asarray(dequantize(rec, jnp.float32))
+    out = woq_matmul(
+        x, rec.q, rec.s, gs, int4=(wdtype == "int4"),
+        block_m=8, block_n=32, block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_woq_matmul_multiple_k_tiles_per_group(rng):
+    """group 64, K tile 32: two K tiles share one scale row."""
+    M, K, N = 8, 128, 32
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = rng.standard_normal((K, N), dtype=np.float32)
+    rec = jax.tree.map(jnp.asarray, quantize_weight(w, QuantConfig(weight_dtype="int8", group_size=64)))
+    ref = np.asarray(x) @ np.asarray(dequantize(rec, jnp.float32))
+    out = woq_matmul(x, rec.q, rec.s, 64, block_m=8, block_n=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)

@@ -1,0 +1,64 @@
+"""WOQ int8/int4 tests — golden-model comparisons, same pattern as the reference's
+test_quantization_default_recipe.py (WOQ INT8/INT4 matrix vs eager fp reference)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lia_tpu.config import GenerationConfig, QuantConfig
+from lia_tpu.engine.engine import InferenceEngine
+from lia_tpu.models.registry import get_config
+from lia_tpu.ops.quant import dequantize, quantize_params, quantize_weight, quantized_matmul
+from lia_tpu.utils.checkpoint import init_dummy_params
+
+
+@pytest.mark.parametrize("wdtype,gs,tol", [("int8", -1, 0.02), ("int8", 32, 0.015), ("int4", 32, 0.15)])
+def test_quantize_roundtrip(rng, wdtype, gs, tol):
+    w = rng.standard_normal((64, 48), dtype=np.float32)
+    rec = quantize_weight(w, QuantConfig(weight_dtype=wdtype, group_size=gs))
+    w2 = np.asarray(dequantize(jax_tree(rec), jnp.float32))
+    rel = np.abs(w2 - w).max() / np.abs(w).max()
+    assert rel < tol, rel
+
+
+def jax_tree(rec):
+    import jax
+
+    return jax.tree.map(jnp.asarray, rec)
+
+
+@pytest.mark.parametrize("wdtype", ["int8", "int4"])
+def test_quantized_matmul_close(rng, wdtype):
+    x = jnp.asarray(rng.standard_normal((4, 64), dtype=np.float32))
+    w = rng.standard_normal((64, 48), dtype=np.float32) * 0.1
+    rec = jax_tree(quantize_weight(w, QuantConfig(weight_dtype=wdtype, group_size=16)))
+    y = np.asarray(quantized_matmul(x, rec))
+    y_ref = np.asarray(x) @ w
+    # bf16 dequant + int rounding: tolerance scales with dtype width
+    tol = 0.05 if wdtype == "int8" else 0.3
+    assert np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-6) < tol
+
+
+def test_stacked_layer_quantization_shapes(rng):
+    cfg = get_config("opt-tiny")
+    params = init_dummy_params(cfg)
+    qp = quantize_params(cfg, params, QuantConfig(weight_dtype="int8", group_size=-1))
+    wq = qp["layers"]["attn"]["wq"]
+    assert wq.fmt == "woq_int8"
+    assert wq.q.shape == params["layers"]["attn"]["wq"].shape
+    assert wq.q.dtype == np.int8
+    # biases and norms untouched
+    assert qp["layers"]["attn"]["bq"].dtype == params["layers"]["attn"]["bq"].dtype
+
+
+def test_quantized_generation_matches_fp_tokens():
+    """INT8 generation should produce the same greedy tokens as fp on a tiny model
+    (the accuracy-parity gate, scaled down)."""
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=3, scale=0.02)
+    gen = GenerationConfig(max_new_tokens=6)
+    prompts = [[5, 9, 23, 41], [100, 7]]
+    fp = InferenceEngine(cfg, params).generate(prompts, gen)
+    qp = quantize_params(cfg, params, QuantConfig(weight_dtype="int8", group_size=16))
+    q = InferenceEngine(cfg, qp).generate(prompts, gen)
+    assert (fp.sequences == q.sequences).mean() > 0.8

@@ -1,0 +1,75 @@
+"""Streaming scheduler tests: tiered residency must be bit-identical to resident.
+
+Closes the reference's test gap — its LIA policy scheduler had NO in-repo tests
+(SURVEY §4: "no test touches prefill_policy/CUDA streams"); here the host-only
+CPU backend exercises the full streaming pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from lia_tpu.config import GenerationConfig, RuntimeConfig
+from lia_tpu.engine.engine import InferenceEngine
+from lia_tpu.models.registry import get_config
+from lia_tpu.runtime.weight_manager import TieredWeightManager
+from lia_tpu.utils.checkpoint import init_dummy_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("opt-tiny").replace(num_layers=4, dtype="float32")
+    params = init_dummy_params(cfg, seed=7, scale=0.02)
+    gen = GenerationConfig(max_new_tokens=6)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8], [50, 60]]
+    ref = InferenceEngine(cfg, params).generate(prompts, gen)
+    return cfg, params, gen, prompts, ref
+
+
+@pytest.mark.parametrize("hbm_pct", [0, 50, 100])
+def test_streaming_matches_resident(setup, hbm_pct):
+    cfg, params, gen, prompts, ref = setup
+    rt = RuntimeConfig(hbm_percentage=hbm_pct, stream_weights=(hbm_pct < 100))
+    eng = InferenceEngine(cfg, params, rt)
+    res = eng.generate(prompts, gen)
+    np.testing.assert_array_equal(res.sequences, ref.sequences)
+
+
+def test_streaming_no_overlap_matches(setup):
+    cfg, params, gen, prompts, ref = setup
+    rt = RuntimeConfig(hbm_percentage=25, stream_weights=True, overlap=False)
+    res = InferenceEngine(cfg, params, rt).generate(prompts, gen)
+    np.testing.assert_array_equal(res.sequences, ref.sequences)
+
+
+def test_minibatch_prefill_matches(setup):
+    cfg, params, gen, prompts, ref = setup
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True, num_minibatch=2)
+    res = InferenceEngine(cfg, params, rt).generate(prompts, gen)
+    np.testing.assert_array_equal(res.sequences, ref.sequences)
+
+
+def test_weight_manager_reports_residency():
+    cfg = get_config("opt-tiny")
+    params = init_dummy_params(cfg)
+    wm = TieredWeightManager(params["layers"], cfg.num_layers, hbm_percentage=50)
+    rep = wm.memory_report()
+    assert rep["resident_layers"] == cfg.num_layers // 2
+    assert 0.4 < rep["hbm_resident_frac"] < 0.6
+    wm.close()
+
+
+def test_prefetch_pipeline_returns_same_weights():
+    cfg = get_config("opt-tiny")
+    params = init_dummy_params(cfg, seed=1)
+    wm = TieredWeightManager(params["layers"], cfg.num_layers, hbm_percentage=0)
+    wm.prefetch(0)
+    wm.prefetch(1)
+    l0 = wm.get_layer(0)
+    np.testing.assert_array_equal(
+        np.asarray(l0["attn"]["wq"]), np.asarray(params["layers"]["attn"]["wq"][0])
+    )
+    l1 = wm.get_layer(1)  # was prefetched
+    np.testing.assert_array_equal(
+        np.asarray(l1["mlp"]["w1"]), np.asarray(params["layers"]["mlp"]["w1"][1])
+    )
+    wm.close()
