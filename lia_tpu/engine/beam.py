@@ -1,0 +1,100 @@
+"""Beam search over the preallocated KV cache.
+
+Parity surface: the reference's ``_beam_search`` (intel_extension_for_pytorch/
+transformers/generation/beam_search.py, 494 LoC) whose distinguishing feature is the
+beam-idx-aware KV reorder without copying past tokens (the iakv ``beam_idx`` table).
+Here the reorder is :func:`lia_tpu.ops.kv_cache.beam_reorder` — a batched gather XLA
+executes as an HBM-local shuffle inside the jitted step, so the decode kernel stays
+indirection-free.
+
+Classic beam search: beams expand over top-k(nb·V); finished beams are frozen (they
+can only emit pad at score 0 delta). Scores are summed token log-probs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lia_tpu.config import GenerationConfig, ModelConfig
+from lia_tpu.models import transformer as T
+from lia_tpu.ops import kv_cache as kvc
+
+NEG_INF = -1e30
+
+
+def init_beam_state(B: int, nb: int):
+    scores = jnp.full((B, nb), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    finished = jnp.zeros((B, nb), bool)
+    return scores, finished
+
+
+def beam_step(
+    cfg: ModelConfig,
+    gen: GenerationConfig,
+    params,
+    tokens: jnp.ndarray,  # [B*nb] current tokens to feed
+    positions: jnp.ndarray,  # [B*nb]
+    cache: kvc.KVCache,  # batch axis = B*nb
+    scores: jnp.ndarray,  # [B, nb]
+    finished: jnp.ndarray,  # [B, nb]
+) -> Tuple[jnp.ndarray, kvc.KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One expansion step. Returns (next_tokens, cache, scores, finished, beam_src)."""
+    nb = scores.shape[1]
+    B = scores.shape[0]
+    V = cfg.vocab_size
+    logits, cache = T.decode_step(cfg, params, tokens[:, None], positions[:, None], cache)
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, nb, V)
+
+    if gen.eos_token_id is not None:
+        # frozen beams may only emit pad with no score change
+        pad_only = jnp.full((V,), NEG_INF).at[gen.pad_token_id].set(0.0)
+        logprobs = jnp.where(finished[:, :, None], pad_only[None, None, :], logprobs)
+
+    total = scores[:, :, None] + logprobs  # [B, nb, V]
+    flat = total.reshape(B, nb * V)
+    new_scores, idx = jax.lax.top_k(flat, nb)  # [B, nb]
+    beam_src = (idx // V).astype(jnp.int32)  # which beam each winner came from
+    next_tok = (idx % V).astype(jnp.int32)
+
+    # reorder cache rows: global row = b*nb + beam_src
+    base = (jnp.arange(B, dtype=jnp.int32) * nb)[:, None]
+    flat_src = (base + beam_src).reshape(-1)
+    cache = kvc.beam_reorder(cache, flat_src)
+
+    if gen.eos_token_id is not None:
+        finished = jnp.take_along_axis(finished, beam_src, axis=1) | (
+            next_tok == gen.eos_token_id
+        )
+    return next_tok.reshape(-1), cache, new_scores, finished, flat_src
+
+
+def make_beam_decoder(cfg: ModelConfig, gen: GenerationConfig, num_steps: int):
+    """Jittable fused beam decode: scans `beam_step`, tracking token history."""
+
+    def fused(params, tok0, pos0, cache, scores0, finished0):
+        B_nb = tok0.shape[0]
+        # history[i] = i-th generated token; reordered with the beams every step
+        history0 = jnp.full((B_nb, num_steps + 1), gen.pad_token_id, jnp.int32)
+        history0 = history0.at[:, 0].set(tok0)
+
+        def step(carry, i):
+            tok, pos, cache, scores, finished, history = carry
+            ntok, cache, scores, finished, src = beam_step(
+                cfg, gen, params, tok, pos, cache, scores, finished
+            )
+            history = jnp.take(history, src, axis=0)  # reorder past tokens too
+            history = jax.lax.dynamic_update_slice(history, ntok[:, None], (0, i + 1))
+            return (ntok, pos + 1, cache, scores, finished, history), None
+
+        (tok, pos, cache, scores, finished, history), _ = jax.lax.scan(
+            step,
+            (tok0, pos0, cache, scores0, finished0, history0),
+            jnp.arange(num_steps),
+        )
+        return history, scores
+
+    return fused

@@ -150,7 +150,8 @@ class InferenceEngine:
         cfg = self.cfg
         tokens, mask = pack_prompts(prompts, gen.pad_token_id)
         B, S = tokens.shape
-        max_len = S + gen.max_new_tokens
+        # cache length rounded to 128 keeps the Pallas decode kernel's K tiles aligned
+        max_len = -(-(S + gen.max_new_tokens) // 128) * 128
         kv_dtype = jnp.dtype(cfg.dtype)
         lat = LatencyStats()
         rng = jax.random.PRNGKey(seed)
@@ -186,6 +187,9 @@ class InferenceEngine:
             seqs = np.concatenate([np.asarray(first)[:, None], rest], axis=1)
             return GenerationResult(seqs, lat)
 
+        if gen.num_beams > 1:
+            raise ValueError("use generate_beam() for num_beams > 1")
+
         decode = self._get_decode()
         out: List[np.ndarray] = [np.asarray(first)]
         tok = first
@@ -204,3 +208,98 @@ class InferenceEngine:
             if gen.eos_token_id is not None and bool(finished.all()):
                 break
         return GenerationResult(np.stack(out, axis=1), lat)
+
+    # -- beam search -----------------------------------------------------------
+
+    def generate_beam(
+        self,
+        prompts: Sequence[Sequence[int]],
+        gen: GenerationConfig,
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Beam-search generation (reference parity: _beam_search with iakv
+        beam_idx reorder). Returns the best beam per prompt."""
+        from lia_tpu.engine import beam as beam_mod
+
+        cfg = self.cfg
+        nb = gen.num_beams
+        expanded = [p for p in prompts for _ in range(nb)]
+        tokens, mask = pack_prompts(expanded, gen.pad_token_id)
+        Bnb, S = tokens.shape
+        B = Bnb // nb
+        max_len = -(-(S + gen.max_new_tokens) // 128) * 128
+        cache = kvc.init_cache(cfg, Bnb, max_len, jnp.dtype(cfg.dtype))
+        lat = LatencyStats()
+
+        t0 = time.perf_counter()
+        logits, cache = self._get_prefill()(
+            self.params, jnp.asarray(tokens), jnp.asarray(mask), cache
+        )
+        # first expansion from the prompt's last token
+        scores0, finished0 = beam_mod.init_beam_state(B, nb)
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(
+            B, nb, cfg.vocab_size
+        )
+        flat = (scores0[:, :, None] + logprobs).reshape(B, nb * cfg.vocab_size)
+        scores, idx = jax.lax.top_k(flat, nb)
+        beam_src = (idx // cfg.vocab_size).astype(jnp.int32)
+        first = (idx % cfg.vocab_size).astype(jnp.int32)
+        base = (jnp.arange(B, dtype=jnp.int32) * nb)[:, None]
+        cache = kvc.beam_reorder(cache, (base + beam_src).reshape(-1))
+        finished = (
+            (first == gen.eos_token_id)
+            if gen.eos_token_id is not None
+            else jnp.zeros((B, nb), bool)
+        )
+        first.block_until_ready()
+        lat.record(time.perf_counter() - t0)
+
+        key = ("beam", gen, gen.max_new_tokens - 1)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                beam_mod.make_beam_decoder(cfg, gen, gen.max_new_tokens - 1),
+                donate_argnums=(3,),
+            )
+        positions = jnp.asarray(np.asarray(mask).sum(1), jnp.int32)
+        t0 = time.perf_counter()
+        history, final_scores = self._compiled[key](
+            self.params, first.reshape(-1), positions, cache, scores, finished
+        )
+        history = np.asarray(history).reshape(B, nb, -1)
+        final_scores = np.asarray(final_scores)
+        dt = time.perf_counter() - t0
+        for _ in range(gen.max_new_tokens - 1):
+            lat.record(dt / max(gen.max_new_tokens - 1, 1))
+        best = final_scores.argmax(axis=1)
+        seqs = history[np.arange(B), best]
+        return GenerationResult(seqs, lat)
+
+    # -- scoring (accuracy harness) -------------------------------------------
+
+    def loglikelihood(
+        self,
+        contexts: Sequence[Sequence[int]],
+        continuations: Sequence[Sequence[int]],
+    ) -> np.ndarray:
+        """Sum log-prob of each continuation given its context (lm-eval
+        `loglikelihood`; reference: run_accuracy.py:543-575 BaseLM adapter).
+        Returns [B] float64."""
+        cfg = self.cfg
+        full = [list(c) + list(t) for c, t in zip(contexts, continuations)]
+        tokens, mask = pack_prompts(full, pad_id=1)
+        B, S = tokens.shape
+        key = ("score",)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(partial(T.score_logprobs, cfg))
+        cache = kvc.init_cache(cfg, B, S, jnp.dtype(cfg.dtype))
+        lp = np.asarray(
+            self._compiled[key](self.params, jnp.asarray(tokens), jnp.asarray(mask), cache)
+        )
+        out = np.zeros(B, np.float64)
+        for b, (c, t) in enumerate(zip(contexts, continuations)):
+            n = len(c) + len(t)
+            # tokens are right-aligned: continuation occupies the last len(t) slots
+            for j, tok in enumerate(t):
+                pos = S - len(t) + j  # slot of this continuation token
+                out[b] += lp[b, pos - 1, tok]
+        return out

@@ -95,7 +95,8 @@ def qkv_project(
     if cfg.rope:
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
-    return q, k, v
+    # K/V to head-major [B, N_kv, S, D] — the cache/attention layout
+    return q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
 
 def mlp(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -112,7 +113,7 @@ def decoder_layer_prefill(
     cfg: ModelConfig,
     lp: Params,
     x: jnp.ndarray,  # [B, S, H]
-    k_layer: jnp.ndarray,  # [B, S_max, N_kv, D]
+    k_layer: jnp.ndarray,  # [B, N_kv, S_max, D] (head-major)
     v_layer: jnp.ndarray,
     start: jnp.ndarray,  # scalar write offset into the cache
     attn_ctx: att.PrefillAttn,
@@ -149,7 +150,7 @@ def decoder_layer_decode(
     cfg: ModelConfig,
     lp: Params,
     x: jnp.ndarray,  # [B, 1, H]
-    k_layer: jnp.ndarray,  # [B, S_max, N_kv, D]
+    k_layer: jnp.ndarray,  # [B, N_kv, S_max, D] (head-major)
     v_layer: jnp.ndarray,
     start: jnp.ndarray,  # scalar write slot (== cache length before this token)
     attn_ctx: att.DecodeAttn,
@@ -222,14 +223,14 @@ def lm_head(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def prefill(
+def run_prefill_layers(
     cfg: ModelConfig,
     params: Params,
     tokens: jnp.ndarray,  # [B, S] left-padded to the bucket
     input_mask: jnp.ndarray,  # [B, S] bool
     cache: kvc.KVCache,
 ) -> Tuple[jnp.ndarray, kvc.KVCache]:
-    """Run the prompt; returns (last-token logits [B, V], updated cache)."""
+    """Embed + all decoder layers; returns (hidden [B, S, H], updated cache)."""
     positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1  # pad-aware
     x = embed(cfg, params, tokens, positions)
     ctx = att.prefill_attn_ctx(input_mask)
@@ -243,8 +244,40 @@ def prefill(
     x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
     cache = cache._replace(k=k_new, v=v_new)
     cache = kvc.advance(cache, input_mask, tokens.shape[1])
+    return x, cache
+
+
+def prefill(
+    cfg: ModelConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, S] left-padded to the bucket
+    input_mask: jnp.ndarray,  # [B, S] bool
+    cache: kvc.KVCache,
+) -> Tuple[jnp.ndarray, kvc.KVCache]:
+    """Run the prompt; returns (last-token logits [B, V], updated cache).
+
+    Only the last position goes through the lm_head — the `lm_head_generation`
+    parity trick (models/reference/models.py:424-431)."""
+    x, cache = run_prefill_layers(cfg, params, tokens, input_mask, cache)
     logits = lm_head(cfg, params, x[:, -1:, :])[:, 0, :]
     return logits, cache
+
+
+def score_logprobs(
+    cfg: ModelConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, S]
+    input_mask: jnp.ndarray,  # [B, S] bool
+    cache: kvc.KVCache,
+) -> jnp.ndarray:
+    """Per-position next-token log-probs for scoring (lm-eval loglikelihood path,
+    reference: single_instance/run_accuracy.py BaseLM adapter).
+
+    Returns [B, S, V] log-probs where entry [b, t] scores token[b, t+1].
+    """
+    x, _ = run_prefill_layers(cfg, params, tokens, input_mask, cache)
+    logits = lm_head(cfg, params, x)
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
 def decode_step(

@@ -8,9 +8,11 @@ These jnp versions are the golden models (fp32 softmax/accumulation) and the fal
 path; the Pallas flash/decode kernels in :mod:`lia_tpu.ops.pallas_attention` are tested
 against them (same strategy as the reference's test_masked_mha.py golden comparisons).
 
-Layout convention everywhere: hidden [B, S, H]; Q [B, S, N, D]; K/V [B, S_kv, N_kv, D].
-GQA is expressed by reshaping Q to [B, S, N_kv, G, D] so no KV head replication is ever
-materialized (MXU sees a batched matmul over N_kv groups).
+Layout convention everywhere: hidden [B, S, H]; Q [B, S, N, D]; K/V **head-major**
+[B, N_kv, S_kv, D] — the KV cache layout. Head-major keeps each head's [S, D] plane
+contiguous, which is what both the Pallas kernels (full-plane VMEM blocks) and the
+per-head DMA patterns want; GQA is expressed by reshaping Q to [B, S, N_kv, G, D] so
+no KV head replication is ever materialized.
 """
 
 from __future__ import annotations
@@ -25,14 +27,14 @@ NEG_INF = -1e30  # large-negative additive mask; avoids NaNs from true -inf rows
 
 def attend(
     q: jnp.ndarray,  # [B, Sq, N, D]
-    k: jnp.ndarray,  # [B, Skv, N_kv, D]
-    v: jnp.ndarray,  # [B, Skv, N_kv, D]
+    k: jnp.ndarray,  # [B, N_kv, Skv, D] (head-major)
+    v: jnp.ndarray,  # [B, N_kv, Skv, D]
     mask: jnp.ndarray,  # [B, Sq, Skv] bool — True = attend
     scale: float | None = None,
 ) -> jnp.ndarray:
     """General masked attention, fp32 softmax. Returns [B, Sq, N, D]."""
     B, Sq, N, D = q.shape
-    Nkv = k.shape[2]
+    Nkv = k.shape[1]
     G = N // Nkv
     scale = scale if scale is not None else D**-0.5
 
@@ -40,10 +42,10 @@ def attend(
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     # scores: [B, Nkv, G, Sq, Skv]
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, kf)
+    scores = jnp.einsum("bqhgd,bhkd->bhgqk", qg, kf)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
+    out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, vf)
     return out.reshape(B, Sq, N, D).astype(q.dtype)
 
 
@@ -103,8 +105,8 @@ def attend_prefill(
 
     S = q.shape[1]
     if dispatch.use_pallas():
-        bq = dispatch.pick_block(S, 256)
-        bk = dispatch.pick_block(S, 512)
+        bq = dispatch.pick_block(S, 256, minimum=16)
+        bk = dispatch.pick_block(S, 512, minimum=16)
         if bq is not None and bk is not None:
             from lia_tpu.ops.pallas_attention import flash_attention_prefill
 
@@ -121,9 +123,9 @@ def attend_decode(
     """Decode attention over the cache: Pallas kernel on TPU, jnp fallback."""
     from lia_tpu.ops import dispatch
 
-    S_max = k_cache.shape[1]
+    S_max = k_cache.shape[2]
     if dispatch.use_pallas():
-        bk = dispatch.pick_block(S_max, 512)
+        bk = dispatch.pick_block(S_max, 512, minimum=64)
         if bk is not None:
             from lia_tpu.ops.pallas_attention import decode_attention
 

@@ -6,7 +6,8 @@ TPU-native redesign of the reference's "iakv" cache: the 4-tuple
 layout ``[max_len, bs, heads, head_dim]`` consumed by the C++ decode kernel
 (csrc/cpu/aten/kernels/MaskedMultiHeadAttentionKrnl.cpp).
 
-Here the cache is a static-shape pytree ``[L, B, S_max, N_kv, D]`` updated in place via
+Here the cache is a static-shape pytree ``[L, B, N_kv, S_max, D]`` (head-major: each
+head's [S_max, D] plane is contiguous for kernel DMA) updated in place via
 ``lax.dynamic_update_slice`` (XLA aliases the buffer under jit donation, so updates are
 truly in-place on TPU), and beam indirection becomes a batched gather over the batch axis
 instead of the reference's ``beam_idx`` table — no copy of past tokens is ever made at
@@ -24,7 +25,7 @@ from lia_tpu.config import ModelConfig
 
 
 class KVCache(NamedTuple):
-    """Stacked per-layer KV cache. ``k``/``v``: [L, B, S_max, N_kv, D].
+    """Stacked per-layer KV cache. ``k``/``v``: [L, B, N_kv, S_max, D] (head-major).
 
     ``length`` is the number of valid positions written (same for every sequence —
     prompts are left-padded to a common bucket, so decode writes at a uniform slot).
@@ -40,7 +41,7 @@ class KVCache(NamedTuple):
 def init_cache(
     cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
@@ -50,19 +51,19 @@ def init_cache(
 
 
 def update_layer(
-    k_layer: jnp.ndarray,  # [B, S_max, N_kv, D]
+    k_layer: jnp.ndarray,  # [B, N_kv, S_max, D] (head-major)
     v_layer: jnp.ndarray,
-    new_k: jnp.ndarray,  # [B, S_new, N_kv, D]
+    new_k: jnp.ndarray,  # [B, N_kv, S_new, D] (head-major)
     new_v: jnp.ndarray,
     start: jnp.ndarray,  # scalar int32 — uniform write offset
 ):
     """Write new K/V at [start : start+S_new] for one layer."""
     zero = jnp.zeros((), jnp.int32)
     k_layer = jax.lax.dynamic_update_slice(
-        k_layer, new_k.astype(k_layer.dtype), (zero, start, zero, zero)
+        k_layer, new_k.astype(k_layer.dtype), (zero, zero, start, zero)
     )
     v_layer = jax.lax.dynamic_update_slice(
-        v_layer, new_v.astype(v_layer.dtype), (zero, start, zero, zero)
+        v_layer, new_v.astype(v_layer.dtype), (zero, zero, start, zero)
     )
     return k_layer, v_layer
 

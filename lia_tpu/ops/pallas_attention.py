@@ -8,12 +8,15 @@ Reference equivalents:
   ``reduce_head`` dot products :14-27, fused softmax, flash-style tiling).
 
 TPU-native design notes:
-- online-softmax (flash) tiling keeps the working set in VMEM; the MXU sees
-  [bq, D] x [D, bk] tiles;
-- GQA is handled by grouping the G query heads of one KV head into a single grid
-  cell (no KV replication, larger matmuls for the MXU);
-- padding/validity is a per-key boolean mask (the iakv slot mask) combined with the
-  causal condition inside the kernel;
+- K/V are **head-major** [B, N_kv, S, D] (the cache layout): each grid cell gets one
+  head's contiguous [S, D] plane as a full-array VMEM block, which satisfies
+  Mosaic's (8, 128)-or-full tiling rule for the last two dims and gives clean DMA;
+- online-softmax (flash) tiling over the key axis; causal tiles beyond the query
+  block's frontier are skipped entirely;
+- GQA groups the G query heads of one KV head into a single grid cell (no KV
+  replication; the MXU sees a [bq*G, D] x [D, bk] matmul);
+- padding/validity rides as one per-sequence scalar in SMEM (left-padded prompts
+  make validity a contiguous [start, length) range — no mask vector to DMA);
 - fp32 accumulation throughout; inputs may be bf16.
 
 Both kernels run in interpreter mode on CPU (tests) and compiled on TPU.
@@ -41,38 +44,42 @@ def _interpret_default() -> bool:
 
 
 def _flash_kernel(
-    mask_ref,  # [1, S] int8 — key validity (padding)
-    q_ref,  # [1, bq, 1, G, D]
-    k_ref,  # [1, S, 1, D]
-    v_ref,  # [1, S, 1, D]
-    o_ref,  # [1, bq, 1, G, D]
+    start_ref,  # [B, 1] int32 in SMEM — first valid (non-pad) slot per sequence
+    q_ref,  # [1, 1, bq, G*D]
+    k_ref,  # [1, 1, S, D]
+    v_ref,  # [1, 1, S, D]
+    o_ref,  # [1, 1, bq, G*D]
     *,
     scale: float,
     bq: int,
     bk: int,
     seq_len: int,
+    G: int,
 ):
     i = pl.program_id(2)
-    G = q_ref.shape[3]
-    D = q_ref.shape[4]
-    q = q_ref[0, :, 0].astype(jnp.float32).reshape(bq * G, D) * scale  # [bq*G, D]
+    D = k_ref.shape[3]
+    start = start_ref[pl.program_id(0), 0]
+    q = q_ref[0, 0].astype(jnp.float32).reshape(bq * G, D) * scale  # [bq*G, D]
 
     m0 = jnp.full((bq * G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq * G, 1), jnp.float32)
     acc0 = jnp.zeros((bq * G, D), jnp.float32)
 
-    q_pos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, G, bk), 0).reshape(bq * G, bk)
+    q_pos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, G, bk), 0).reshape(
+        bq * G, bk
+    )
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)  # [bk, D]
-        v = v_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)  # [bk, D]
+        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq*G, bk]
         k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq * G, bk), 1)
-        valid = mask_ref[0, pl.ds(j * bk, bk)].astype(jnp.bool_)[None, :]
-        allow = (q_pos >= k_pos) & valid
+        # left-padding => validity is contiguous [start, ·): a scalar compare, no
+        # mask vector to DMA (and no lane-misaligned loads for Mosaic to reject)
+        allow = (q_pos >= k_pos) & (k_pos >= start)
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -87,23 +94,24 @@ def _flash_kernel(
     num_kv = pl.cdiv(jnp.minimum((i + 1) * bq, seq_len), bk)
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0, :, 0] = out.reshape(bq, G, D).astype(o_ref.dtype)
+    o_ref[0, 0] = out.reshape(bq, G * D).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def flash_attention_prefill(
     q: jnp.ndarray,  # [B, S, N, D]
-    k: jnp.ndarray,  # [B, S, N_kv, D]
-    v: jnp.ndarray,  # [B, S, N_kv, D]
-    input_mask: jnp.ndarray,  # [B, S] bool — True at real tokens
+    k: jnp.ndarray,  # [B, N_kv, S, D] (head-major)
+    v: jnp.ndarray,  # [B, N_kv, S, D]
+    input_mask: jnp.ndarray,  # [B, S] bool — True at real tokens (LEFT-padded:
+    # validity must be contiguous [pad_len, S); arbitrary masks use the jnp path)
     scale: float | None = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 256,
+    block_k: int = 512,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Causal flash attention over a (left-padded) prompt. Returns [B, S, N, D]."""
     B, S, N, D = q.shape
-    Nkv = k.shape[2]
+    Nkv = k.shape[1]
     G = N // Nkv
     scale = scale if scale is not None else D**-0.5
     interpret = _interpret_default() if interpret is None else interpret
@@ -111,22 +119,24 @@ def flash_attention_prefill(
     bk = min(block_k, S)
     assert S % bq == 0 and S % bk == 0, f"S={S} must divide block sizes ({bq},{bk})"
 
-    qg = q.reshape(B, S, Nkv, G, D)
+    # head-major grouped queries: [B, Nkv, S, G*D]
+    qg = q.reshape(B, S, Nkv, G * D).transpose(0, 2, 1, 3)
+    starts = (S - jnp.sum(input_mask.astype(jnp.int32), axis=1))[:, None]  # [B, 1]
     grid = (B, Nkv, S // bq)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, bq=bq, bk=bk, seq_len=S),
+        functools.partial(_flash_kernel, scale=scale, bq=bq, bk=bk, seq_len=S, G=G),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, S), lambda b, h, i: (b, 0)),
-            pl.BlockSpec((1, bq, 1, G, D), lambda b, h, i: (b, i, h, 0, 0)),
-            pl.BlockSpec((1, S, 1, D), lambda b, h, i: (b, 0, h, 0)),
-            pl.BlockSpec((1, S, 1, D), lambda b, h, i: (b, 0, h, 0)),
+            pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, bq, G * D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, G, D), lambda b, h, i: (b, i, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, S, Nkv, G, D), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, bq, G * D), lambda b, h, i: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, S, G * D), q.dtype),
         interpret=interpret,
-    )(input_mask.astype(jnp.int8), qg, k, v)
-    return out.reshape(B, S, N, D)
+    )(starts, qg, k, v)
+    return out.transpose(0, 2, 1, 3).reshape(B, S, N, D)
 
 
 # ---------------------------------------------------------------------------
@@ -136,19 +146,20 @@ def flash_attention_prefill(
 
 def _decode_kernel(
     len_ref,  # [1, 1] int32 in SMEM — valid cache length
-    mask_ref,  # [1, S_max] int8 — slot occupancy
-    q_ref,  # [1, 1, G, D]
-    k_ref,  # [1, S_max, 1, D]
-    v_ref,  # [1, S_max, 1, D]
-    o_ref,  # [1, 1, G, D]
+    start_ref,  # [B, 1] int32 in SMEM — first valid slot per sequence
+    q_ref,  # [1, 1, 1, G*D]
+    k_ref,  # [1, 1, S_max, D]
+    v_ref,  # [1, 1, S_max, D]
+    o_ref,  # [1, 1, 1, G*D]
     *,
     scale: float,
     bk: int,
+    G: int,
 ):
-    G, D = q_ref.shape[2], q_ref.shape[3]
-    S_max = k_ref.shape[1]
+    D = k_ref.shape[3]
     length = len_ref[0, 0]
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [G, D]
+    start = start_ref[pl.program_id(0), 0]
+    q = q_ref[0, 0].astype(jnp.float32).reshape(G, D) * scale  # [G, D]
 
     m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((G, 1), jnp.float32)
@@ -156,14 +167,13 @@ def _decode_kernel(
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [G, bk]
         pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (G, bk), 1)
-        valid = mask_ref[0, pl.ds(j * bk, bk)].astype(jnp.bool_)[None, :]
-        allow = (pos < length) & valid
+        allow = (pos < length) & (pos >= start)
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -176,44 +186,47 @@ def _decode_kernel(
 
     num_kv = pl.cdiv(length, bk)  # only tiles that contain valid slots
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(1, G * D).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
 def decode_attention(
     q: jnp.ndarray,  # [B, 1, N, D] — single decode token
-    k_cache: jnp.ndarray,  # [B, S_max, N_kv, D]
-    v_cache: jnp.ndarray,  # [B, S_max, N_kv, D]
-    slot_mask: jnp.ndarray,  # [B, S_max] bool — occupied slots (incl. current)
+    k_cache: jnp.ndarray,  # [B, N_kv, S_max, D] (head-major)
+    v_cache: jnp.ndarray,  # [B, N_kv, S_max, D]
+    slot_mask: jnp.ndarray,  # [B, S_max] bool — occupied slots (incl. current;
+    # LEFT-padded: validity contiguous [pad_len, length))
     length: jnp.ndarray,  # scalar int32 — valid length (incl. current token)
     scale: float | None = None,
-    block_k: int = 256,
+    block_k: int = 512,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Decode attention over the ring cache. Returns [B, 1, N, D]."""
     B, _, N, D = q.shape
-    S_max, Nkv = k_cache.shape[1], k_cache.shape[2]
+    Nkv, S_max = k_cache.shape[1], k_cache.shape[2]
     G = N // Nkv
     scale = scale if scale is not None else D**-0.5
     interpret = _interpret_default() if interpret is None else interpret
     bk = min(block_k, S_max)
     assert S_max % bk == 0, f"S_max={S_max} must divide block_k={bk}"
 
-    qg = q.reshape(B, Nkv, G, D)
+    qg = q.reshape(B, Nkv, 1, G * D)
+    # first valid slot per sequence: length valid slots minus count of real tokens
+    starts = (length - jnp.sum(slot_mask.astype(jnp.int32), axis=1))[:, None]
     lengths = jnp.broadcast_to(length.astype(jnp.int32), (1, 1))
     grid = (B, Nkv)
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, scale=scale, bk=bk),
+        functools.partial(_decode_kernel, scale=scale, bk=bk, G=G),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S_max), lambda b, h: (b, 0)),
-            pl.BlockSpec((1, 1, G, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, S_max, 1, D), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, S_max, 1, D), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, G * D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S_max, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S_max, D), lambda b, h: (b, h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h: (b, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Nkv, G, D), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, 1, G * D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
         interpret=interpret,
-    )(lengths, slot_mask.astype(jnp.int8), qg, k_cache, v_cache)
-    return out.reshape(B, 1, N, D)
+    )(lengths, starts.astype(jnp.int32), qg, k_cache, v_cache)
+    return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)

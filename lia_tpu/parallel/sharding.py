@@ -93,10 +93,10 @@ def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
 
 
 def cache_pspecs() -> KVCache:
-    """KV cache: [L, B, S, N_kv, D] — batch on data, heads on model."""
+    """KV cache: [L, B, N_kv, S, D] head-major — batch on data, heads on model."""
     return KVCache(
-        k=P(None, "data", None, "model", None),
-        v=P(None, "data", None, "model", None),
+        k=P(None, "data", "model", None, None),
+        v=P(None, "data", "model", None, None),
         length=P(),
         mask=P("data", None),
     )

@@ -29,7 +29,7 @@ from lia_tpu.utils.metrics import format_summary
 
 
 def build_argparser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="LIA-TPU inference benchmark")
+    p = argparse.ArgumentParser(description="LIA-TPU inference benchmark", allow_abbrev=False)
     p.add_argument("-m", "--model", default="opt-1.3b", help="model name (see registry)")
     p.add_argument("--checkpoint", default=None, help="local HF safetensors dir")
     p.add_argument("--dummy-weights", action="store_true", help="random weights (175B analog)")
@@ -68,6 +68,9 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     cfg = get_config(args.model).replace(dtype=args.dtype)
+    if not args.benchmark:
+        print(f"[lia-tpu] {cfg.name}: params≈{cfg.num_params/1e9:.2f}B; pass --benchmark to run")
+        return 0
     runtime = RuntimeConfig(
         prefill_policy=args.prefill_policy,
         decode_policy=args.decoding_policy,

@@ -1,0 +1,53 @@
+"""Beam search + loglikelihood scoring tests (reference parity: _beam_search and the
+run_accuracy.py BaseLM loglikelihood adapter)."""
+
+import numpy as np
+import pytest
+
+from lia_tpu.config import GenerationConfig
+from lia_tpu.engine.engine import InferenceEngine
+from lia_tpu.models.registry import get_config
+from lia_tpu.utils.checkpoint import init_dummy_params
+
+
+@pytest.fixture(scope="module")
+def eng():
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    return InferenceEngine(cfg, init_dummy_params(cfg, seed=11, scale=0.02))
+
+
+def test_beam1_equals_greedy(eng):
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    gen = GenerationConfig(max_new_tokens=6)
+    greedy = eng.generate(prompts, gen)
+    beam = eng.generate_beam(prompts, gen.replace(num_beams=1))
+    np.testing.assert_array_equal(beam.sequences, greedy.sequences)
+
+
+def test_beam_scores_at_least_greedy(eng):
+    """The best beam's loglikelihood must be >= the greedy sequence's."""
+    prompts = [[5, 9, 23, 41]]
+    gen = GenerationConfig(max_new_tokens=5)
+    greedy = eng.generate(prompts, gen)
+    beam = eng.generate_beam(prompts, gen.replace(num_beams=4))
+    ll_greedy = eng.loglikelihood(prompts, [list(greedy.sequences[0])])
+    ll_beam = eng.loglikelihood(prompts, [list(beam.sequences[0])])
+    assert ll_beam[0] >= ll_greedy[0] - 1e-4, (ll_beam, ll_greedy)
+
+
+def test_loglikelihood_prefers_greedy_over_random(eng):
+    prompts = [[5, 9, 23, 41]]
+    gen = GenerationConfig(max_new_tokens=4)
+    greedy = eng.generate(prompts, gen)
+    ll = eng.loglikelihood(prompts * 2, [list(greedy.sequences[0]), [444, 3, 77, 402]])
+    assert ll[0] > ll[1]
+
+
+def test_loglikelihood_additivity(eng):
+    """ll(context, a+b) == ll(context, a) + ll(context+a, b)."""
+    ctx = [5, 9, 23]
+    a, b = [41, 100], [7]
+    ll_ab = eng.loglikelihood([ctx], [a + b])[0]
+    ll_a = eng.loglikelihood([ctx], [a])[0]
+    ll_b = eng.loglikelihood([ctx + a], [b])[0]
+    np.testing.assert_allclose(ll_ab, ll_a + ll_b, rtol=1e-4, atol=1e-4)

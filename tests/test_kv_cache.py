@@ -16,11 +16,11 @@ def _cfg():
 def test_update_and_advance():
     cfg = _cfg()
     cache = kvc.init_cache(cfg, batch=2, max_len=16, dtype=jnp.float32)
-    new_k = jnp.ones((2, 4, cfg.num_kv_heads, cfg.head_dim))
+    new_k = jnp.ones((2, cfg.num_kv_heads, 4, cfg.head_dim))
     new_v = 2 * new_k
     k, v = kvc.update_layer(cache.k[0], cache.v[0], new_k, new_v, cache.length)
-    assert float(k[:, :4].min()) == 1.0 and float(k[:, 4:].max()) == 0.0
-    assert float(v[:, :4].min()) == 2.0
+    assert float(k[:, :, :4].min()) == 1.0 and float(k[:, :, 4:].max()) == 0.0
+    assert float(v[:, :, :4].min()) == 2.0
 
     mask = jnp.array([[True] * 4, [False, True, True, True]])
     cache = kvc.advance(cache, mask, 4)
@@ -33,10 +33,10 @@ def test_offset_update():
     cfg = _cfg()
     cache = kvc.init_cache(cfg, batch=1, max_len=8, dtype=jnp.float32)
     cache = cache._replace(length=jnp.asarray(3, jnp.int32))
-    new_k = jnp.full((1, 1, cfg.num_kv_heads, cfg.head_dim), 7.0)
+    new_k = jnp.full((1, cfg.num_kv_heads, 1, cfg.head_dim), 7.0)
     k, _ = kvc.update_layer(cache.k[0], cache.v[0], new_k, new_k, cache.length)
-    assert float(k[0, 3].min()) == 7.0
-    assert float(k[0, :3].max()) == 0.0 and float(k[0, 4:].max()) == 0.0
+    assert float(k[0, :, 3].min()) == 7.0
+    assert float(k[0, :, :3].max()) == 0.0 and float(k[0, :, 4:].max()) == 0.0
 
 
 def test_beam_reorder_is_gather():

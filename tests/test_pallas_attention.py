@@ -15,9 +15,10 @@ from lia_tpu.ops.pallas_attention import decode_attention, flash_attention_prefi
 
 
 def make_qkv(rng, B, S, N, Nkv, D, dtype):
+    """q [B,S,N,D]; k/v head-major [B,Nkv,S,D] (the cache layout)."""
     q = jnp.asarray(rng.standard_normal((B, S, N, D)), dtype)
-    k = jnp.asarray(rng.standard_normal((B, S, Nkv, D)), dtype)
-    v = jnp.asarray(rng.standard_normal((B, S, Nkv, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, Nkv, S, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, Nkv, S, D)), dtype)
     return q, k, v
 
 
@@ -58,8 +59,8 @@ def test_decode_matches_golden(rng, length, pads, gqa):
     B, S_max, N, D = 2, 16, 4, 16
     Nkv = 2 if gqa else N
     q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, S_max, Nkv, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, S_max, Nkv, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Nkv, S_max, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Nkv, S_max, D)), jnp.float32)
     slot_mask = np.zeros((B, S_max), bool)
     for b, p in enumerate(pads):
         slot_mask[b, p:length] = True  # left-padded: pads invalid, then real slots
@@ -75,11 +76,11 @@ def test_decode_ignores_stale_slots(rng):
     """Slots beyond `length` must not leak even if slot_mask is stale there."""
     B, S_max, N, D = 1, 16, 2, 8
     q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, S_max, N, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, S_max, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, S_max, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, S_max, D)), jnp.float32)
     mask_all = jnp.ones((B, S_max), bool)
     out_a = decode_attention(q, k, v, mask_all, jnp.asarray(6, jnp.int32), block_k=8, interpret=True)
-    k2 = k.at[:, 8:].set(99.0)  # poison the tail
-    v2 = v.at[:, 8:].set(-99.0)
+    k2 = k.at[:, :, 8:].set(99.0)  # poison the tail
+    v2 = v.at[:, :, 8:].set(-99.0)
     out_b = decode_attention(q, k2, v2, mask_all, jnp.asarray(6, jnp.int32), block_k=8, interpret=True)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6, atol=1e-6)
