@@ -85,7 +85,13 @@ class InferenceEngine:
         self.runtime = runtime
         self._compiled: Dict[Any, Any] = {}
         self.scheduler = None
-        if runtime.hbm_percentage < 100 or runtime.stream_weights:
+        needs_scheduler = (
+            runtime.hbm_percentage < 100
+            or runtime.stream_weights
+            or runtime.prefill_policy != 3
+            or runtime.decode_policy != 3
+        )
+        if needs_scheduler:
             from lia_tpu.runtime.scheduler import StreamingScheduler
 
             self.scheduler = StreamingScheduler(cfg, runtime, params_host)

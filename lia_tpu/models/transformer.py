@@ -109,27 +109,58 @@ def mlp(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
     return linear(h, m["w2"], m.get("b2"))
 
 
-def decoder_layer_prefill(
-    cfg: ModelConfig,
-    lp: Params,
-    x: jnp.ndarray,  # [B, S, H]
-    k_layer: jnp.ndarray,  # [B, N_kv, S_max, D] (head-major)
-    v_layer: jnp.ndarray,
-    start: jnp.ndarray,  # scalar write offset into the cache
-    attn_ctx: att.PrefillAttn,
-    positions: jnp.ndarray,  # [B, S]
-):
-    """One decoder layer over a full (bucketed) prompt chunk.
+# The layer is split at the attention boundary into composable pieces so the
+# policy scheduler can place each operator group independently (the TPU analog of
+# the reference's per-operator policy dispatch inside OPTDecoderLayer_forward,
+# models/reference/modules/decoder.py:172-335: gpu_ln/gpu_linear vs AMX ops).
+# attn_in → (attention core: cache update + attend) → attn_post_mlp.
 
-    Parity: policy-dispatching layer forward
-    (models/reference/modules/decoder.py:172-335) collapsed to the pure-TPU path;
-    placement policies are handled a level up by the scheduler, not inside the layer.
-    """
-    residual = x
+
+def attn_in(cfg: ModelConfig, lp: Params, x: jnp.ndarray, positions: jnp.ndarray):
+    """LN1 + QKV projection (+RoPE). Returns (q, k, v) with head-major k/v."""
     h = norm(cfg, lp["ln1"], x) if cfg.pre_norm else x
-    q, k, v = qkv_project(cfg, lp, h, positions)
+    return qkv_project(cfg, lp, h, positions)
+
+
+def attn_core_prefill(
+    cfg: ModelConfig,
+    q: jnp.ndarray,  # [B, S, N, D]
+    k: jnp.ndarray,  # [B, N_kv, S, D] fresh keys (head-major)
+    v: jnp.ndarray,
+    k_layer: jnp.ndarray,  # [B, N_kv, S_max, D] cache plane
+    v_layer: jnp.ndarray,
+    start: jnp.ndarray,
+    attn_ctx: att.PrefillAttn,
+):
+    """Prompt-chunk attention over the fresh chunk + cache write-back."""
     attn_out = att.attend_prefill(q, k, v, attn_ctx)
-    B, S, _, _ = attn_out.shape
+    k_layer, v_layer = kvc.update_layer(k_layer, v_layer, k, v, start)
+    return attn_out, k_layer, v_layer
+
+
+def attn_core_decode(
+    cfg: ModelConfig,
+    q: jnp.ndarray,  # [B, 1, N, D]
+    k: jnp.ndarray,  # [B, N_kv, 1, D] fresh key (head-major)
+    v: jnp.ndarray,
+    k_layer: jnp.ndarray,
+    v_layer: jnp.ndarray,
+    start: jnp.ndarray,
+    attn_ctx: att.DecodeAttn,
+):
+    """Decode attention over the full cache (update then attend).
+
+    This is the piece policies 1/2/4 run on the host over host-resident KV
+    (reference: attentions.py:421-424 ships q/k/v to CPU, KV never leaves it).
+    """
+    k_layer, v_layer = kvc.update_layer(k_layer, v_layer, k, v, start)
+    attn_out = att.attend_decode(q, k_layer, v_layer, attn_ctx)
+    return attn_out, k_layer, v_layer
+
+
+def attn_post_mlp(cfg: ModelConfig, lp: Params, residual: jnp.ndarray, attn_out):
+    """Out-proj + residual + LN2 + MLP + residual (post-attention operator group)."""
+    B, S = attn_out.shape[:2]
     h = linear(attn_out.reshape(B, S, -1), lp["attn"]["wo"], lp["attn"].get("bo"))
     x = residual + h
     if not cfg.pre_norm:
@@ -141,8 +172,25 @@ def decoder_layer_prefill(
     x = residual + h
     if not cfg.pre_norm:
         x = norm(cfg, lp["ln2"], x)
+    return x
 
-    k_layer, v_layer = kvc.update_layer(k_layer, v_layer, k, v, start)
+
+def decoder_layer_prefill(
+    cfg: ModelConfig,
+    lp: Params,
+    x: jnp.ndarray,  # [B, S, H]
+    k_layer: jnp.ndarray,  # [B, N_kv, S_max, D] (head-major)
+    v_layer: jnp.ndarray,
+    start: jnp.ndarray,  # scalar write offset into the cache
+    attn_ctx: att.PrefillAttn,
+    positions: jnp.ndarray,  # [B, S]
+):
+    """One decoder layer over a full (bucketed) prompt chunk (all-TPU composition)."""
+    q, k, v = attn_in(cfg, lp, x, positions)
+    attn_out, k_layer, v_layer = attn_core_prefill(
+        cfg, q, k, v, k_layer, v_layer, start, attn_ctx
+    )
+    x = attn_post_mlp(cfg, lp, x, attn_out)
     return x, k_layer, v_layer
 
 
@@ -156,28 +204,16 @@ def decoder_layer_decode(
     attn_ctx: att.DecodeAttn,
     positions: jnp.ndarray,  # [B, 1]
 ):
-    """One decoder layer for a single decode step, attending over the full cache.
+    """One decoder layer for a single decode step (all-TPU composition).
 
     Parity: the decode path of _OPTAttention_forward + masked_multihead_self_attention
     (models/reference/modules/attentions.py:312-557; MaskedMultiHeadAttentionKrnl.cpp).
     """
-    residual = x
-    h = norm(cfg, lp["ln1"], x) if cfg.pre_norm else x
-    q, k, v = qkv_project(cfg, lp, h, positions)
-    k_layer, v_layer = kvc.update_layer(k_layer, v_layer, k, v, start)
-    attn_out = att.attend_decode(q, k_layer, v_layer, attn_ctx)
-    B = x.shape[0]
-    h = linear(attn_out.reshape(B, 1, -1), lp["attn"]["wo"], lp["attn"].get("bo"))
-    x = residual + h
-    if not cfg.pre_norm:
-        x = norm(cfg, lp["ln1"], x)
-
-    residual = x
-    h = norm(cfg, lp["ln2"], x) if cfg.pre_norm else x
-    h = mlp(cfg, lp, h)
-    x = residual + h
-    if not cfg.pre_norm:
-        x = norm(cfg, lp["ln2"], x)
+    q, k, v = attn_in(cfg, lp, x, positions)
+    attn_out, k_layer, v_layer = attn_core_decode(
+        cfg, q, k, v, k_layer, v_layer, start, attn_ctx
+    )
+    x = attn_post_mlp(cfg, lp, x, attn_out)
     return x, k_layer, v_layer
 
 

@@ -10,17 +10,36 @@ tiling constraints — otherwise fall back to the jnp golden path. The
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Optional
 
 import jax
 
 _FORCE: Optional[bool] = None  # None = auto (pallas on TPU, jnp elsewhere)
 _INTERPRET: Optional[bool] = None  # None = auto (interpret off TPU)
+_tls = threading.local()  # per-trace override (host-execution tracing)
 
 
 def set_use_pallas(v: Optional[bool]) -> None:
     global _FORCE
     _FORCE = v
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    """Disable Pallas for code traced inside this context.
+
+    The hybrid scheduler traces host-side (XLA:CPU) functions through the same
+    model code; jit caches the host trace per input placement, so disabling
+    Pallas at first-trace time is sufficient and thread-safe.
+    """
+    prev = getattr(_tls, "force_off", False)
+    _tls.force_off = True
+    try:
+        yield
+    finally:
+        _tls.force_off = prev
 
 
 def set_interpret(v: Optional[bool]) -> None:
@@ -30,6 +49,8 @@ def set_interpret(v: Optional[bool]) -> None:
 
 
 def use_pallas() -> bool:
+    if getattr(_tls, "force_off", False):
+        return False
     if _FORCE is not None:
         return _FORCE
     return jax.default_backend() == "tpu"

@@ -1,29 +1,33 @@
-"""Streaming execution scheduler — the LIA `OPTDecoder.forward` analog.
+"""Streaming + hybrid-placement execution scheduler — the LIA core analog.
 
 Re-creates the reference's layer-by-layer pipeline (lia/modeling_opt.py:1021-1586)
 the TPU way. The reference drives 5 CUDA streams from Python (stream setup :1208-1212,
-prefill pipeline :1268-1365, decode pipelines :1379-1543); here the same overlap falls
-out of JAX's async dispatch discipline:
+prefill pipeline :1268-1365, decode pipelines :1379-1543); here the device pair is
+(TPU chip ↔ TPU-VM host via the XLA:CPU backend), and the same overlap falls out of
+JAX's async dispatch discipline:
 
 - the **resident prefix** (first ``hbm_percentage``% of layers, policy-3 analog,
-  :1175-1184) executes as ONE jitted ``lax.scan`` segment — full XLA fusion, zero
-  per-layer dispatch;
-- each **streamed layer** runs through a single jitted per-layer function (traced
-  once, reused for every streamed layer — the layer index is a traced scalar), while
-  the :class:`TieredWeightManager` prefetches layer ``i+1``'s weights host→HBM on a
-  side thread (double-buffer analog of load_layer/compute overlap :1306-1328);
-- ``--no-overlap`` (:1173,1348-1365) serializes by blocking on each transfer.
-
-Minibatch-split prefill (``--num-minibatch``, :1284-1346) slices the batch so weight
-transfer of layer ``i+1`` overlaps several smaller compute chunks of layer ``i``,
-which also caps prefill activation memory.
+  :1175-1184) executes as ONE jitted ``lax.scan`` segment over its own HBM KV
+  cache — full XLA fusion, zero per-layer dispatch;
+- **streamed layers** run per-layer jitted functions (traced once; the layer index
+  is a traced scalar) while :class:`TieredWeightManager` prefetches layer ``i+1``
+  host→HBM on a side thread (the load_layer double buffer, :1306-1328);
+- **policy placements** (:mod:`lia_tpu.runtime.policy`) split the layer at the
+  attention boundary: policy 1 runs whole layers on the host; policies 2/4 run
+  linears on TPU and ship q/k/v to host attention over host-resident KV
+  (attentions.py:421-424 parity — the KV cache never leaves host DRAM); policy 0
+  keeps attention on TPU but stores KV to the host (prefill) / streams it back in
+  (decode);
+- ``--no-overlap`` (:1173,1348-1365) serializes by blocking on each transfer;
+- minibatch-split prefill (``--num-minibatch``, :1284-1346) slices the batch so
+  weight transfer of layer ``i+1`` overlaps several compute chunks of layer ``i``.
 """
 
 from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,170 +35,374 @@ import numpy as np
 
 from lia_tpu.config import GenerationConfig, ModelConfig, RuntimeConfig
 from lia_tpu.models import transformer as T
+from lia_tpu.ops import dispatch
 from lia_tpu.ops import kv_cache as kvc
 from lia_tpu.ops import sampling
-from lia_tpu.runtime.weight_manager import TieredWeightManager
+from lia_tpu.runtime import policy as pol
+from lia_tpu.runtime.weight_manager import TieredWeightManager, slice_layer
 from lia_tpu.utils.metrics import LatencyStats
 
 
+def _cpu_device():
+    return jax.devices("cpu")[0]
+
+
 class StreamingScheduler:
-    """Drives prefill/decode with tiered weights (resident scan + streamed loop)."""
+    """Drives prefill/decode with tiered weights and hybrid placements."""
 
     def __init__(self, cfg: ModelConfig, runtime: RuntimeConfig, params_host: Any):
         self.cfg = cfg
         self.runtime = runtime
-        hbm_pct = 0 if runtime.stream_weights and runtime.hbm_percentage >= 100 else runtime.hbm_percentage
+        self.prefill_plan, self.decode_plan = pol.phase_plans(runtime)
+        hbm_pct = (
+            0
+            if runtime.stream_weights and runtime.hbm_percentage >= 100
+            else runtime.hbm_percentage
+        )
         self.wm = TieredWeightManager(
             params_host["layers"], cfg.num_layers, hbm_pct, overlap=runtime.overlap
         )
-        # non-layer params (embeddings/norms/head) are small — always resident
+        self.layers_host = params_host["layers"]
+        # non-layer params (embeddings/norms/head) are small — always TPU-resident
         self.top = jax.device_put({k: v for k, v in params_host.items() if k != "layers"})
         self._compiled: Dict[Any, Any] = {}
+        self.cpu = _cpu_device()
+        # streamed-segment KV lives on host DRAM when either phase plan says so
+        # (a prefill that stores host KV forces decode to read it there)
+        self.kv_host = (
+            self.prefill_plan.kv == "host" or self.decode_plan.kv == "host"
+        ) and self.wm.n_resident < cfg.num_layers
 
-    # `resident_params` keeps the engine API uniform (used for reporting only)
+    # `resident_params` keeps the engine API uniform (reporting only)
     @property
     def resident_params(self):
         return self.top
 
-    # -- jitted building blocks ----------------------------------------------
+    # -- jitted building blocks (TPU) ----------------------------------------
+
+    def _jit(self, key, fn, **kw):
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(fn, **kw)
+        return self._compiled[key]
 
     def _embed_fn(self):
-        if "embed" not in self._compiled:
-            cfg = self.cfg
+        cfg = self.cfg
 
-            def f(top, tokens, input_mask):
-                from lia_tpu.ops import attention as att
+        def f(top, tokens, input_mask):
+            from lia_tpu.ops import attention as att
 
-                positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1
-                x = T.embed(cfg, top, tokens, positions)
-                return x, positions, att.prefill_attn_ctx(input_mask)
+            positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1
+            x = T.embed(cfg, top, tokens, positions)
+            return x, positions, att.prefill_attn_ctx(input_mask)
 
-            self._compiled["embed"] = jax.jit(f)
-        return self._compiled["embed"]
+        return self._jit("embed", f)
+
+    def _dec_embed_fn(self):
+        cfg = self.cfg
+
+        def f(top, tokens, positions, slot_mask, length):
+            from lia_tpu.ops import attention as att
+
+            x = T.embed(cfg, top, tokens, positions)
+            sm = jax.lax.dynamic_update_slice(
+                slot_mask, jnp.ones((tokens.shape[0], 1), jnp.bool_), (0, length)
+            )
+            return x, att.decode_attn_ctx(sm, length + 1)
+
+        return self._jit("dec_embed", f)
 
     def _head_fn(self):
-        if "head" not in self._compiled:
-            cfg = self.cfg
-            self._compiled["head"] = jax.jit(
-                lambda top, x: T.lm_head(cfg, top, x[:, -1:, :])[:, 0, :]
-            )
-        return self._compiled["head"]
+        cfg = self.cfg
+        return self._jit("head", lambda top, x: T.lm_head(cfg, top, x[:, -1:, :])[:, 0, :])
 
-    def _segment_fn(self, phase: str, lo: int, hi: int):
-        """Jitted scan over the resident layer range [lo, hi) on the full cache."""
-        key = ("seg", phase, lo, hi)
-        if key not in self._compiled:
-            cfg = self.cfg
-            layer = T.decoder_layer_prefill if phase == "prefill" else T.decoder_layer_decode
+    def _segment_fn(self, phase: str, n_layers: int):
+        """Jitted scan over a stacked layer segment with its own (local) cache."""
+        cfg = self.cfg
+        layer = T.decoder_layer_prefill if phase == "prefill" else T.decoder_layer_decode
 
-            def f(seg_params, x, cache, mask, positions):
-                start = cache.length
+        def f(seg_params, x, cache, ctx, positions):
+            start = cache.length
 
-                def body(h, per_layer):
-                    lp, kl, vl = per_layer
-                    h, kl, vl = layer(cfg, lp, h, kl, vl, start, mask, positions)
-                    return h, (kl, vl)
+            def body(h, per_layer):
+                lp, kl, vl = per_layer
+                h, kl, vl = layer(cfg, lp, h, kl, vl, start, ctx, positions)
+                return h, (kl, vl)
 
-                x, (k_new, v_new) = jax.lax.scan(
-                    body, x, (seg_params, cache.k[lo:hi], cache.v[lo:hi])
-                )
-                cache = cache._replace(
-                    k=cache.k.at[lo:hi].set(k_new), v=cache.v.at[lo:hi].set(v_new)
-                )
-                return x, cache
+            x, (k_new, v_new) = jax.lax.scan(body, x, (seg_params, cache.k, cache.v))
+            return x, cache._replace(k=k_new, v=v_new)
 
-            self._compiled[key] = jax.jit(f, donate_argnums=(2,))
-        return self._compiled[key]
+        return self._jit(("seg", phase, n_layers), f, donate_argnums=(2,))
 
     def _layer_fn(self, phase: str):
-        """Jitted single streamed layer; layer index is a traced scalar (one compile
-        serves every streamed layer — the analog of reusing one gpu_layer buffer)."""
-        key = ("layer", phase)
+        """Streamed layer, all-TPU, cache plane selected by a traced local index."""
+        cfg = self.cfg
+        layer = T.decoder_layer_prefill if phase == "prefill" else T.decoder_layer_decode
+
+        def f(lp, x, cache, idx, ctx, positions):
+            start = cache.length
+            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
+            x, kl, vl = layer(cfg, lp, x, kl, vl, start, ctx, positions)
+            cache = cache._replace(
+                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
+                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+            )
+            return x, cache
+
+        return self._jit(("layer", phase), f, donate_argnums=(2,))
+
+    def _qkv_fn(self):
+        cfg = self.cfg
+        return self._jit("qkv", lambda lp, x, positions: T.attn_in(cfg, lp, x, positions))
+
+    def _post_fn(self):
+        cfg = self.cfg
+        return self._jit(
+            "post", lambda lp, residual, attn_out: T.attn_post_mlp(cfg, lp, residual, attn_out)
+        )
+
+    def _tpu_prefill_attn_fn(self):
+        cfg = self.cfg
+        from lia_tpu.ops import attention as att
+
+        return self._jit("pf_attn", lambda q, k, v, ctx: att.attend_prefill(q, k, v, ctx))
+
+    def _tpu_decode_attn_kvin_fn(self):
+        """Policy-0 decode: attend on TPU over KV planes streamed in from host."""
+        cfg = self.cfg
+
+        def f(q, k, v, kl, vl, start, ctx):
+            attn_out, kl, vl = T.attn_core_decode(cfg, q, k, v, kl, vl, start, ctx)
+            return attn_out
+
+        return self._jit("dec_attn_kvin", f)
+
+    # -- jitted building blocks (host / XLA:CPU) ------------------------------
+
+    def _host_jit(self, key, fn, **kw):
         if key not in self._compiled:
-            cfg = self.cfg
-            layer = T.decoder_layer_prefill if phase == "prefill" else T.decoder_layer_decode
-
-            def f(lp, x, cache, idx, mask, positions):
-                start = cache.length
-                kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
-                vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
-                x, kl, vl = layer(cfg, lp, x, kl, vl, start, mask, positions)
-                cache = cache._replace(
-                    k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
-                    v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
-                )
-                return x, cache
-
-            self._compiled[key] = jax.jit(f, donate_argnums=(2,))
+            with dispatch.pallas_disabled():
+                self._compiled[key] = jax.jit(fn, **kw)
         return self._compiled[key]
 
-    def _run_layers(self, phase: str, x, cache, mask, positions):
-        """Resident segment (one scan) then streamed layers (prefetch pipeline)."""
+    def _host_layer_fn(self, phase: str):
+        """Whole decoder layer on the host (policy 1 — the AMX baseline analog)."""
+        cfg = self.cfg
+        layer = T.decoder_layer_prefill if phase == "prefill" else T.decoder_layer_decode
+
+        def f(lp, x, cache, idx, ctx, positions):
+            start = cache.length
+            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
+            x, kl, vl = layer(cfg, lp, x, kl, vl, start, ctx, positions)
+            cache = cache._replace(
+                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
+                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+            )
+            return x, cache
+
+        return self._host_jit(("host_layer", phase), f, donate_argnums=(2,))
+
+    def _host_attn_fn(self, phase: str):
+        """Attention core on the host over host KV (policies 2/4;
+        attentions.py:421-424 parity)."""
+        cfg = self.cfg
+        core = T.attn_core_prefill if phase == "prefill" else T.attn_core_decode
+
+        def f(q, k, v, cache, idx, ctx):
+            start = cache.length
+            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
+            attn_out, kl, vl = core(cfg, q, k, v, kl, vl, start, ctx)
+            cache = cache._replace(
+                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
+                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+            )
+            return attn_out, cache
+
+        return self._host_jit(("host_attn", phase), f, donate_argnums=(3,))
+
+    def _host_update_fn(self):
+        """Write fresh K/V into the host cache (policy-0 store_cache analog,
+        lia/modeling_opt.py:334-349)."""
+
+        def f(cache, k, v, idx):
+            start = cache.length
+            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
+            kl, vl = kvc.update_layer(kl, vl, k, v, start)
+            return cache._replace(
+                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
+                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+            )
+
+        return self._host_jit("host_update", f, donate_argnums=(0,))
+
+    def _advance_fn(self, device_key: str):
+        def f(cache, new_mask, n_new):
+            return kvc.advance(cache, new_mask, n_new)
+
+        if device_key == "host":
+            return self._host_jit(("advance", device_key), f, static_argnums=(2,), donate_argnums=(0,))
+        return self._jit(("advance", device_key), f, static_argnums=(2,), donate_argnums=(0,))
+
+    def _get_host_layer(self, idx: int):
+        """Layer params on the host device (no TPU transfer — policy 1)."""
+        return jax.device_put(slice_layer(self.layers_host, idx), self.cpu)
+
+    # -- streamed-segment execution -------------------------------------------
+
+    def _run_streamed(self, phase: str, plan: pol.Plan, x, cache, ctx, positions):
+        """Run the non-resident layers [n_res, L) per the phase plan.
+
+        ``cache`` is the streamed segment's local cache (layer 0 == global n_res),
+        living on host DRAM when the plan keeps KV there.
+        """
         n_res, L = self.wm.n_resident, self.cfg.num_layers
         nm = max(1, self.runtime.num_minibatch) if phase == "prefill" else 1
-        if n_res > 0:
-            seg = self._segment_fn(phase, 0, n_res)
-            x, cache = seg(self.wm.resident, x, cache, mask, positions)
-        if n_res < L:
-            self.wm.prefetch(n_res)
-            layer_f = self._layer_fn(phase)
+        overlap = self.runtime.overlap
+
+        if plan.all_host:
+            # policy 1: whole layers on the host; activations hop once per segment
+            layer_f = self._host_layer_fn(phase)
+            x = jax.device_put(x, self.cpu)
+            ctx_h = jax.device_put(ctx, self.cpu)
+            pos_h = jax.device_put(positions, self.cpu)
             for idx in range(n_res, L):
-                self.wm.prefetch(idx + 1)  # overlap next transfer with this compute
+                lp = self._get_host_layer(idx)
+                x, cache = layer_f(lp, x, cache, jnp.int32(idx - n_res), ctx_h, pos_h)
+            return jax.device_put(x, jax.devices()[0]), cache
+
+        if plan.hybrid:
+            # policies 2/4: linears on TPU (streamed weights), attention on host
+            qkv_f, post_f = self._qkv_fn(), self._post_fn()
+            attn_f = self._host_attn_fn(phase)
+            ctx_h = jax.device_put(ctx, self.cpu)
+            self.wm.prefetch(n_res)
+            for idx in range(n_res, L):
+                self.wm.prefetch(idx + 1)
                 lp = self.wm.get_layer(idx)
-                B = x.shape[0]
-                if nm == 1 or B % nm != 0:
-                    x, cache = layer_f(lp, x, cache, jnp.int32(idx), mask, positions)
-                else:
-                    # minibatch-split prefill: equal batch slices pipeline against
-                    # the next layer's weight transfer (lia/modeling_opt.py:1284-1346)
-                    mb = B // nm
-                    mb_f = self._mb_layer_fn(phase)
-                    parts = []
-                    for c in range(nm):
-                        b0 = c * mb
-                        ctx_sl = jax.tree.map(lambda a: a[b0 : b0 + mb], mask)
-                        xx, cache = mb_f(
-                            lp,
-                            x[b0 : b0 + mb],
-                            cache,
-                            jnp.int32(idx),
-                            jnp.int32(b0),
-                            ctx_sl,
-                            positions[b0 : b0 + mb],
-                        )
-                        parts.append(xx)
-                    x = jnp.concatenate(parts, axis=0)
-                if not self.runtime.overlap:
+                q, k, v = qkv_f(lp, x, positions)
+                q_h, k_h, v_h = jax.device_put((q, k, v), self.cpu)
+                attn_out, cache = attn_f(q_h, k_h, v_h, cache, jnp.int32(idx - n_res), ctx_h)
+                attn_out = jax.device_put(attn_out, jax.devices()[0])
+                x = post_f(lp, x, attn_out)
+                if not overlap:
                     jax.block_until_ready(x)
+            return x, cache
+
+        if plan.kv == "host":
+            # policy 0: TPU compute, KV stored on / streamed from the host
+            qkv_f, post_f = self._qkv_fn(), self._post_fn()
+            upd_f = self._host_update_fn()
+            self.wm.prefetch(n_res)
+            if phase == "prefill":
+                attn_f = self._tpu_prefill_attn_fn()
+                for idx in range(n_res, L):
+                    self.wm.prefetch(idx + 1)
+                    lp = self.wm.get_layer(idx)
+                    q, k, v = qkv_f(lp, x, positions)
+                    attn_out = attn_f(q, k, v, ctx)
+                    k_h, v_h = jax.device_put((k, v), self.cpu)  # store_cache (D2H)
+                    cache = upd_f(cache, k_h, v_h, jnp.int32(idx - n_res))
+                    x = post_f(lp, x, attn_out)
+                    if not overlap:
+                        jax.block_until_ready(x)
+            else:
+                attn_f = self._tpu_decode_attn_kvin_fn()
+                tpu = jax.devices()[0]
+                for idx in range(n_res, L):
+                    self.wm.prefetch(idx + 1)
+                    lp = self.wm.get_layer(idx)
+                    q, k, v = qkv_f(lp, x, positions)
+                    li = idx - n_res
+                    kl = jax.device_put(cache.k[li], tpu)  # stream KV in (H2D)
+                    vl = jax.device_put(cache.v[li], tpu)
+                    ln = jax.device_put(cache.length, tpu)
+                    attn_out = attn_f(q, k, v, kl, vl, ln, ctx)
+                    k_h, v_h = jax.device_put((k, v), self.cpu)
+                    cache = upd_f(cache, k_h, v_h, jnp.int32(li))
+                    x = post_f(lp, x, attn_out)
+                    if not overlap:
+                        jax.block_until_ready(x)
+            return x, cache
+
+        # plan: streamed weights, TPU attention, HBM KV (policy-3 tail)
+        layer_f = self._layer_fn(phase)
+        self.wm.prefetch(n_res)
+        for idx in range(n_res, L):
+            self.wm.prefetch(idx + 1)
+            lp = self.wm.get_layer(idx)
+            B = x.shape[0]
+            if nm == 1 or B % nm != 0:
+                x, cache = layer_f(lp, x, cache, jnp.int32(idx - n_res), ctx, positions)
+            else:
+                mb = B // nm
+                mb_f = self._mb_layer_fn(phase)
+                parts = []
+                for c in range(nm):
+                    b0 = c * mb
+                    ctx_sl = jax.tree.map(
+                        lambda a: a[b0 : b0 + mb] if getattr(a, "ndim", 0) else a, ctx
+                    )
+                    xx, cache = mb_f(
+                        lp,
+                        x[b0 : b0 + mb],
+                        cache,
+                        jnp.int32(idx - n_res),
+                        jnp.int32(b0),
+                        ctx_sl,
+                        positions[b0 : b0 + mb],
+                    )
+                    parts.append(xx)
+                x = jnp.concatenate(parts, axis=0)
+            if not overlap:
+                jax.block_until_ready(x)
         return x, cache
 
     def _mb_layer_fn(self, phase: str):
-        """Streamed layer over one batch slice; cache rows [b0:b0+mb] updated."""
-        key = ("mb_layer", phase)
-        if key not in self._compiled:
-            cfg = self.cfg
-            layer = T.decoder_layer_prefill if phase == "prefill" else T.decoder_layer_decode
+        """Streamed layer over one batch slice; cache rows [b0:b0+mb] updated
+        (minibatch-split prefill, lia/modeling_opt.py:1284-1346)."""
+        cfg = self.cfg
+        layer = T.decoder_layer_prefill if phase == "prefill" else T.decoder_layer_decode
 
-            def f(lp, x_sl, cache, idx, b0, mask_sl, pos_sl):
-                start = cache.length
-                mb = x_sl.shape[0]
-                kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
-                vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
-                k_sl = jax.lax.dynamic_slice_in_dim(kl, b0, mb, 0)
-                v_sl = jax.lax.dynamic_slice_in_dim(vl, b0, mb, 0)
-                x_sl, k_sl, v_sl = layer(cfg, lp, x_sl, k_sl, v_sl, start, mask_sl, pos_sl)
-                kl = jax.lax.dynamic_update_slice_in_dim(kl, k_sl, b0, 0)
-                vl = jax.lax.dynamic_update_slice_in_dim(vl, v_sl, b0, 0)
-                cache = cache._replace(
-                    k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
-                    v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
-                )
-                return x_sl, cache
+        def f(lp, x_sl, cache, idx, b0, ctx_sl, pos_sl):
+            start = cache.length
+            mb = x_sl.shape[0]
+            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
+            k_sl = jax.lax.dynamic_slice_in_dim(kl, b0, mb, 0)
+            v_sl = jax.lax.dynamic_slice_in_dim(vl, b0, mb, 0)
+            x_sl, k_sl, v_sl = layer(cfg, lp, x_sl, k_sl, v_sl, start, ctx_sl, pos_sl)
+            kl = jax.lax.dynamic_update_slice_in_dim(kl, k_sl, b0, 0)
+            vl = jax.lax.dynamic_update_slice_in_dim(vl, v_sl, b0, 0)
+            cache = cache._replace(
+                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
+                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+            )
+            return x_sl, cache
 
-            self._compiled[key] = jax.jit(f, donate_argnums=(2,))
-        return self._compiled[key]
+        return self._jit(("mb_layer", phase), f, donate_argnums=(2,))
 
-    # -- generation ----------------------------------------------------------
+    # -- generation ------------------------------------------------------------
+
+    def _init_caches(self, B: int, max_len: int):
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+        n_res = self.wm.n_resident
+        n_str = cfg.num_layers - n_res
+        res = (
+            kvc.init_cache(cfg.replace(num_layers=n_res), B, max_len, dt)
+            if n_res
+            else None
+        )
+        if n_str:
+            st = kvc.init_cache(cfg.replace(num_layers=n_str), B, max_len, dt)
+            if self.kv_host:
+                st = jax.device_put(st, self.cpu)
+        else:
+            st = None
+        return res, st
 
     def generate(
         self,
@@ -206,15 +414,30 @@ class StreamingScheduler:
         rng,
     ):
         from lia_tpu.engine.engine import GenerationResult
+        from lia_tpu.ops import attention as att
 
         cfg = self.cfg
         B, S = tokens.shape
-        cache = kvc.init_cache(cfg, B, max_len, jnp.dtype(cfg.dtype))
+        res_cache, str_cache = self._init_caches(B, max_len)
+        n_res = self.wm.n_resident
+        adv_t = self._advance_fn("tpu")
+        adv_h = self._advance_fn("host") if self.kv_host else adv_t
 
+        # ---- prefill ----
         t0 = time.perf_counter()
-        x, positions, pmask = self._embed_fn()(self.top, jnp.asarray(tokens), jnp.asarray(mask))
-        x, cache = self._run_layers("prefill", x, cache, pmask, positions)
-        cache = kvc.advance(cache, jnp.asarray(mask), S)
+        x, positions, ctx = self._embed_fn()(
+            self.top, jnp.asarray(tokens), jnp.asarray(mask)
+        )
+        if res_cache is not None:
+            seg = self._segment_fn("prefill", n_res)
+            x, res_cache = seg(self.wm.resident, x, res_cache, ctx, positions)
+            res_cache = adv_t(res_cache, jnp.asarray(mask), S)
+        if str_cache is not None:
+            x, str_cache = self._run_streamed(
+                "prefill", self.prefill_plan, x, str_cache, ctx, positions
+            )
+            m = jax.device_put(jnp.asarray(mask), self.cpu) if self.kv_host else jnp.asarray(mask)
+            str_cache = (adv_h if self.kv_host else adv_t)(str_cache, m, S)
         logits = self._head_fn()(self.top, x)
         rng, sub = jax.random.split(rng)
         tok = sampling.sample(logits, sub, gen)
@@ -223,15 +446,38 @@ class StreamingScheduler:
 
         pos = jnp.asarray(mask.sum(1), jnp.int32)
         finished = (
-            (tok == gen.eos_token_id) if gen.eos_token_id is not None else jnp.zeros((B,), bool)
+            (tok == gen.eos_token_id)
+            if gen.eos_token_id is not None
+            else jnp.zeros((B,), bool)
         )
         out = [np.asarray(tok)]
         dec_embed = self._dec_embed_fn()
+        ones_t = jnp.ones((B, 1), jnp.bool_)
+        ones_h = jax.device_put(ones_t, self.cpu) if self.kv_host else ones_t
+
+        # slot mask / length bookkeeping uses whichever cache exists (in lockstep)
+        def cur_mask_len():
+            c = res_cache if res_cache is not None else str_cache
+            m, ln = c.mask, c.length
+            if c is str_cache and self.kv_host:
+                m, ln = jax.device_put((m, ln), jax.devices()[0])
+            return m, ln
+
         for _ in range(gen.max_new_tokens - 1):
             t0 = time.perf_counter()
-            x, dmask = dec_embed(self.top, tok[:, None], pos[:, None], cache.mask, cache.length)
-            x, cache = self._run_layers("decode", x, cache, dmask, pos[:, None])
-            cache = kvc.advance(cache, jnp.ones((B, 1), jnp.bool_), 1)
+            m, ln = cur_mask_len()
+            x, ctx = dec_embed(self.top, tok[:, None], pos[:, None], m, ln)
+            if res_cache is not None:
+                seg = self._segment_fn("decode", n_res)
+                x, res_cache = seg(self.wm.resident, x, res_cache, ctx, pos[:, None])
+                res_cache = adv_t(res_cache, ones_t, 1)
+            if str_cache is not None:
+                x, str_cache = self._run_streamed(
+                    "decode", self.decode_plan, x, str_cache, ctx, pos[:, None]
+                )
+                str_cache = (adv_h if self.kv_host else adv_t)(
+                    str_cache, ones_h if self.kv_host else ones_t, 1
+                )
             logits = self._head_fn()(self.top, x)
             rng, sub = jax.random.split(rng)
             tok = sampling.sample(logits, sub, gen)
@@ -245,19 +491,3 @@ class StreamingScheduler:
             if gen.eos_token_id is not None and bool(finished.all()):
                 break
         return GenerationResult(np.stack(out, axis=1), lat)
-
-    def _dec_embed_fn(self):
-        if "dec_embed" not in self._compiled:
-            cfg = self.cfg
-
-            def f(top, tokens, positions, slot_mask, length):
-                from lia_tpu.ops import attention as att
-
-                x = T.embed(cfg, top, tokens, positions)
-                sm = jax.lax.dynamic_update_slice(
-                    slot_mask, jnp.ones((tokens.shape[0], 1), jnp.bool_), (0, length)
-                )
-                return x, att.decode_attn_ctx(sm, length + 1)
-
-            self._compiled["dec_embed"] = jax.jit(f)
-        return self._compiled["dec_embed"]
