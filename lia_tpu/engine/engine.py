@@ -165,7 +165,10 @@ class InferenceEngine:
         if self.scheduler is not None:
             return self.scheduler.generate(tokens, mask, gen, max_len, lat, rng)
 
-        cache = kvc.init_cache(cfg, B, max_len, kv_dtype)
+        cache = kvc.init_cache(
+            cfg, B, max_len, kv_dtype,
+            quantized=self.runtime.quant.kv_cache_dtype == "int8",
+        )
         t0 = time.perf_counter()
         logits, cache = self._get_prefill()(
             self.params, jnp.asarray(tokens), jnp.asarray(mask), cache
@@ -234,7 +237,10 @@ class InferenceEngine:
         Bnb, S = tokens.shape
         B = Bnb // nb
         max_len = -(-(S + gen.max_new_tokens) // 128) * 128
-        cache = kvc.init_cache(cfg, Bnb, max_len, jnp.dtype(cfg.dtype))
+        cache = kvc.init_cache(
+            cfg, Bnb, max_len, jnp.dtype(cfg.dtype),
+            quantized=self.runtime.quant.kv_cache_dtype == "int8",
+        )
         lat = LatencyStats()
 
         t0 = time.perf_counter()

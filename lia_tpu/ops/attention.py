@@ -118,11 +118,19 @@ def attend_prefill(
 
 
 def attend_decode(
-    q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray, ctx: DecodeAttn
+    q: jnp.ndarray, k_cache, v_cache, ctx: DecodeAttn
 ) -> jnp.ndarray:
-    """Decode attention over the cache: Pallas kernel on TPU, jnp fallback."""
-    from lia_tpu.ops import dispatch
+    """Decode attention over the cache: Pallas kernel on TPU, jnp fallback.
 
+    INT8 KV planes (:class:`lia_tpu.ops.quant.QuantizedKV`) are dequantized on
+    the way in; XLA fuses convert+scale into the attention matmuls, so HBM reads
+    stay int8-sized. (Dedicated int8-KV Pallas kernel: follow-up.)"""
+    from lia_tpu.ops import dispatch
+    from lia_tpu.ops.quant import dequantize_kv, is_quantized_kv
+
+    if is_quantized_kv(k_cache):
+        k_cache = dequantize_kv(k_cache, q.dtype)
+        v_cache = dequantize_kv(v_cache, q.dtype)
     S_max = k_cache.shape[2]
     if dispatch.use_pallas():
         bk = dispatch.pick_block(S_max, 512, minimum=64)

@@ -16,6 +16,8 @@ decode time, matching the reference's zero-copy beam reorder goal.
 
 from __future__ import annotations
 
+from typing import Any
+
 from typing import NamedTuple
 
 import jax
@@ -39,9 +41,25 @@ class KVCache(NamedTuple):
 
 
 def init_cache(
-    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16, quantized: bool = False
 ) -> KVCache:
+    """``quantized=True`` stores INT8 planes + per-token f32 scales (the north-star
+    "KV-cache held INT8"; reference WOQ kv-cache knob, run.py)."""
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if quantized:
+        from lia_tpu.ops.quant import QuantizedKV
+
+        def qzero():
+            return QuantizedKV(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape[:-1], jnp.float32)
+            )
+
+        return KVCache(
+            k=qzero(),
+            v=qzero(),
+            length=jnp.zeros((), jnp.int32),
+            mask=jnp.zeros((batch, max_len), jnp.bool_),
+        )
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
@@ -50,22 +68,47 @@ def init_cache(
     )
 
 
+def index_layer_kv(plane: Any, idx) -> Any:
+    """Select layer ``idx`` from a stacked K or V plane (array or QuantizedKV)."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False), plane
+    )
+
+
+def set_layer_kv(plane: Any, layer_plane: Any, idx) -> Any:
+    """Write layer ``idx`` back into a stacked K or V plane."""
+    return jax.tree.map(
+        lambda a, l: jax.lax.dynamic_update_index_in_dim(a, l, idx, 0), plane, layer_plane
+    )
+
+
+def _update_plane(plane, new, start):
+    """Write new head-major values at [start : start+S_new] into one layer plane.
+
+    Handles both raw arrays and :class:`QuantizedKV` planes (fresh values are
+    quantized per token on write — the cache write IS the quantization point)."""
+    from lia_tpu.ops.quant import QuantizedKV, is_quantized_kv, quantize_kv
+
+    zero = jnp.zeros((), jnp.int32)
+    if is_quantized_kv(plane):
+        newq = new if is_quantized_kv(new) else quantize_kv(new)
+        q = jax.lax.dynamic_update_slice(plane.q, newq.q, (zero, zero, start, zero))
+        sc = jax.lax.dynamic_update_slice(plane.s, newq.s, (zero, zero, start))
+        return QuantizedKV(q, sc)
+    return jax.lax.dynamic_update_slice(
+        plane, new.astype(plane.dtype), (zero, zero, start, zero)
+    )
+
+
 def update_layer(
-    k_layer: jnp.ndarray,  # [B, N_kv, S_max, D] (head-major)
-    v_layer: jnp.ndarray,
+    k_layer: Any,  # [B, N_kv, S_max, D] (head-major; array or QuantizedKV)
+    v_layer: Any,
     new_k: jnp.ndarray,  # [B, N_kv, S_new, D] (head-major)
     new_v: jnp.ndarray,
     start: jnp.ndarray,  # scalar int32 — uniform write offset
 ):
     """Write new K/V at [start : start+S_new] for one layer."""
-    zero = jnp.zeros((), jnp.int32)
-    k_layer = jax.lax.dynamic_update_slice(
-        k_layer, new_k.astype(k_layer.dtype), (zero, zero, start, zero)
-    )
-    v_layer = jax.lax.dynamic_update_slice(
-        v_layer, new_v.astype(v_layer.dtype), (zero, zero, start, zero)
-    )
-    return k_layer, v_layer
+    return _update_plane(k_layer, new_k, start), _update_plane(v_layer, new_v, start)
 
 
 def advance(cache: KVCache, new_mask: jnp.ndarray, n_new: int) -> KVCache:
@@ -86,7 +129,7 @@ def beam_reorder(cache: KVCache, beam_idx: jnp.ndarray) -> KVCache:
     HBM-local shuffle and keeps every other op free of indirection.
     """
     return cache._replace(
-        k=jnp.take(cache.k, beam_idx, axis=1),
-        v=jnp.take(cache.v, beam_idx, axis=1),
+        k=jax.tree.map(lambda a: jnp.take(a, beam_idx, axis=1), cache.k),
+        v=jax.tree.map(lambda a: jnp.take(a, beam_idx, axis=1), cache.v),
         mask=jnp.take(cache.mask, beam_idx, axis=0),
     )

@@ -141,14 +141,128 @@ def dequantize(rec: "QuantizedWeight", dtype=jnp.bfloat16) -> jnp.ndarray:
     return w.reshape(*lead, K, N).astype(dtype)
 
 
+def _pallas_woq_viable(x2d, rec) -> bool:
+    """Tiling constraints for the fused kernel (wrapper enforces the rest)."""
+    from lia_tpu.ops import dispatch
+
+    if not dispatch.use_pallas():
+        return False
+    M, K = x2d.shape
+    N = rec.q.shape[-1]
+    ng = rec.s.shape[-2]
+    g = K // ng
+    int4 = rec.fmt == "woq_int4"
+    if N % 128 != 0:
+        return False
+    if K % (128 if not int4 else 256) != 0:
+        return False
+    if g % (128 if not int4 else 256) != 0 and g != K:
+        return False
+    if M % 8 != 0 and M < 8:
+        return M >= 1  # tiny M handled by bm == M (full-dim block)
+    return True
+
+
 def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
     """x @ dequant(rec) with fp32 accumulation; returns fp32.
 
-    The Pallas fused kernel takes over on TPU for the decode hot path (dispatched in
-    :func:`lia_tpu.models.transformer.linear` once enabled); this XLA form relies on
-    operand fusion to avoid materializing the bf16 weight in HBM.
+    On TPU (shapes permitting) this routes to the Pallas fused dequant-matmul
+    (:mod:`lia_tpu.ops.pallas_matmul`) — int8/int4 tiles DMA HBM→VMEM and are
+    dequantized in-register before the MXU, so HBM traffic is the quantized
+    bytes. Fallback is the XLA ``convert → scale → dot`` form.
     """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2d = x.reshape(-1, K)
+    if _pallas_woq_viable(x2d, rec) and rec.q.ndim == 2:
+        from lia_tpu.ops import dispatch
+        from lia_tpu.ops.pallas_matmul import woq_matmul
+
+        M = x2d.shape[0]
+        N = rec.q.shape[-1]
+        ng = rec.s.shape[-2]
+        g = K // ng
+        int4 = rec.fmt == "woq_int4"
+        bm = dispatch.pick_block(M, 256, minimum=8) or M
+        bn = dispatch.pick_block(N, 512, minimum=128)
+        bk_min = 256 if int4 else 128
+        if ng == 1:
+            bk = dispatch.pick_block(K, 1024, minimum=bk_min)
+        else:
+            # scale block sublane (= groups per K tile) must be ≥8 or cover all
+            # groups, so K tiles span either 8+ whole groups or the whole K axis
+            bk = None
+            for m in (8, 16, 32):
+                cand = g * m
+                if cand >= bk_min and K % cand == 0 and cand % bk_min == 0:
+                    bk = cand
+                    break
+            if bk is None and K % bk_min == 0:
+                bk = K  # gpt == ng (full scale table per tile)
+        if bn is not None and bk is not None:
+            y = woq_matmul(
+                x2d, rec.q, rec.s, -1 if ng == 1 else g, int4=int4,
+                block_m=bm, block_n=bn, block_k=bk,
+                interpret=dispatch.interpret_mode(),
+            )
+            return y.reshape(*lead, N)
     w = dequantize(rec, jnp.bfloat16)
     return jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+
+
+# ---------------------------------------------------------------------------
+# INT8 KV cache (per-token scales)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedKV:
+    """INT8 KV plane(s) with per-token scales.
+
+    ``q``: int8 [..., S, D] (head-major); ``s``: f32 [..., S] (scale per token per
+    head). Registered as a pytree so it nests transparently inside
+    :class:`lia_tpu.ops.kv_cache.KVCache` — ``lax.scan`` slicing, donation,
+    device_put, and sharding all treat it as two array leaves.
+
+    Reference analog: the INT8 KV option of the WOQ flow (run.py kv-cache knobs);
+    north-star requirement "KV-cache held INT8" (BASELINE.json).
+    """
+
+    __slots__ = ("q", "s")
+
+    def __init__(self, q, s):
+        self.q = q
+        self.s = s
+
+    def tree_flatten(self):
+        return (self.q, self.s), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1])
+
+    @property
+    def shape(self):  # logical (dequantized) shape
+        return self.q.shape
+
+    def __repr__(self):
+        return f"QuantizedKV(q={getattr(self.q, 'shape', None)})"
+
+
+def is_quantized_kv(x: Any) -> bool:
+    return isinstance(x, QuantizedKV)
+
+
+def quantize_kv(x: jnp.ndarray) -> QuantizedKV:
+    """Quantize head-major K/V [..., S, D] with one symmetric scale per token."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)  # [..., S]
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -128, 127).astype(jnp.int8)
+    return QuantizedKV(q, scale)
+
+
+def dequantize_kv(kv: QuantizedKV, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (kv.q.astype(jnp.float32) * kv.s[..., None]).astype(dtype)

@@ -1,0 +1,231 @@
+"""Cost model + microbenchmark calibration for automatic placement.
+
+The reference chooses policies by hand per benchmark point (scripts/lia_online.sh
+gpu-percentage sweeps 58-66 / 8-12) and ships a CXL/DDR bandwidth microbenchmark
+(lia/cxl/benchmark.py:9-110 — H2D transfer overlapped with a CPU GEMM). Here both
+become first-class:
+
+- :class:`Microbench` measures host→HBM transfer bandwidth, host (XLA:CPU) matmul
+  throughput, and TPU matmul throughput on the live system;
+- :class:`CostModel` predicts per-layer prefill/decode times for every placement
+  plan and picks (prefill_policy, decode_policy, hbm_percentage) minimizing
+  end-to-end time under the HBM capacity budget — the ``--prefill-policy auto``
+  mode (replacing the reference's hand-tuned sweep).
+
+Roofline formulation: t = max(flops / throughput, bytes / bandwidth) per operator
+group, plus explicit transfer terms at every placement boundary.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, replace
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from lia_tpu.config import ModelConfig, QuantConfig, RuntimeConfig
+
+GB = 1e9
+
+
+@dataclass
+class SystemProfile:
+    """Calibrated machine characteristics (defaults: TPU v5e + modest host)."""
+
+    tpu_flops: float = 197e12  # bf16 MXU FLOP/s (v5e ≈ 394 peak; derated 50%)
+    hbm_bw: float = 700e9  # bytes/s (v5e ≈ 819 peak; derated)
+    hbm_bytes: float = 14e9  # usable HBM (16 GB minus runtime reserves)
+    h2d_bw: float = 8e9  # host→HBM staging bandwidth
+    host_flops: float = 150e9  # XLA:CPU matmul FLOP/s
+    host_mem_bw: float = 20e9  # host DRAM bandwidth
+
+
+class Microbench:
+    """Live calibration (the lia/cxl/benchmark.py analog)."""
+
+    @staticmethod
+    def h2d_bandwidth(nbytes: int = 1 << 28) -> float:
+        import jax
+
+        x = np.ones(nbytes // 4, np.float32)
+        dev = jax.devices()[0]
+        jax.device_put(x[:1024], dev).block_until_ready()  # warm the path
+        t0 = time.perf_counter()
+        jax.device_put(x, dev).block_until_ready()
+        return nbytes / (time.perf_counter() - t0)
+
+    @staticmethod
+    def matmul_flops(device, n: int = 2048, dtype="bfloat16") -> float:
+        import jax
+        import jax.numpy as jnp
+
+        a = jax.device_put(jnp.ones((n, n), dtype), device)
+        f = jax.jit(lambda a: a @ a)
+        f(a).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = f(a)
+        out.block_until_ready()
+        return 3 * 2 * n**3 / (time.perf_counter() - t0)
+
+    @classmethod
+    def calibrate(cls, profile: Optional[SystemProfile] = None) -> SystemProfile:
+        import jax
+
+        p = profile or SystemProfile()
+        try:
+            p = replace(p, h2d_bw=cls.h2d_bandwidth())
+        except Exception:
+            pass
+        try:
+            p = replace(p, host_flops=cls.matmul_flops(jax.devices("cpu")[0], 1024, "float32"))
+        except Exception:
+            pass
+        try:
+            if jax.default_backend() == "tpu":
+                p = replace(p, tpu_flops=cls.matmul_flops(jax.devices()[0], 4096))
+        except Exception:
+            pass
+        return p
+
+
+@dataclass
+class CostModel:
+    cfg: ModelConfig
+    profile: SystemProfile
+    quant: QuantConfig = QuantConfig()
+
+    # -- sizes -----------------------------------------------------------------
+
+    def weight_bytes_per_layer(self) -> float:
+        c = self.cfg
+        per_param = {"int8": 1.0, "int4": 0.5}.get(self.quant.weight_dtype, 2.0)
+        qd, kd = c.num_heads * c.head_dim, c.num_kv_heads * c.head_dim
+        n_mlp = 3 if c.activation.value == "silu" else 2
+        params = c.hidden_size * (qd + 2 * kd) + qd * c.hidden_size + n_mlp * c.hidden_size * c.ffn_size
+        return params * per_param
+
+    def kv_bytes_per_layer(self, B: int, s_len: int) -> float:
+        c = self.cfg
+        per = 1.0 if self.quant.kv_cache_dtype == "int8" else 2.0
+        return 2 * B * c.num_kv_heads * s_len * c.head_dim * per
+
+    def layer_flops(self, B: int, S: int, s_ctx: int) -> float:
+        c = self.cfg
+        qd, kd = c.num_heads * c.head_dim, c.num_kv_heads * c.head_dim
+        n_mlp = 3 if c.activation.value == "silu" else 2
+        lin = 2 * B * S * (c.hidden_size * (qd + 2 * kd) + qd * c.hidden_size
+                           + n_mlp * c.hidden_size * c.ffn_size)
+        attn = 2 * B * S * s_ctx * c.num_heads * c.head_dim * 2
+        return lin + attn
+
+    # -- per-layer times by plan -------------------------------------------------
+
+    def tpu_layer_time(self, B: int, S: int, s_ctx: int, weights_resident: bool) -> float:
+        p = self.profile
+        flops = self.layer_flops(B, S, s_ctx)
+        bytes_rw = self.weight_bytes_per_layer() + self.kv_bytes_per_layer(B, s_ctx)
+        t = max(flops / p.tpu_flops, bytes_rw / p.hbm_bw)
+        if not weights_resident:
+            # streamed: transfer overlapped with compute — bound by the slower
+            t = max(t, self.weight_bytes_per_layer() / p.h2d_bw)
+        return t
+
+    def host_layer_time(self, B: int, S: int, s_ctx: int) -> float:
+        p = self.profile
+        flops = self.layer_flops(B, S, s_ctx)
+        bytes_rw = self.weight_bytes_per_layer() + self.kv_bytes_per_layer(B, s_ctx)
+        return max(flops / p.host_flops, bytes_rw / p.host_mem_bw)
+
+    def hybrid_decode_layer_time(self, B: int, s_ctx: int, weights_resident: bool) -> float:
+        """Policy 2/4: TPU linears + host attention over host KV."""
+        c, p = self.cfg, self.profile
+        lin = self.tpu_layer_time(B, 1, 0, weights_resident)
+        qkv_bytes = B * (c.num_heads + 2 * c.num_kv_heads) * c.head_dim * 2 * 2  # q,k,v + attn_out
+        xfer = qkv_bytes / p.h2d_bw
+        attn_flops = 2 * B * s_ctx * c.num_heads * c.head_dim * 2
+        host_attn = max(attn_flops / p.host_flops, self.kv_bytes_per_layer(B, s_ctx) / p.host_mem_bw)
+        return lin + xfer + host_attn
+
+    def policy0_decode_layer_time(self, B: int, s_ctx: int) -> float:
+        """Policy 0 decode: stream KV planes host→HBM every token."""
+        t_kv = self.kv_bytes_per_layer(B, s_ctx) / self.profile.h2d_bw
+        return self.tpu_layer_time(B, 1, s_ctx, weights_resident=False) + t_kv
+
+    # -- placement search ---------------------------------------------------------
+
+    def max_resident_layers(self, B: int, max_len: int) -> int:
+        c, p = self.cfg, self.profile
+        embed = c.vocab_size * c.embed_dim * 2 * (1 if c.tie_embeddings else 2)
+        budget = p.hbm_bytes - embed - 2 * B * max_len * c.hidden_size * 2  # activations slack
+        per_layer = self.weight_bytes_per_layer() + self.kv_bytes_per_layer(B, max_len)
+        return max(0, min(c.num_layers, int(budget // max(per_layer, 1))))
+
+    def choose(self, B: int, in_len: int, out_len: int) -> Tuple[int, int, int]:
+        """Pick (prefill_policy, decode_policy, hbm_percentage) minimizing total time."""
+        c = self.cfg
+        max_len = in_len + out_len
+        n_res = self.max_resident_layers(B, max_len)
+        L = c.num_layers
+        hbm_pct = int(100 * n_res / L)
+        n_str = L - n_res
+
+        if n_str == 0:
+            return 3, 3, 100
+
+        # prefill candidates for streamed layers: 0 (TPU streamed) vs 1 (host)
+        t_pf = {
+            0: self.tpu_layer_time(B, in_len, in_len, weights_resident=False),
+            1: self.host_layer_time(B, in_len, in_len),
+        }
+        # decode candidates (per token): 0 / 1 / 2
+        s_ctx = in_len + out_len // 2
+        t_dec = {
+            0: self.policy0_decode_layer_time(B, s_ctx),
+            1: self.host_layer_time(B, 1, s_ctx),
+            2: self.hybrid_decode_layer_time(B, s_ctx, weights_resident=False),
+        }
+        pf = min(t_pf, key=t_pf.get)
+        dec = min(t_dec, key=t_dec.get)
+        return pf, dec, hbm_pct
+
+    def report(self, B: int, in_len: int, out_len: int) -> Dict[str, float]:
+        pf, dec, pct = self.choose(B, in_len, out_len)
+        s_ctx = in_len + out_len // 2
+        return {
+            "prefill_policy": pf,
+            "decode_policy": dec,
+            "hbm_percentage": pct,
+            "weight_bytes_per_layer": self.weight_bytes_per_layer(),
+            "kv_bytes_per_layer": self.kv_bytes_per_layer(B, in_len + out_len),
+            "t_prefill_tpu_streamed": self.tpu_layer_time(B, in_len, in_len, False),
+            "t_prefill_host": self.host_layer_time(B, in_len, in_len),
+            "t_decode_policy0": self.policy0_decode_layer_time(B, s_ctx),
+            "t_decode_host": self.host_layer_time(B, 1, s_ctx),
+            "t_decode_hybrid": self.hybrid_decode_layer_time(B, s_ctx, False),
+        }
+
+
+def resolve_auto_policies(
+    cfg: ModelConfig,
+    runtime: RuntimeConfig,
+    batch: int,
+    in_len: int,
+    out_len: int,
+    calibrate: bool = False,
+) -> RuntimeConfig:
+    """Fill in policies/hbm_percentage when the runtime asks for auto (-1)."""
+    profile = Microbench.calibrate() if calibrate else SystemProfile()
+    cm = CostModel(cfg, profile, runtime.quant)
+    pf, dec, pct = cm.choose(batch, in_len, out_len)
+    kw = {}
+    if runtime.prefill_policy == -1:
+        kw["prefill_policy"] = pf
+    if runtime.decode_policy == -1:
+        kw["decode_policy"] = dec
+    if runtime.hbm_percentage == -1:
+        kw["hbm_percentage"] = pct
+        if pct < 100:
+            kw["stream_weights"] = True
+    return runtime.replace(**kw) if kw else runtime

@@ -140,12 +140,12 @@ class StreamingScheduler:
 
         def f(lp, x, cache, idx, ctx, positions):
             start = cache.length
-            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
-            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
+            kl = kvc.index_layer_kv(cache.k, idx)
+            vl = kvc.index_layer_kv(cache.v, idx)
             x, kl, vl = layer(cfg, lp, x, kl, vl, start, ctx, positions)
             cache = cache._replace(
-                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
-                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+                k=kvc.set_layer_kv(cache.k, kl, idx),
+                v=kvc.set_layer_kv(cache.v, vl, idx),
             )
             return x, cache
 
@@ -192,12 +192,12 @@ class StreamingScheduler:
 
         def f(lp, x, cache, idx, ctx, positions):
             start = cache.length
-            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
-            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
+            kl = kvc.index_layer_kv(cache.k, idx)
+            vl = kvc.index_layer_kv(cache.v, idx)
             x, kl, vl = layer(cfg, lp, x, kl, vl, start, ctx, positions)
             cache = cache._replace(
-                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
-                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+                k=kvc.set_layer_kv(cache.k, kl, idx),
+                v=kvc.set_layer_kv(cache.v, vl, idx),
             )
             return x, cache
 
@@ -211,12 +211,12 @@ class StreamingScheduler:
 
         def f(q, k, v, cache, idx, ctx):
             start = cache.length
-            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
-            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
+            kl = kvc.index_layer_kv(cache.k, idx)
+            vl = kvc.index_layer_kv(cache.v, idx)
             attn_out, kl, vl = core(cfg, q, k, v, kl, vl, start, ctx)
             cache = cache._replace(
-                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
-                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+                k=kvc.set_layer_kv(cache.k, kl, idx),
+                v=kvc.set_layer_kv(cache.v, vl, idx),
             )
             return attn_out, cache
 
@@ -228,12 +228,12 @@ class StreamingScheduler:
 
         def f(cache, k, v, idx):
             start = cache.length
-            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
-            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
+            kl = kvc.index_layer_kv(cache.k, idx)
+            vl = kvc.index_layer_kv(cache.v, idx)
             kl, vl = kvc.update_layer(kl, vl, k, v, start)
             return cache._replace(
-                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
-                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+                k=kvc.set_layer_kv(cache.k, kl, idx),
+                v=kvc.set_layer_kv(cache.v, vl, idx),
             )
 
         return self._host_jit("host_update", f, donate_argnums=(0,))
@@ -369,16 +369,18 @@ class StreamingScheduler:
         def f(lp, x_sl, cache, idx, b0, ctx_sl, pos_sl):
             start = cache.length
             mb = x_sl.shape[0]
-            kl = jax.lax.dynamic_index_in_dim(cache.k, idx, 0, keepdims=False)
-            vl = jax.lax.dynamic_index_in_dim(cache.v, idx, 0, keepdims=False)
-            k_sl = jax.lax.dynamic_slice_in_dim(kl, b0, mb, 0)
-            v_sl = jax.lax.dynamic_slice_in_dim(vl, b0, mb, 0)
+            kl = kvc.index_layer_kv(cache.k, idx)
+            vl = kvc.index_layer_kv(cache.v, idx)
+            slice_b = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, mb, 0)
+            k_sl = jax.tree.map(slice_b, kl)
+            v_sl = jax.tree.map(slice_b, vl)
             x_sl, k_sl, v_sl = layer(cfg, lp, x_sl, k_sl, v_sl, start, ctx_sl, pos_sl)
-            kl = jax.lax.dynamic_update_slice_in_dim(kl, k_sl, b0, 0)
-            vl = jax.lax.dynamic_update_slice_in_dim(vl, v_sl, b0, 0)
+            upd_b = lambda a, sl: jax.lax.dynamic_update_slice_in_dim(a, sl, b0, 0)
+            kl = jax.tree.map(upd_b, kl, k_sl)
+            vl = jax.tree.map(upd_b, vl, v_sl)
             cache = cache._replace(
-                k=jax.lax.dynamic_update_index_in_dim(cache.k, kl, idx, 0),
-                v=jax.lax.dynamic_update_index_in_dim(cache.v, vl, idx, 0),
+                k=kvc.set_layer_kv(cache.k, kl, idx),
+                v=kvc.set_layer_kv(cache.v, vl, idx),
             )
             return x_sl, cache
 
@@ -389,15 +391,16 @@ class StreamingScheduler:
     def _init_caches(self, B: int, max_len: int):
         cfg = self.cfg
         dt = jnp.dtype(cfg.dtype)
+        qkv = self.runtime.quant.kv_cache_dtype == "int8"
         n_res = self.wm.n_resident
         n_str = cfg.num_layers - n_res
         res = (
-            kvc.init_cache(cfg.replace(num_layers=n_res), B, max_len, dt)
+            kvc.init_cache(cfg.replace(num_layers=n_res), B, max_len, dt, quantized=qkv)
             if n_res
             else None
         )
         if n_str:
-            st = kvc.init_cache(cfg.replace(num_layers=n_str), B, max_len, dt)
+            st = kvc.init_cache(cfg.replace(num_layers=n_str), B, max_len, dt, quantized=qkv)
             if self.kv_host:
                 st = jax.device_put(st, self.cpu)
         else:

@@ -47,11 +47,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--fused-decode", action="store_true", help="on-device lax.scan decode loop")
     p.add_argument("--token-latency", action="store_true", default=True)
-    # --- LIA policy knobs (reference run.py:196-215) ---
-    p.add_argument("--prefill-policy", type=int, default=3, choices=[0, 1, 2, 3])
-    p.add_argument("--decoding-policy", type=int, default=3, choices=[0, 1, 2, 3, 4])
-    p.add_argument("--hbm-percentage", type=int, default=100,
-                   help="%% of layers resident in HBM (gpu-percentage analog)")
+    # --- LIA policy knobs (reference run.py:196-215); 'auto' = cost-model pick ---
+    policy = lambda v: -1 if v == "auto" else int(v)
+    p.add_argument("--prefill-policy", type=policy, default=3,
+                   help="0|1|2|3|auto (LIA policy semantics)")
+    p.add_argument("--decoding-policy", type=policy, default=3,
+                   help="0|1|2|3|4|auto")
+    p.add_argument("--hbm-percentage", type=policy, default=100,
+                   help="%% of layers resident in HBM (gpu-percentage analog) or 'auto'")
+    p.add_argument("--calibrate", action="store_true",
+                   help="run live microbenchmarks for the auto cost model")
     p.add_argument("--num-minibatch", type=int, default=1)
     p.add_argument("--stream-weights", action="store_true",
                    help="host-resident weights streamed per layer (pin-weight/CXL analog)")
@@ -85,6 +90,17 @@ def main(argv=None) -> int:
             kv_cache_dtype=args.kv_cache_dtype,
         ),
     )
+    if -1 in (args.prefill_policy, args.decoding_policy, args.hbm_percentage):
+        from lia_tpu.runtime.cost_model import resolve_auto_policies
+
+        runtime = resolve_auto_policies(
+            cfg, runtime, args.batch_size, args.input_tokens, args.max_new_tokens,
+            calibrate=args.calibrate,
+        )
+        print(
+            f"[lia-tpu] auto placement: prefill={runtime.prefill_policy} "
+            f"decode={runtime.decode_policy} hbm%={runtime.hbm_percentage}"
+        )
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens,
         do_sample=not args.greedy,

@@ -62,3 +62,44 @@ def test_quantized_generation_matches_fp_tokens():
     qp = quantize_params(cfg, params, QuantConfig(weight_dtype="int8", group_size=16))
     q = InferenceEngine(cfg, qp).generate(prompts, gen)
     assert (fp.sequences == q.sequences).mean() > 0.8
+
+
+def test_int8_kv_cache_generation_close_to_fp():
+    """INT8 KV (per-token scales) must keep greedy tokens close to fp on a tiny
+    model (north-star: KV-cache held INT8)."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=5, scale=0.02)
+    gen = GenerationConfig(max_new_tokens=8)
+    prompts = [[5, 9, 23, 41, 17], [100, 7]]
+    fp = InferenceEngine(cfg, params).generate(prompts, gen)
+    rt = RuntimeConfig(quant=QuantConfig(kv_cache_dtype="int8"))
+    q = InferenceEngine(cfg, params, rt).generate(prompts, gen)
+    assert (fp.sequences == q.sequences).mean() >= 0.75
+
+
+def test_int8_kv_with_streaming_policies():
+    from lia_tpu.config import RuntimeConfig
+
+    cfg = get_config("opt-tiny").replace(num_layers=4, dtype="float32")
+    params = init_dummy_params(cfg, seed=5, scale=0.02)
+    gen = GenerationConfig(max_new_tokens=6)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    fp = InferenceEngine(cfg, params).generate(prompts, gen)
+    rt = RuntimeConfig(
+        prefill_policy=0, decode_policy=2, hbm_percentage=50, stream_weights=True,
+        quant=QuantConfig(kv_cache_dtype="int8"),
+    )
+    q = InferenceEngine(cfg, params, rt).generate(prompts, gen)
+    assert (fp.sequences == q.sequences).mean() >= 0.75
+
+
+def test_quantize_kv_roundtrip(rng):
+    from lia_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 16)), jnp.float32)
+    kv = quantize_kv(x)
+    x2 = np.asarray(dequantize_kv(kv, jnp.float32))
+    rel = np.abs(x2 - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
+    assert rel < 0.02
