@@ -15,6 +15,19 @@ the denominator.
 
 from __future__ import annotations
 
+import os as _os
+
+# persistent XLA compilation cache: repeat benchmark invocations skip the
+# (remote-)compile cost. jax is pre-imported by the environment, so the env var
+# is too late — set the config directly.
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import json
 import time
 

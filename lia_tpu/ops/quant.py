@@ -77,6 +77,25 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
     g = K if qc.group_size <= 0 else qc.group_size
     assert K % g == 0, f"in-dim {K} not divisible by group size {g}"
     ng = K // g
+
+    # native OpenMP path (liahost.cpp quantize_int8/int4) — ~30x over numpy
+    from lia_tpu import native
+
+    if native.available() and qc.weight_dtype in ("int8", "int4"):
+        w2 = np.ascontiguousarray(w.reshape(-1, K, N) if lead else w[None])
+        qs, ss = [], []
+        for i in range(w2.shape[0]):
+            if qc.weight_dtype == "int8":
+                q_i, s_i = native.quantize_int8(w2[i], g)
+            else:
+                q_i, s_i = native.quantize_int4(w2[i], g)
+            qs.append(q_i)
+            ss.append(s_i)
+        q = np.stack(qs).reshape(*lead, -1, N) if lead else qs[0]
+        s = np.stack(ss).reshape(*lead, ng, N) if lead else ss[0]
+        fmt = "woq_int8" if qc.weight_dtype == "int8" else "woq_int4"
+        return QuantizedWeight(q, s, fmt)
+
     wg = w.reshape(*lead, ng, g, N)
     if qc.weight_dtype == "int8":
         qmax = 127.0

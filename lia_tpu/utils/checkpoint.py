@@ -34,11 +34,15 @@ def _np_dtype(name: str):
     return np.dtype(name)
 
 
-def init_dummy_params(cfg: ModelConfig, seed: int = 0, scale: float = 0.006) -> Params:
+def init_dummy_params(
+    cfg: ModelConfig, seed: int = 0, scale: float = 0.006, quant=None
+) -> Params:
     """Random weights for any config size (OPT-175B dummy-weight analog).
 
-    Generated layer-group by layer-group in float32 then cast, to bound peak host
-    memory; small init scale keeps logits finite for arbitrary depth.
+    Generated layer-group by layer-group to bound peak host memory; small init
+    scale keeps logits finite for arbitrary depth. With ``quant`` (a QuantConfig),
+    layer matmul weights are synthesized **directly in quantized form** (native
+    randn_int8 — no multi-GB fp transient at 30B+ scale).
     """
     rng = np.random.default_rng(seed)
     dt = _np_dtype(cfg.dtype)
@@ -46,9 +50,41 @@ def init_dummy_params(cfg: ModelConfig, seed: int = 0, scale: float = 0.006) -> 
     E = cfg.embed_dim
     QD = cfg.num_heads * cfg.head_dim
     KD = cfg.num_kv_heads * cfg.head_dim
+    _seed = [seed]
 
     def w(*shape):
+        if cfg.dtype == "bfloat16":
+            # native multithreaded generator (liahost.cpp) — minutes→seconds at 30B+
+            from lia_tpu import native
+
+            _seed[0] += 1
+            return native.randn_bf16(shape, _seed[0], scale)
         return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(dt)
+
+    def wq(*shape):
+        """Stacked [L, K, N] layer weight — quantized directly when requested."""
+        if quant is None or not quant.enabled:
+            return w(*shape)
+        from lia_tpu import native
+        from lia_tpu.ops.quant import QuantizedWeight
+
+        Lw, K, N = shape
+        g = K if quant.group_size <= 0 else quant.group_size
+        qs, ss = [], []
+        for i in range(Lw):
+            _seed[0] += 1
+            q_i, s_i = native.randn_int8(K, N, g, _seed[0], scale)
+            qs.append(q_i)
+            ss.append(s_i)
+        q = np.stack(qs)
+        sarr = np.stack(ss)
+        if quant.weight_dtype == "int4":
+            q4 = np.clip(np.rint(q.astype(np.float32) * (7.0 / 127.0)), -8, 7)
+            b = (q4.astype(np.int8) + 8).astype(np.uint8)
+            q = (b[:, 0::2, :] & 0xF) | (b[:, 1::2, :] << 4)
+            sarr = sarr * (127.0 / 7.0)
+            return QuantizedWeight(q, sarr, "woq_int4")
+        return QuantizedWeight(q, sarr, "woq_int8")
 
     def zeros(*shape):
         return np.zeros(shape, dt)
@@ -62,13 +98,13 @@ def init_dummy_params(cfg: ModelConfig, seed: int = 0, scale: float = 0.006) -> 
             p["bias"] = zeros(L, H)
         return p
 
-    attn: Params = {"wq": w(L, H, QD), "wk": w(L, H, KD), "wv": w(L, H, KD), "wo": w(L, QD, H)}
+    attn: Params = {"wq": wq(L, H, QD), "wk": wq(L, H, KD), "wv": wq(L, H, KD), "wo": wq(L, QD, H)}
     if cfg.attn_bias:
         attn.update(bq=zeros(L, QD), bk=zeros(L, KD), bv=zeros(L, KD), bo=zeros(L, H))
     if cfg.activation == Activation.SILU:
-        mlp: Params = {"wg": w(L, H, F), "w1": w(L, H, F), "w2": w(L, F, H)}
+        mlp: Params = {"wg": wq(L, H, F), "w1": wq(L, H, F), "w2": wq(L, F, H)}
     else:
-        mlp = {"w1": w(L, H, F), "w2": w(L, F, H)}
+        mlp = {"w1": wq(L, H, F), "w2": wq(L, F, H)}
         if cfg.mlp_bias:
             mlp.update(b1=zeros(L, F), b2=zeros(L, H))
 

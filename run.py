@@ -15,6 +15,19 @@ Examples:
 
 from __future__ import annotations
 
+import os as _os
+
+# persistent XLA compilation cache: repeat benchmark invocations skip the
+# (remote-)compile cost. jax is pre-imported by the environment, so the env var
+# is too late — set the config directly.
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import argparse
 import json
 import time
@@ -113,16 +126,14 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     if args.checkpoint:
         params = load_hf_checkpoint(cfg, args.checkpoint)
+        if runtime.quant.enabled:
+            from lia_tpu.ops.quant import quantize_params
+
+            params = quantize_params(cfg, params, runtime.quant)
     else:
-        params = init_dummy_params(cfg)
+        # dummy weights synthesize directly in quantized form when requested
+        params = init_dummy_params(cfg, quant=runtime.quant if runtime.quant.enabled else None)
     print(f"[lia-tpu] weights ready in {time.perf_counter()-t0:.1f}s")
-
-    if runtime.quant.enabled:
-        from lia_tpu.ops.quant import quantize_params
-
-        t0 = time.perf_counter()
-        params = quantize_params(cfg, params, runtime.quant)
-        print(f"[lia-tpu] quantized to {runtime.quant.weight_dtype} in {time.perf_counter()-t0:.1f}s")
 
     engine = InferenceEngine(cfg, params, runtime)
 

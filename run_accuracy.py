@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Accuracy runner: last-token prediction accuracy + perplexity on a token dataset.
+
+Parity surface: the reference's lm-eval-harness wrapper
+(examples/.../single_instance/run_accuracy.py:78-80,543-575 — a BaseLM adapter whose
+core is ``loglikelihood`` over (context, continuation) pairs, evaluated on lambada).
+This runner consumes a local JSONL of token-id records::
+
+    {"context": [1, 523, 88, ...], "continuation": [42]}
+
+and reports continuation accuracy (greedy-argmax exact match — the lambada metric)
+plus total log-likelihood / perplexity. Zero-egress environments generate a
+self-consistency probe set with --self-test (model's own greedy continuations must
+score as the argmax — a structural correctness gate, not a quality metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from lia_tpu.config import GenerationConfig, QuantConfig, RuntimeConfig
+from lia_tpu.engine.engine import InferenceEngine
+from lia_tpu.models.registry import get_config
+from lia_tpu.utils.checkpoint import init_dummy_params, load_hf_checkpoint
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="LIA-TPU accuracy runner", allow_abbrev=False)
+    p.add_argument("-m", "--model", default="opt-125m")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--dummy-weights", action="store_true")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--dataset", default=None, help="JSONL of {context, continuation} token ids")
+    p.add_argument("--self-test", action="store_true", help="synthesize a probe set from the model")
+    p.add_argument("--limit", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--weight-dtype", default="none", choices=["none", "int8", "int4"])
+    p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.model).replace(dtype=args.dtype)
+    quant = QuantConfig(weight_dtype=args.weight_dtype, kv_cache_dtype=args.kv_cache_dtype)
+    if args.checkpoint:
+        params = load_hf_checkpoint(cfg, args.checkpoint)
+        if quant.enabled:
+            from lia_tpu.ops.quant import quantize_params
+
+            params = quantize_params(cfg, params, quant)
+    else:
+        params = init_dummy_params(cfg, quant=quant if quant.enabled else None)
+    engine = InferenceEngine(cfg, params, RuntimeConfig(quant=quant))
+
+    records = []
+    if args.dataset:
+        with open(args.dataset) as f:
+            for line in f:
+                if line.strip():
+                    records.append(json.loads(line))
+                if len(records) >= args.limit:
+                    break
+    elif args.self_test:
+        rng = np.random.default_rng(0)
+        gen = GenerationConfig(max_new_tokens=1)
+        for _ in range(args.limit // args.batch_size):
+            prompts = [
+                list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=32))
+                for _ in range(args.batch_size)
+            ]
+            out = engine.generate(prompts, gen)
+            for pr, tok in zip(prompts, out.sequences[:, 0]):
+                records.append({"context": pr, "continuation": [int(tok)]})
+    else:
+        p.error("provide --dataset or --self-test")
+
+    correct, total_ll, total_toks = 0, 0.0, 0
+    for i in range(0, len(records), args.batch_size):
+        chunk = records[i : i + args.batch_size]
+        ctxs = [r["context"] for r in chunk]
+        conts = [r["continuation"] for r in chunk]
+        ll = engine.loglikelihood(ctxs, conts)
+        greedy = engine.generate(ctxs, GenerationConfig(max_new_tokens=1)).sequences[:, 0]
+        for r, l, g in zip(chunk, ll, greedy):
+            total_ll += float(l)
+            total_toks += len(r["continuation"])
+            if len(r["continuation"]) == 1 and int(g) == r["continuation"][0]:
+                correct += 1
+    acc = correct / max(len(records), 1)
+    ppl = float(np.exp(-total_ll / max(total_toks, 1)))
+    print(json.dumps({"n": len(records), "accuracy": acc, "loglikelihood": total_ll, "ppl": ppl}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
