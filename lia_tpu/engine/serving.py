@@ -1,0 +1,192 @@
+"""Continuous batching: slot-based serving over a ragged KV cache.
+
+North-star requirement ("continuous batching", BASELINE.json) — the reference has
+only multi-instance batch serving (launcher --ninstances, SURVEY §2.5); this is the
+TPU-native upgrade: a fixed-shape decode step over ``max_batch`` slots where each
+slot carries its own cache length (`decode_step_ragged`), finished sequences free
+their slot immediately, and waiting requests are admitted by prefilling into the
+free slot and splicing the resulting KV segment into the batch cache
+(:func:`lia_tpu.ops.kv_cache.insert_slot`). Shapes stay static → zero recompiles in
+steady state.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Deque, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lia_tpu.config import GenerationConfig, ModelConfig, RuntimeConfig
+from lia_tpu.engine.engine import bucket_length, pack_prompts
+from lia_tpu.models import transformer as T
+from lia_tpu.ops import kv_cache as kvc
+from lia_tpu.ops import sampling
+
+
+@dataclass
+class Request:
+    req_id: int
+    prompt: List[int]
+    max_new_tokens: int
+    output: List[int] = field(default_factory=list)
+    submitted_at: float = field(default_factory=time.perf_counter)
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+    @property
+    def ttft_s(self) -> Optional[float]:
+        return None if self.first_token_at is None else self.first_token_at - self.submitted_at
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching engine (single device, resident weights)."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params_host: Any,
+        max_batch: int = 8,
+        max_len: int = 512,
+        gen: GenerationConfig = GenerationConfig(),
+        kv_quantized: bool = False,
+    ):
+        self.cfg = cfg
+        self.gen = gen
+        self.B = max_batch
+        self.max_len = max_len
+        self.params = jax.device_put(params_host)
+        self.cache = kvc.init_cache(cfg, max_batch, max_len, jnp.dtype(cfg.dtype), quantized=kv_quantized)
+        # ragged state: per-slot lengths
+        self.cache = self.cache._replace(length=jnp.zeros((max_batch,), jnp.int32))
+        self.logical_pos = np.zeros(max_batch, np.int64)
+        self.active = np.zeros(max_batch, bool)
+        self.slot_req: List[Optional[Request]] = [None] * max_batch
+        self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
+        self.queue: Deque[Request] = deque()
+        self.done: List[Request] = []
+        self._next_id = 0
+        self._compiled: Dict[Any, Any] = {}
+        self._rng = jax.random.PRNGKey(0)
+        self._steps = 0
+
+    # -- compiled fns ---------------------------------------------------------
+
+    def _decode_fn(self):
+        if "decode" not in self._compiled:
+            self._compiled["decode"] = jax.jit(
+                partial(T.decode_step_ragged, self.cfg), donate_argnums=(3,)
+            )
+        return self._compiled["decode"]
+
+    def _prefill_fn(self, bucket: int):
+        key = ("prefill", bucket)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(partial(T.prefill, self.cfg), donate_argnums=(3,))
+        return self._compiled[key]
+
+    def _insert_fn(self):
+        if "insert" not in self._compiled:
+            self._compiled["insert"] = jax.jit(kvc.insert_slot, donate_argnums=(0,))
+        return self._compiled["insert"]
+
+    # -- API ------------------------------------------------------------------
+
+    def submit(self, prompt: Sequence[int], max_new_tokens: Optional[int] = None) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append(Request(rid, list(prompt), max_new_tokens or self.gen.max_new_tokens))
+        return rid
+
+    def _admit(self) -> None:
+        while self.queue and not self.active.all():
+            slot = int(np.flatnonzero(~self.active)[0])
+            req = self.queue.popleft()
+            bucket = bucket_length(len(req.prompt))
+            if bucket + req.max_new_tokens > self.max_len:
+                raise ValueError(
+                    f"request {req.req_id} needs {bucket + req.max_new_tokens} slots > max_len {self.max_len}"
+                )
+            tokens, mask = pack_prompts([req.prompt], self.gen.pad_token_id, bucket=bucket)
+            seg = kvc.init_cache(
+                self.cfg, 1, self.max_len,
+                jnp.dtype(self.cfg.dtype),
+                quantized=not isinstance(self.cache.k, jnp.ndarray),
+            )
+            logits, seg = self._prefill_fn(bucket)(
+                self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
+            )
+            self._rng, sub = jax.random.split(self._rng)
+            first = int(sampling.sample(logits, sub, self.gen)[0])
+            self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
+            req.first_token_at = time.perf_counter()
+            req.output.append(first)
+            self.slot_req[slot] = req
+            self.active[slot] = True
+            self.tokens[slot] = first
+            self.logical_pos[slot] = len(req.prompt)
+            self._maybe_finish(slot, first)
+
+    def _maybe_finish(self, slot: int, tok: int) -> None:
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        eos_hit = self.gen.eos_token_id is not None and tok == self.gen.eos_token_id
+        if eos_hit or len(req.output) >= req.max_new_tokens:
+            req.finished_at = time.perf_counter()
+            self.done.append(req)
+            self.slot_req[slot] = None
+            self.active[slot] = False
+
+    def step(self) -> bool:
+        """One engine iteration: admit waiting requests, then one decode step.
+        Returns False when there is nothing left to do."""
+        self._admit()
+        if not self.active.any():
+            return bool(self.queue)
+        decode = self._decode_fn()
+        self._rng, sub = jax.random.split(self._rng)
+        logits, self.cache = decode(
+            self.params,
+            jnp.asarray(self.tokens)[:, None],
+            jnp.asarray(self.logical_pos, jnp.int32),
+            self.cache,
+            jnp.asarray(self.active),
+        )
+        toks = np.asarray(sampling.sample(logits, sub, self.gen))
+        self._steps += 1
+        for slot in np.flatnonzero(self.active):
+            slot = int(slot)
+            req = self.slot_req[slot]
+            tok = int(toks[slot])
+            req.output.append(tok)
+            self.tokens[slot] = tok
+            self.logical_pos[slot] += 1
+            self._maybe_finish(slot, tok)
+        return True
+
+    def run(self) -> List[Request]:
+        while self.step() or self.queue or self.active.any():
+            if not self.queue and not self.active.any():
+                break
+        return self.done
+
+    def stats(self) -> Dict[str, float]:
+        if not self.done:
+            return {}
+        ttfts = [r.ttft_s for r in self.done if r.ttft_s is not None]
+        total_tokens = sum(len(r.output) for r in self.done)
+        t0 = min(r.submitted_at for r in self.done)
+        t1 = max(r.finished_at for r in self.done)
+        return {
+            "requests": float(len(self.done)),
+            "total_tokens": float(total_tokens),
+            "tokens_per_s": total_tokens / max(t1 - t0, 1e-9),
+            "mean_ttft_s": float(np.mean(ttfts)) if ttfts else 0.0,
+            "decode_steps": float(self._steps),
+        }

@@ -341,3 +341,37 @@ def decode_step(
     cache = kvc.advance(cache, jnp.ones((tokens.shape[0], 1), jnp.bool_), 1)
     logits = lm_head(cfg, params, x)[:, 0, :]
     return logits, cache
+
+
+def decode_step_ragged(
+    cfg: ModelConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, 1]
+    logical_pos: jnp.ndarray,  # [B] pad-aware logical positions of these tokens
+    cache: kvc.KVCache,  # ragged: cache.length is [B] per-slot write positions
+    active: jnp.ndarray,  # [B] bool — slots currently serving a sequence
+) -> Tuple[jnp.ndarray, kvc.KVCache]:
+    """One decode step over a ragged batch (continuous-batching mode).
+
+    Unlike :func:`decode_step`, every slot has its own cache length; inactive
+    slots still compute (static shapes) but neither their cache writes persist as
+    valid slots nor do their lengths advance.
+    """
+    B = tokens.shape[0]
+    x = embed(cfg, params, tokens, logical_pos[:, None])
+    slot_mask = jax.vmap(
+        lambda row, p, a: jax.lax.dynamic_update_slice(row, a[None], (p,))
+    )(cache.mask, cache.length, active)
+    ctx = att.decode_attn_ctx(slot_mask, cache.length + 1)
+    start = cache.length  # [B] → ragged writes inside update_layer
+
+    def body(h, per_layer):
+        lp, kl, vl = per_layer
+        h, kl, vl = decoder_layer_decode(cfg, lp, h, kl, vl, start, ctx, logical_pos[:, None])
+        return h, (kl, vl)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    cache = cache._replace(k=k_new, v=v_new)
+    cache = kvc.advance_ragged(cache, active)
+    logits = lm_head(cfg, params, x)[:, 0, :]
+    return logits, cache

@@ -60,12 +60,13 @@ def causal_mask(
 
 def decode_mask(
     slot_mask: jnp.ndarray,  # [B, S_max] bool — occupied-slot mask from the KV cache
-    length: jnp.ndarray,  # scalar — valid cache length incl. the token being decoded
+    length: jnp.ndarray,  # scalar or [B] — valid cache length incl. the new token
 ) -> jnp.ndarray:
     """Key-validity mask for decode: [B, 1, S_max]."""
-    S_max = slot_mask.shape[1]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S_max), 1)
-    return (slot_mask & (pos < length))[:, None, :]
+    B, S_max = slot_mask.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S_max), 1)
+    lengths = jnp.broadcast_to(length, (B,))[:, None]
+    return (slot_mask & (pos < lengths))[:, None, :]
 
 
 # ---------------------------------------------------------------------------

@@ -85,19 +85,33 @@ def set_layer_kv(plane: Any, layer_plane: Any, idx) -> Any:
 def _update_plane(plane, new, start):
     """Write new head-major values at [start : start+S_new] into one layer plane.
 
+    ``start`` may be a scalar (aligned batch — every sequence writes the same
+    slot) or a per-sequence [B] vector (ragged / continuous-batching mode).
     Handles both raw arrays and :class:`QuantizedKV` planes (fresh values are
     quantized per token on write — the cache write IS the quantization point)."""
     from lia_tpu.ops.quant import QuantizedKV, is_quantized_kv, quantize_kv
 
+    ragged = getattr(start, "ndim", 0) == 1
     zero = jnp.zeros((), jnp.int32)
     if is_quantized_kv(plane):
         newq = new if is_quantized_kv(new) else quantize_kv(new)
+        if ragged:
+            q = jax.vmap(
+                lambda pl_b, nw_b, p: jax.lax.dynamic_update_slice(pl_b, nw_b, (zero, p, zero))
+            )(plane.q, newq.q, start)
+            sc = jax.vmap(
+                lambda pl_b, nw_b, p: jax.lax.dynamic_update_slice(pl_b, nw_b, (zero, p))
+            )(plane.s, newq.s, start)
+            return QuantizedKV(q, sc)
         q = jax.lax.dynamic_update_slice(plane.q, newq.q, (zero, zero, start, zero))
         sc = jax.lax.dynamic_update_slice(plane.s, newq.s, (zero, zero, start))
         return QuantizedKV(q, sc)
-    return jax.lax.dynamic_update_slice(
-        plane, new.astype(plane.dtype), (zero, zero, start, zero)
-    )
+    new = new.astype(plane.dtype)
+    if ragged:
+        return jax.vmap(
+            lambda pl_b, nw_b, p: jax.lax.dynamic_update_slice(pl_b, nw_b, (zero, p, zero))
+        )(plane, new, start)
+    return jax.lax.dynamic_update_slice(plane, new, (zero, zero, start, zero))
 
 
 def update_layer(
@@ -119,6 +133,38 @@ def advance(cache: KVCache, new_mask: jnp.ndarray, n_new: int) -> KVCache:
     zero = jnp.zeros((), jnp.int32)
     mask = jax.lax.dynamic_update_slice(cache.mask, new_mask, (zero, cache.length))
     return cache._replace(length=cache.length + n_new, mask=mask)
+
+
+def advance_ragged(cache: KVCache, active: jnp.ndarray) -> KVCache:
+    """Per-slot advance for continuous batching: ``cache.length`` is [B];
+    only ``active`` slots consumed a new token (their just-written slot becomes
+    valid and their length grows)."""
+    mask = jax.vmap(
+        lambda row, p, a: jax.lax.dynamic_update_slice(row, a[None], (p,))
+    )(cache.mask, cache.length, active)
+    return cache._replace(length=cache.length + active.astype(jnp.int32), mask=mask)
+
+
+def insert_slot(cache: KVCache, seg: KVCache, slot) -> KVCache:
+    """Insert a freshly-prefilled single-sequence cache segment into batch row
+    ``slot`` (continuous batching admission). ``seg`` has batch dim 1 and the
+    same S_max; its (scalar) length becomes this slot's length."""
+    zeros5 = (jnp.zeros((), jnp.int32),) * 5
+
+    def put5(big, small):
+        return jax.tree.map(
+            lambda b, s_: jax.lax.dynamic_update_slice(
+                b, s_.astype(b.dtype), (zeros5[0], slot) + (jnp.zeros((), jnp.int32),) * (b.ndim - 2)
+            ),
+            big,
+            small,
+        )
+
+    mask = jax.lax.dynamic_update_slice(cache.mask, seg.mask, (slot, jnp.zeros((), jnp.int32)))
+    length = jax.lax.dynamic_update_slice(
+        cache.length, seg.length[None].astype(cache.length.dtype), (slot,)
+    )
+    return cache._replace(k=put5(cache.k, seg.k), v=put5(cache.v, seg.v), mask=mask, length=length)
 
 
 def beam_reorder(cache: KVCache, beam_idx: jnp.ndarray) -> KVCache:

@@ -145,7 +145,7 @@ def flash_attention_prefill(
 
 
 def _decode_kernel(
-    len_ref,  # [1, 1] int32 in SMEM — valid cache length
+    len_ref,  # [B, 1] int32 in SMEM — valid cache length per sequence
     start_ref,  # [B, 1] int32 in SMEM — first valid slot per sequence
     q_ref,  # [1, 1, 1, G*D]
     k_ref,  # [1, 1, S_max, D]
@@ -157,7 +157,7 @@ def _decode_kernel(
     G: int,
 ):
     D = k_ref.shape[3]
-    length = len_ref[0, 0]
+    length = len_ref[pl.program_id(0), 0]
     start = start_ref[pl.program_id(0), 0]
     q = q_ref[0, 0].astype(jnp.float32).reshape(G, D) * scale  # [G, D]
 
@@ -195,8 +195,8 @@ def decode_attention(
     k_cache: jnp.ndarray,  # [B, N_kv, S_max, D] (head-major)
     v_cache: jnp.ndarray,  # [B, N_kv, S_max, D]
     slot_mask: jnp.ndarray,  # [B, S_max] bool — occupied slots (incl. current;
-    # LEFT-padded: validity contiguous [pad_len, length))
-    length: jnp.ndarray,  # scalar int32 — valid length (incl. current token)
+    # validity must be contiguous per row: [start_b, length_b))
+    length: jnp.ndarray,  # int32 scalar or [B] — valid length (incl. current token)
     scale: float | None = None,
     block_k: int = 512,
     interpret: bool | None = None,
@@ -211,15 +211,15 @@ def decode_attention(
     assert S_max % bk == 0, f"S_max={S_max} must divide block_k={bk}"
 
     qg = q.reshape(B, Nkv, 1, G * D)
-    # first valid slot per sequence: length valid slots minus count of real tokens
-    starts = (length - jnp.sum(slot_mask.astype(jnp.int32), axis=1))[:, None]
-    lengths = jnp.broadcast_to(length.astype(jnp.int32), (1, 1))
+    lengths = jnp.broadcast_to(length.astype(jnp.int32), (B,))[:, None]
+    # first valid slot per sequence: valid length minus count of real tokens
+    starts = lengths - jnp.sum(slot_mask.astype(jnp.int32), axis=1)[:, None]
     grid = (B, Nkv)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, bk=bk, G=G),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, G * D), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, S_max, D), lambda b, h: (b, h, 0, 0)),

@@ -70,14 +70,12 @@ def init_dummy_params(
 
         Lw, K, N = shape
         g = K if quant.group_size <= 0 else quant.group_size
-        qs, ss = [], []
-        for i in range(Lw):
-            _seed[0] += 1
-            q_i, s_i = native.randn_int8(K, N, g, _seed[0], scale)
-            qs.append(q_i)
-            ss.append(s_i)
-        q = np.stack(qs)
-        sarr = np.stack(ss)
+        _seed[0] += 1
+        # one native fill over the stacked [L*K, N] buffer: groups tile evenly
+        # (L*K/g == L*ng), so no per-layer loop and no stack copy
+        q, sarr = native.randn_int8(Lw * K, N, g, _seed[0], scale)
+        q = q.reshape(Lw, K, N)
+        sarr = sarr.reshape(Lw, K // g, N)
         if quant.weight_dtype == "int4":
             q4 = np.clip(np.rint(q.astype(np.float32) * (7.0 / 127.0)), -8, 7)
             b = (q4.astype(np.int8) + 8).astype(np.uint8)

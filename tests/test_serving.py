@@ -1,0 +1,76 @@
+"""Continuous batching tests: ragged decode correctness + slot lifecycle."""
+
+import numpy as np
+import pytest
+
+from lia_tpu.config import GenerationConfig
+from lia_tpu.engine.engine import InferenceEngine
+from lia_tpu.engine.serving import ContinuousBatcher
+from lia_tpu.models.registry import get_config
+from lia_tpu.utils.checkpoint import init_dummy_params
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=21, scale=0.02)
+    return cfg, params
+
+
+def test_serving_matches_static_engine(model):
+    """Each request's tokens must equal what the static engine generates alone."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=6)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8, 12, 13], [50, 60]]
+
+    ref = {}
+    eng = InferenceEngine(cfg, params)
+    for i, p in enumerate(prompts):
+        ref[i] = list(eng.generate([p], gen).sequences[0])
+
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids = [cb.submit(p) for p in prompts]
+    done = cb.run()
+    assert len(done) == len(prompts)
+    by_id = {r.req_id: r for r in done}
+    for i in ids:
+        assert by_id[i].output == ref[i], f"request {i}"
+
+
+def test_serving_slot_reuse_and_stats(model):
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=4)
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen)
+    for _ in range(5):
+        cb.submit([3, 4, 5])
+    done = cb.run()
+    assert len(done) == 5
+    s = cb.stats()
+    assert s["requests"] == 5
+    assert s["total_tokens"] == 5 * 4
+    assert s["tokens_per_s"] > 0
+    # 2 slots for 5 requests => slots were recycled
+    assert not cb.active.any() and not cb.queue
+
+
+def test_serving_rejects_oversized(model):
+    cfg, params = model
+    cb = ContinuousBatcher(cfg, params, max_batch=1, max_len=32,
+                           gen=GenerationConfig(max_new_tokens=30))
+    cb.submit(list(range(3, 30)))  # bucket 32 + 30 new > 32
+    with pytest.raises(ValueError, match="max_len"):
+        cb.run()
+
+
+def test_serving_eos(model):
+    cfg, params = model
+    gen_probe = GenerationConfig(max_new_tokens=2)
+    eng = InferenceEngine(cfg, params)
+    eos = int(eng.generate([[7, 8, 9]], gen_probe).sequences[0, 0])
+    gen = GenerationConfig(max_new_tokens=50, eos_token_id=eos, pad_token_id=1)
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=256, gen=gen)
+    cb.submit([7, 8, 9])
+    done = cb.run()
+    assert len(done) == 1
+    assert done[0].output[-1] == eos
+    assert len(done[0].output) < 50
