@@ -97,7 +97,15 @@ class InferenceEngine:
             self.scheduler = StreamingScheduler(cfg, runtime, params_host)
             self.params = self.scheduler.resident_params
         else:
+            t0 = time.perf_counter()
             self.params = jax.device_put(params_host)
+            jax.block_until_ready(self.params)
+            nbytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(params_host))
+            dt = time.perf_counter() - t0
+            print(
+                f"[lia-tpu] {nbytes/1e9:.2f} GB weights → device in {dt:.1f}s "
+                f"({nbytes/1e9/max(dt,1e-9):.2f} GB/s)"
+            )
 
     # -- compiled-fn cache ---------------------------------------------------
 
@@ -230,6 +238,10 @@ class InferenceEngine:
         beam_idx reorder). Returns the best beam per prompt."""
         from lia_tpu.engine import beam as beam_mod
 
+        if self.scheduler is not None:
+            raise NotImplementedError(
+                "beam search currently requires resident weights (policy 3, hbm=100)"
+            )
         cfg = self.cfg
         nb = gen.num_beams
         expanded = [p for p in prompts for _ in range(nb)]
@@ -296,6 +308,10 @@ class InferenceEngine:
         """Sum log-prob of each continuation given its context (lm-eval
         `loglikelihood`; reference: run_accuracy.py:543-575 BaseLM adapter).
         Returns [B] float64."""
+        if self.scheduler is not None:
+            raise NotImplementedError(
+                "loglikelihood scoring currently requires resident weights"
+            )
         cfg = self.cfg
         full = [list(c) + list(t) for c, t in zip(contexts, continuations)]
         tokens, mask = pack_prompts(full, pad_id=1)

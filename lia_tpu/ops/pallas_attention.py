@@ -147,32 +147,34 @@ def flash_attention_prefill(
 def _decode_kernel(
     len_ref,  # [B, 1] int32 in SMEM — valid cache length per sequence
     start_ref,  # [B, 1] int32 in SMEM — first valid slot per sequence
-    q_ref,  # [1, 1, 1, G*D]
-    k_ref,  # [1, 1, S_max, D]
-    v_ref,  # [1, 1, S_max, D]
-    o_ref,  # [1, 1, 1, G*D]
+    q_ref,  # [1, Hs, 1, G*D]
+    k_ref,  # [1, Hs, S_max, D]
+    v_ref,  # [1, Hs, S_max, D]
+    o_ref,  # [1, Hs, 1, G*D]
     *,
     scale: float,
     bk: int,
     G: int,
 ):
-    D = k_ref.shape[3]
+    # Hs KV heads per grid cell: one fat DMA per cell instead of per head, and
+    # the score/update matmuls batch over heads (dot_general batch dims).
+    Hs, D = k_ref.shape[1], k_ref.shape[3]
     length = len_ref[pl.program_id(0), 0]
     start = start_ref[pl.program_id(0), 0]
-    q = q_ref[0, 0].astype(jnp.float32).reshape(G, D) * scale  # [G, D]
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
 
-    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G, 1), jnp.float32)
-    acc0 = jnp.zeros((G, D), jnp.float32)
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        k = k_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)  # [Hs, bk, D]
+        v = v_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, bk]
-        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (G, bk), 1)
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [Hs, G, bk]
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
         allow = (pos < length) & (pos >= start)
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -180,13 +182,13 @@ def _decode_kernel(
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [Hs, G, D]
         return m_new, l, acc
 
     num_kv = pl.cdiv(length, bk)  # only tiles that contain valid slots
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(1, G * D).astype(o_ref.dtype)
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
@@ -214,18 +216,24 @@ def decode_attention(
     lengths = jnp.broadcast_to(length.astype(jnp.int32), (B,))[:, None]
     # first valid slot per sequence: valid length minus count of real tokens
     starts = lengths - jnp.sum(slot_mask.astype(jnp.int32), axis=1)[:, None]
-    grid = (B, Nkv)
+    # KV heads per grid cell: as many as fit a ~8MB VMEM budget for the K+V blocks
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    budget = 8 * 1024 * 1024
+    Hs = max(1, min(Nkv, budget // max(2 * S_max * D * itemsize, 1)))
+    while Nkv % Hs:
+        Hs -= 1
+    grid = (B, Nkv // Hs)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, bk=bk, G=G),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, G * D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, S_max, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, S_max, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_max, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_max, D), lambda b, h: (b, h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, G * D), lambda b, h: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
         interpret=interpret,
     )(lengths, starts.astype(jnp.int32), qg, k_cache, v_cache)
