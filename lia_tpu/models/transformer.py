@@ -118,8 +118,9 @@ def mlp(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 def attn_in(cfg: ModelConfig, lp: Params, x: jnp.ndarray, positions: jnp.ndarray):
     """LN1 + QKV projection (+RoPE). Returns (q, k, v) with head-major k/v."""
-    h = norm(cfg, lp["ln1"], x) if cfg.pre_norm else x
-    return qkv_project(cfg, lp, h, positions)
+    with jax.named_scope("attn_in"):
+        h = norm(cfg, lp["ln1"], x) if cfg.pre_norm else x
+        return qkv_project(cfg, lp, h, positions)
 
 
 def attn_core_prefill(
@@ -160,6 +161,11 @@ def attn_core_decode(
 
 def attn_post_mlp(cfg: ModelConfig, lp: Params, residual: jnp.ndarray, attn_out):
     """Out-proj + residual + LN2 + MLP + residual (post-attention operator group)."""
+    with jax.named_scope("attn_post_mlp"):
+        return _attn_post_mlp(cfg, lp, residual, attn_out)
+
+
+def _attn_post_mlp(cfg: ModelConfig, lp: Params, residual: jnp.ndarray, attn_out):
     B, S = attn_out.shape[:2]
     h = linear(attn_out.reshape(B, S, -1), lp["attn"]["wo"], lp["attn"].get("bo"))
     x = residual + h
@@ -241,6 +247,11 @@ def embed(
 def lm_head(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Hidden → vocab logits (fp32). x: [B, S, H] (callers slice to last token first —
     the `lm_head_generation` parity trick, models/reference/models.py:424-431)."""
+    with jax.named_scope("lm_head"):
+        return _lm_head(cfg, params, x)
+
+
+def _lm_head(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "final_norm" in params:
         x = norm(cfg, params["final_norm"], x)
     if "proj_out" in params:

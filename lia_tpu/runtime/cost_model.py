@@ -216,7 +216,9 @@ def resolve_auto_policies(
     calibrate: bool = False,
 ) -> RuntimeConfig:
     """Fill in policies/hbm_percentage when the runtime asks for auto (-1)."""
-    profile = Microbench.calibrate() if calibrate else SystemProfile()
+    from lia_tpu.utils.device_caps import system_profile_defaults
+
+    profile = Microbench.calibrate() if calibrate else system_profile_defaults()
     cm = CostModel(cfg, profile, runtime.quant)
     pf, dec, pct = cm.choose(batch, in_len, out_len)
     kw = {}

@@ -1,0 +1,97 @@
+"""GPTQ checkpoint ingestion.
+
+Parity surface: the reference consumes GPTQ low-precision checkpoints
+(``ipex.quantization.gptq``, quantization/_GPTQ/, CLI knobs run.py:138-156). This
+module unpacks the AutoGPTQ tensor format —
+
+  qweight: int32 [K/8, N]   (eight 4-bit values per int32, packed along K)
+  qzeros:  int32 [K/g, N/8] (eight 4-bit zero-points per int32, packed along N)
+  scales:  f16/f32 [K/g, N]
+  g_idx:   int32 [K]        (optional K→group permutation, act-order)
+
+— into fp32, then re-quantizes into the framework's symmetric
+:class:`~lia_tpu.ops.quant.QuantizedWeight` int4 form consumed by the Pallas
+fused dequant-matmul. The sym-requantization step introduces a small extra error
+versus native asymmetric GPTQ (zero-point-aware kernel: planned follow-up); pass
+``keep_fp=True`` to ingest at full precision instead.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from lia_tpu.config import ModelConfig, QuantConfig
+
+
+def unpack_gptq(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    g_idx: Optional[np.ndarray] = None,
+    bits: int = 4,
+) -> np.ndarray:
+    """Dequantize one AutoGPTQ-format weight to fp32 [K, N]."""
+    assert bits == 4, "only 4-bit GPTQ supported"
+    per = 32 // bits
+    K = qweight.shape[0] * per
+    N = qweight.shape[1]
+    shifts = (np.arange(per, dtype=np.uint32) * bits)[None, :, None]
+    w = ((qweight.astype(np.uint32)[:, None, :] >> shifts) & 0xF).reshape(K, N)
+    z = ((qzeros.astype(np.uint32)[:, :, None] >> shifts.transpose(0, 2, 1)) & 0xF)
+    z = z.reshape(qzeros.shape[0], N)  # [K/g, N]
+    # AutoGPTQ stores zero-1 (the +1 convention); many exporters vary — the +1
+    # variant is the upstream default
+    z = z + 1
+    scales = np.asarray(scales, np.float32)
+    ng = scales.shape[0]
+    g = K // ng
+    if g_idx is not None:
+        grp = np.asarray(g_idx, np.int64)
+    else:
+        grp = np.arange(K) // g
+    return (w.astype(np.float32) - z[grp].astype(np.float32)) * scales[grp]
+
+
+def params_from_gptq_state_dict(
+    cfg: ModelConfig,
+    sd: Dict[str, np.ndarray],
+    group_size: int = 128,
+    keep_fp: bool = False,
+):
+    """Map an AutoGPTQ OPT/Llama state dict into our pytree.
+
+    Linear layers arrive as (qweight, qzeros, scales[, g_idx]) triples keyed like
+    ``model.decoder.layers.N.self_attn.q_proj.qweight``; everything else (embeds,
+    norms, biases) is fp and handled by the standard HF mapping. GPTQ's [K, N]
+    orientation (in-features first) already matches our ``x @ w`` convention.
+    """
+    from lia_tpu.ops.quant import quantize_weight
+    from lia_tpu.utils.checkpoint import params_from_hf_state_dict
+
+    fp_sd = dict(sd)
+    prefixes = sorted(
+        {k[: -len(".qweight")] for k in sd if k.endswith(".qweight")}
+    )
+    for p in prefixes:
+        w = unpack_gptq(
+            sd[p + ".qweight"],
+            sd[p + ".qzeros"],
+            sd[p + ".scales"],
+            sd.get(p + ".g_idx"),
+        )
+        # hand the HF mapper a standard [out, in] weight tensor
+        fp_sd[p + ".weight"] = w.T
+        for suffix in (".qweight", ".qzeros", ".scales", ".g_idx"):
+            fp_sd.pop(p + suffix, None)
+    params = params_from_hf_state_dict(cfg, fp_sd)
+    if keep_fp:
+        return params
+    qc = QuantConfig(weight_dtype="int4", group_size=group_size)
+    layers = params["layers"]
+    for grp in layers.values():
+        for k in list(grp):
+            if k.startswith("w") and getattr(grp[k], "ndim", 0) == 3:
+                grp[k] = quantize_weight(np.asarray(grp[k]), qc)
+    return params
