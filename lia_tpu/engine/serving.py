@@ -55,15 +55,36 @@ class ContinuousBatcher:
         max_len: int = 512,
         gen: GenerationConfig = GenerationConfig(),
         kv_quantized: bool = False,
+        mesh=None,
     ):
+        """``mesh``: optional (1, tp) jax Mesh — weights and KV shard over the
+        "model" axis (ICI tensor parallelism); the data axis must be 1 because
+        admission prefills single requests."""
         self.cfg = cfg
         self.gen = gen
         self.B = max_batch
         self.max_len = max_len
-        self.params = jax.device_put(params_host)
+        self.mesh = mesh
+        if mesh is not None:
+            from lia_tpu.parallel import sharding as shd
+
+            if mesh.shape.get("data", 1) != 1:
+                raise ValueError("serving mesh must have data axis 1 (TP only)")
+            self.params = shd.shard_params(cfg, params_host, mesh)
+            self._cache_shardings = shd.cache_shardings(mesh)
+        else:
+            self.params = jax.device_put(params_host)
+            self._cache_shardings = None
         self.cache = kvc.init_cache(cfg, max_batch, max_len, jnp.dtype(cfg.dtype), quantized=kv_quantized)
         # ragged state: per-slot lengths
         self.cache = self.cache._replace(length=jnp.zeros((max_batch,), jnp.int32))
+        if self._cache_shardings is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shardings = self._cache_shardings._replace(
+                length=NamedSharding(self.mesh, P("data"))
+            )
+            self.cache = jax.device_put(self.cache, shardings)
         self.logical_pos = np.zeros(max_batch, np.int64)
         self.active = np.zeros(max_batch, bool)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
@@ -118,6 +139,8 @@ class ContinuousBatcher:
                 jnp.dtype(self.cfg.dtype),
                 quantized=not isinstance(self.cache.k, jnp.ndarray),
             )
+            if self._cache_shardings is not None:
+                seg = jax.device_put(seg, self._cache_shardings)
             logits, seg = self._prefill_fn(bucket)(
                 self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
             )

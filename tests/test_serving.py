@@ -74,3 +74,25 @@ def test_serving_eos(model):
     assert len(done) == 1
     assert done[0].output[-1] == eos
     assert len(done[0].output) < 50
+
+
+def test_serving_on_tp_mesh():
+    """Continuous batching with weights/KV tensor-sharded over a 4-way model axis
+    must match the unsharded engine (north-star: continuous batching over ICI)."""
+    from lia_tpu.parallel.mesh import make_mesh
+
+    cfg = get_config("opt-tiny").replace(vocab_size=512, dtype="float32")
+    params = init_dummy_params(cfg, seed=22, scale=0.02)
+    gen = GenerationConfig(max_new_tokens=5)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [12, 13]]
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen)
+    for p in prompts:
+        ref.submit(p)
+    ref_out = {r.req_id: r.output for r in ref.run()}
+
+    mesh = make_mesh((1, 4))
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen, mesh=mesh)
+    for p in prompts:
+        cb.submit(p)
+    out = {r.req_id: r.output for r in cb.run()}
+    assert out == ref_out
