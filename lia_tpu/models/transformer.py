@@ -342,12 +342,21 @@ def decode_step(
     ctx = att.decode_attn_ctx(slot_mask, cache.length + 1)
     start = cache.length
 
-    def body(h, per_layer):
-        lp, kl, vl = per_layer
+    # the full cache rides in the scan CARRY and each layer updates its plane via
+    # dynamic_update_slice — XLA keeps the buffer in place inside the loop, where
+    # emitting per-layer ys would materialize a fresh stacked cache every step
+    def body(carry, inputs):
+        h, ck, cv = carry
+        lp, idx = inputs
+        kl = kvc.index_layer_kv(ck, idx)
+        vl = kvc.index_layer_kv(cv, idx)
         h, kl, vl = decoder_layer_decode(cfg, lp, h, kl, vl, start, ctx, positions)
-        return h, (kl, vl)
+        return (h, kvc.set_layer_kv(ck, kl, idx), kvc.set_layer_kv(cv, vl, idx)), None
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+    )
     cache = cache._replace(k=k_new, v=v_new)
     cache = kvc.advance(cache, jnp.ones((tokens.shape[0], 1), jnp.bool_), 1)
     logits = lm_head(cfg, params, x)[:, 0, :]
@@ -376,12 +385,18 @@ def decode_step_ragged(
     ctx = att.decode_attn_ctx(slot_mask, cache.length + 1)
     start = cache.length  # [B] → ragged writes inside update_layer
 
-    def body(h, per_layer):
-        lp, kl, vl = per_layer
+    def body(carry, inputs):
+        h, ck, cv = carry
+        lp, idx = inputs
+        kl = kvc.index_layer_kv(ck, idx)
+        vl = kvc.index_layer_kv(cv, idx)
         h, kl, vl = decoder_layer_decode(cfg, lp, h, kl, vl, start, ctx, logical_pos[:, None])
-        return h, (kl, vl)
+        return (h, kvc.set_layer_kv(ck, kl, idx), kvc.set_layer_kv(cv, vl, idx)), None
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+    )
     cache = cache._replace(k=k_new, v=v_new)
     cache = kvc.advance_ragged(cache, active)
     logits = lm_head(cfg, params, x)[:, 0, :]

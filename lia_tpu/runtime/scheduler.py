@@ -123,12 +123,20 @@ class StreamingScheduler:
         def f(seg_params, x, cache, ctx, positions):
             start = cache.length
 
-            def body(h, per_layer):
-                lp, kl, vl = per_layer
+            # cache rides in the carry (in-place updates inside the loop) — see
+            # the matching note in transformer.decode_step
+            def body(carry, inputs):
+                h, ck, cv = carry
+                lp, idx = inputs
+                kl = kvc.index_layer_kv(ck, idx)
+                vl = kvc.index_layer_kv(cv, idx)
                 h, kl, vl = layer(cfg, lp, h, kl, vl, start, ctx, positions)
-                return h, (kl, vl)
+                return (h, kvc.set_layer_kv(ck, kl, idx), kvc.set_layer_kv(cv, vl, idx)), None
 
-            x, (k_new, v_new) = jax.lax.scan(body, x, (seg_params, cache.k, cache.v))
+            (x, k_new, v_new), _ = jax.lax.scan(
+                body, (x, cache.k, cache.v),
+                (seg_params, jnp.arange(n_layers, dtype=jnp.int32)),
+            )
             return x, cache._replace(k=k_new, v=v_new)
 
         return self._jit(("seg", phase, n_layers), f, donate_argnums=(2,))
@@ -180,9 +188,18 @@ class StreamingScheduler:
     # -- jitted building blocks (host / XLA:CPU) ------------------------------
 
     def _host_jit(self, key, fn, **kw):
+        """jit a function that must trace with Pallas disabled (host execution).
+
+        The disable has to wrap the traced BODY, not the jit() call — tracing
+        happens lazily at first invocation, and on a TPU-default process the
+        global dispatch would otherwise pick Pallas for CPU-committed arrays."""
         if key not in self._compiled:
-            with dispatch.pallas_disabled():
-                self._compiled[key] = jax.jit(fn, **kw)
+
+            def wrapped(*args, __fn=fn, **kwargs):
+                with dispatch.pallas_disabled():
+                    return __fn(*args, **kwargs)
+
+            self._compiled[key] = jax.jit(wrapped, **kw)
         return self._compiled[key]
 
     def _host_layer_fn(self, phase: str):
