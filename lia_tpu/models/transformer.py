@@ -327,6 +327,43 @@ def score_logprobs(
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
+
+
+def decode_layers_scan(
+    cfg: ModelConfig,
+    layer_params: Params,  # stacked [n, ...]
+    x: jnp.ndarray,  # [B, 1, H]
+    ck,  # [n, B, N_kv, S_max, D] stacked K cache (array or QuantizedKV)
+    cv,
+    start,  # scalar or [B] write offset
+    ctx: att.DecodeAttn,
+    positions: jnp.ndarray,  # [B, 1]
+    n_layers: int,
+):
+    """Scan all decode layers with the cache carried in place.
+
+    Each layer writes only its fresh token into the stacked cache
+    (:func:`lia_tpu.ops.kv_cache.write_token`) and attends straight over the
+    stacked buffer (:func:`lia_tpu.ops.attention.attend_decode_stacked`) — no
+    per-layer plane copies."""
+
+    def body(carry, inputs):
+        h, ck, cv = carry
+        lp, idx = inputs
+        residual = h
+        q, k, v = attn_in(cfg, lp, h, positions)
+        ck = kvc.write_token(ck, k, idx, start)
+        cv = kvc.write_token(cv, v, idx, start)
+        attn_out = att.attend_decode_stacked(q, ck, cv, idx, ctx)
+        h = attn_post_mlp(cfg, lp, residual, attn_out)
+        return (h, ck, cv), None
+
+    (x, ck, cv), _ = jax.lax.scan(
+        body, (x, ck, cv), (layer_params, jnp.arange(n_layers, dtype=jnp.int32))
+    )
+    return x, ck, cv
+
+
 def decode_step(
     cfg: ModelConfig,
     params: Params,
@@ -342,20 +379,9 @@ def decode_step(
     ctx = att.decode_attn_ctx(slot_mask, cache.length + 1)
     start = cache.length
 
-    # the full cache rides in the scan CARRY and each layer updates its plane via
-    # dynamic_update_slice — XLA keeps the buffer in place inside the loop, where
-    # emitting per-layer ys would materialize a fresh stacked cache every step
-    def body(carry, inputs):
-        h, ck, cv = carry
-        lp, idx = inputs
-        kl = kvc.index_layer_kv(ck, idx)
-        vl = kvc.index_layer_kv(cv, idx)
-        h, kl, vl = decoder_layer_decode(cfg, lp, h, kl, vl, start, ctx, positions)
-        return (h, kvc.set_layer_kv(ck, kl, idx), kvc.set_layer_kv(cv, vl, idx)), None
-
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
-        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+    x, k_new, v_new = decode_layers_scan(
+        cfg, params["layers"], x, cache.k, cache.v, start, ctx, positions,
+        cfg.num_layers,
     )
     cache = cache._replace(k=k_new, v=v_new)
     cache = kvc.advance(cache, jnp.ones((tokens.shape[0], 1), jnp.bool_), 1)
@@ -385,17 +411,9 @@ def decode_step_ragged(
     ctx = att.decode_attn_ctx(slot_mask, cache.length + 1)
     start = cache.length  # [B] → ragged writes inside update_layer
 
-    def body(carry, inputs):
-        h, ck, cv = carry
-        lp, idx = inputs
-        kl = kvc.index_layer_kv(ck, idx)
-        vl = kvc.index_layer_kv(cv, idx)
-        h, kl, vl = decoder_layer_decode(cfg, lp, h, kl, vl, start, ctx, logical_pos[:, None])
-        return (h, kvc.set_layer_kv(ck, kl, idx), kvc.set_layer_kv(cv, vl, idx)), None
-
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
-        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+    x, k_new, v_new = decode_layers_scan(
+        cfg, params["layers"], x, cache.k, cache.v, start, ctx,
+        logical_pos[:, None], cfg.num_layers,
     )
     cache = cache._replace(k=k_new, v=v_new)
     cache = kvc.advance_ragged(cache, active)

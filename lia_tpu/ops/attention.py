@@ -143,3 +143,34 @@ def attend_decode(
                 interpret=dispatch.interpret_mode(),
             )
     return attend(q, k_cache, v_cache, ctx.mask)
+
+
+def attend_decode_stacked(
+    q: jnp.ndarray, k_cache_full, v_cache_full, layer_idx, ctx: DecodeAttn
+) -> jnp.ndarray:
+    """Decode attention over layer ``layer_idx`` of the FULL stacked cache.
+
+    Fast path: the scalar-prefetch Pallas kernel DMAs straight from the stacked
+    buffer (no per-layer plane copy). Fallback (CPU, quantized KV, odd shapes):
+    slice the plane out and use :func:`attend_decode`.
+    """
+    from lia_tpu.ops import dispatch
+    from lia_tpu.ops.quant import is_quantized_kv
+
+    if not is_quantized_kv(k_cache_full):
+        S_max = k_cache_full.shape[3]
+        if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
+            bk = dispatch.pick_block(S_max, 512, minimum=64)
+            if bk is not None:
+                from lia_tpu.ops.pallas_attention import decode_attention_stacked
+
+                return decode_attention_stacked(
+                    q, k_cache_full, v_cache_full, layer_idx,
+                    ctx.slot_mask, ctx.length, block_k=bk,
+                    interpret=dispatch.interpret_mode(),
+                )
+    from lia_tpu.ops import kv_cache as kvc
+
+    kl = kvc.index_layer_kv(k_cache_full, layer_idx)
+    vl = kvc.index_layer_kv(v_cache_full, layer_idx)
+    return attend_decode(q, kl, vl, ctx)

@@ -62,6 +62,26 @@ def interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+_STACKED_KERNEL: Optional[bool] = None  # None = auto (off: see note below)
+
+
+def set_stacked_kernel(v: Optional[bool]) -> None:
+    global _STACKED_KERNEL
+    _STACKED_KERNEL = v
+
+
+def stacked_kernel_enabled() -> bool:
+    """Scalar-prefetch stacked-cache decode kernel gate.
+
+    Default OFF on hardware: this environment's remote Mosaic compile helper
+    crashes (HTTP 500) on PrefetchScalarGridSpec kernels; the kernel is correct
+    in interpreter mode and can be enabled where the toolchain supports it.
+    """
+    if _STACKED_KERNEL is not None:
+        return _STACKED_KERNEL
+    return interpret_mode()  # interpreter path is known-good
+
+
 def pick_block(n: int, target: int, minimum: int = 8) -> Optional[int]:
     """Largest divisor of ``n`` that is ≤ target and a multiple of ``minimum``."""
     b = min(target, n)

@@ -179,3 +179,48 @@ def beam_reorder(cache: KVCache, beam_idx: jnp.ndarray) -> KVCache:
         v=jax.tree.map(lambda a: jnp.take(a, beam_idx, axis=1), cache.v),
         mask=jnp.take(cache.mask, beam_idx, axis=0),
     )
+
+
+def write_token(plane_full: Any, new: Any, layer_idx, start) -> Any:
+    """Write a decode step's fresh K or V into the FULL stacked cache in place.
+
+    ``plane_full``: [L, B, N_kv, S_max, D] (array or QuantizedKV);
+    ``new``: [B, N_kv, S_new, D]; ``start``: scalar or [B] write offset.
+    The cheap counterpart of index/update-per-plane: only S_new slots move.
+    """
+    from lia_tpu.ops.quant import QuantizedKV, is_quantized_kv, quantize_kv
+
+    zero = jnp.zeros((), jnp.int32)
+    ragged = getattr(start, "ndim", 0) == 1
+
+    def upd(full, val, scale_arr=False):
+        if ragged:
+            if scale_arr:  # leaves without the trailing D axis
+                return jax.vmap(
+                    lambda fb, vb, p: jax.lax.dynamic_update_slice(
+                        fb, vb[None], (layer_idx, zero, p)
+                    ),
+                    in_axes=(1, 0, 0),
+                    out_axes=1,
+                )(full, val, start)
+            return jax.vmap(
+                lambda fb, vb, p: jax.lax.dynamic_update_slice(
+                    fb, vb[None], (layer_idx, zero, p, zero)
+                ),
+                in_axes=(1, 0, 0),
+                out_axes=1,
+            )(full, val, start)
+        if scale_arr:
+            return jax.lax.dynamic_update_slice(
+                full, val[None], (layer_idx, zero, zero, start)
+            )
+        return jax.lax.dynamic_update_slice(
+            full, val[None], (layer_idx, zero, zero, start, zero)
+        )
+
+    if is_quantized_kv(plane_full):
+        newq = new if is_quantized_kv(new) else quantize_kv(new)
+        return QuantizedKV(
+            upd(plane_full.q, newq.q), upd(plane_full.s, newq.s, scale_arr=True)
+        )
+    return upd(plane_full, new.astype(plane_full.dtype))

@@ -238,3 +238,123 @@ def decode_attention(
         interpret=interpret,
     )(lengths, starts.astype(jnp.int32), qg, k_cache, v_cache)
     return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)
+
+
+# ---------------------------------------------------------------------------
+# Decode attention reading the FULL stacked cache (scalar-prefetch layer index)
+# ---------------------------------------------------------------------------
+
+
+def _decode_stacked_kernel(
+    idx_ref,  # [1] int32 scalar-prefetch — layer index
+    len_ref,  # [B, 1] int32 SMEM — valid length per sequence
+    start_ref,  # [B, 1] int32 SMEM — first valid slot per sequence
+    q_ref,  # [1, Hs, 1, G*D]
+    k_ref,  # [1, Hs, S_max, D] — (layer, batch) plane selected by the index map
+    v_ref,
+    o_ref,  # [1, Hs, 1, G*D]
+    *,
+    scale: float,
+    bk: int,
+    G: int,
+):
+    Hs, D = k_ref.shape[1], k_ref.shape[3]
+    b = pl.program_id(0)
+    length = len_ref[b, 0]
+    start = start_ref[b, 0]
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+        allow = (pos < length) & (pos >= start)
+        s = jnp.where(allow, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    num_kv = pl.cdiv(length, bk)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
+def decode_attention_stacked(
+    q: jnp.ndarray,  # [B, 1, N, D]
+    k_cache: jnp.ndarray,  # [L, B, N_kv, S_max, D] — the FULL stacked cache
+    v_cache: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # scalar int32
+    slot_mask: jnp.ndarray,  # [B, S_max] bool (contiguous validity per row)
+    length: jnp.ndarray,  # scalar or [B]
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Decode attention reading layer ``layer_idx`` of the stacked cache in place.
+
+    Avoids the dynamic-slice copy-out of a whole [B, N_kv, S_max, D] plane per
+    layer per token that the per-plane API forces inside a scan: the layer index
+    rides as a scalar-prefetch argument and the BlockSpec index map selects the
+    plane, so the kernel DMAs straight from the cache's HBM buffer.
+    """
+    B, _, N, D = q.shape
+    L, _, Nkv, S_max, _ = k_cache.shape
+    G = N // Nkv
+    scale = scale if scale is not None else D**-0.5
+    interpret = _interpret_default() if interpret is None else interpret
+    bk = min(block_k, S_max)
+    assert S_max % bk == 0
+
+    qg = q.reshape(B, Nkv, 1, G * D)
+    lengths = jnp.broadcast_to(length.astype(jnp.int32), (B,))
+    starts = lengths - jnp.sum(slot_mask.astype(jnp.int32), axis=1)
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    budget = 8 * 1024 * 1024
+    Hs = max(1, min(Nkv, budget // max(2 * S_max * D * itemsize, 1)))
+    while Nkv % Hs:
+        Hs -= 1
+
+    # flatten (L, B) so every block is rank-4 (rank-5 blocks crash Mosaic)
+    k_flat = k_cache.reshape(L * B, Nkv, S_max, D)
+    v_flat = v_cache.reshape(L * B, Nkv, S_max, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # just the layer index; lengths/starts ride in SMEM
+        grid=(B, Nkv // Hs),
+        in_specs=[
+            # index-map signature: (*grid_indices, *scalar_prefetch_refs)
+            pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_max, D), lambda b, h, i: (i[0] * B + b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_max, D), lambda b, h, i: (i[0] * B + b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, i: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_stacked_kernel, scale=scale, bk=bk, G=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+        interpret=interpret,
+    )(
+        layer_idx.astype(jnp.int32)[None],
+        lengths[:, None],
+        starts[:, None],
+        qg,
+        k_flat,
+        v_flat,
+    )
+    return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)

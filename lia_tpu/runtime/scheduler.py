@@ -123,8 +123,14 @@ class StreamingScheduler:
         def f(seg_params, x, cache, ctx, positions):
             start = cache.length
 
-            # cache rides in the carry (in-place updates inside the loop) — see
-            # the matching note in transformer.decode_step
+            if phase == "decode":
+                x, k_new, v_new = T.decode_layers_scan(
+                    cfg, seg_params, x, cache.k, cache.v, start, ctx, positions,
+                    n_layers,
+                )
+                return x, cache._replace(k=k_new, v=v_new)
+
+            # prefill: cache rides in the carry (in-place updates inside the loop)
             def body(carry, inputs):
                 h, ck, cv = carry
                 lp, idx = inputs
