@@ -110,3 +110,82 @@ def test_graft_dryrun_runs():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_opt175b_tp_program_lowers_abstractly():
+    """Ladder step 5 (compile-time): the TP-sharded prefill program for OPT-175B
+    must lower on an 8-device mesh from abstract shapes alone (no weights
+    materialized) — validates sharding rules divide every tensor at full scale."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.ops import kv_cache as kvc
+    from lia_tpu.utils import checkpoint as ckpt
+
+    cfg = get_config("opt-175b").replace(num_layers=4)  # layer count is sharding-neutral
+    mesh = make_mesh((2, 4))
+
+    def abstract_params(cfg):
+        H, F, L, V = cfg.hidden_size, cfg.ffn_size, cfg.num_layers, cfg.vocab_size
+        QD = cfg.num_heads * cfg.head_dim
+        out = {
+            "embed_tokens": jax.ShapeDtypeStruct((V, H), jnp.bfloat16),
+            "embed_positions": jax.ShapeDtypeStruct(
+                (cfg.max_position_embeddings + cfg.pos_offset, H), jnp.bfloat16
+            ),
+            "final_norm": {
+                "scale": jax.ShapeDtypeStruct((H,), jnp.bfloat16),
+                "bias": jax.ShapeDtypeStruct((H,), jnp.bfloat16),
+            },
+            "layers": {
+                "ln1": {"scale": jax.ShapeDtypeStruct((L, H), jnp.bfloat16),
+                        "bias": jax.ShapeDtypeStruct((L, H), jnp.bfloat16)},
+                "ln2": {"scale": jax.ShapeDtypeStruct((L, H), jnp.bfloat16),
+                        "bias": jax.ShapeDtypeStruct((L, H), jnp.bfloat16)},
+                "attn": {
+                    "wq": jax.ShapeDtypeStruct((L, H, QD), jnp.bfloat16),
+                    "wk": jax.ShapeDtypeStruct((L, H, QD), jnp.bfloat16),
+                    "wv": jax.ShapeDtypeStruct((L, H, QD), jnp.bfloat16),
+                    "wo": jax.ShapeDtypeStruct((L, QD, H), jnp.bfloat16),
+                    "bq": jax.ShapeDtypeStruct((L, QD), jnp.bfloat16),
+                    "bk": jax.ShapeDtypeStruct((L, QD), jnp.bfloat16),
+                    "bv": jax.ShapeDtypeStruct((L, QD), jnp.bfloat16),
+                    "bo": jax.ShapeDtypeStruct((L, H), jnp.bfloat16),
+                },
+                "mlp": {
+                    "w1": jax.ShapeDtypeStruct((L, H, F), jnp.bfloat16),
+                    "b1": jax.ShapeDtypeStruct((L, F), jnp.bfloat16),
+                    "w2": jax.ShapeDtypeStruct((L, F, H), jnp.bfloat16),
+                    "b2": jax.ShapeDtypeStruct((L, H), jnp.bfloat16),
+                },
+            },
+        }
+        return out
+
+    from jax.sharding import PartitionSpec as P
+
+    aparams = abstract_params(cfg)
+    param_sh = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), shd.param_pspecs(cfg, aparams),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    B, S = 4, 64
+    cache_shape = kvc.KVCache(
+        k=jax.ShapeDtypeStruct((cfg.num_layers, B, cfg.num_kv_heads, 128, cfg.head_dim), jnp.bfloat16),
+        v=jax.ShapeDtypeStruct((cfg.num_layers, B, cfg.num_kv_heads, 128, cfg.head_dim), jnp.bfloat16),
+        length=jax.ShapeDtypeStruct((), jnp.int32),
+        mask=jax.ShapeDtypeStruct((B, 128), jnp.bool_),
+    )
+    tokens = jax.ShapeDtypeStruct((B, S), jnp.int32)
+    mask = jax.ShapeDtypeStruct((B, S), jnp.bool_)
+    ds = shd.data_sharding(mesh)
+    lowered = jax.jit(
+        partial(T.prefill, cfg),
+        in_shardings=(param_sh, ds, ds, shd.cache_shardings(mesh)),
+    ).lower(aparams, tokens, mask, cache_shape)
+    txt = lowered.as_text()
+    assert "num_partitions = 8" in txt
+    # full-scale tensors present and partitioned-compile succeeds
+    compiled = lowered.compile()
+    assert compiled is not None
