@@ -34,6 +34,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cast_f32_to_bf16.argtypes = [p(f32), p(ctypes.c_uint16), i64]
         lib.randn_bf16.argtypes = [p(ctypes.c_uint16), i64, ctypes.c_uint64, f32]
         lib.randn_int8.argtypes = [p(ctypes.c_int8), p(f32), i64, i64, i64, ctypes.c_uint64, f32]
+        lib.randn_int4.argtypes = [p(ctypes.c_uint8), p(f32), i64, i64, i64, ctypes.c_uint64, f32]
         lib.quantize_int8.argtypes = [p(f32), p(ctypes.c_int8), p(f32), i64, i64, i64]
         lib.quantize_int4.argtypes = [p(f32), p(ctypes.c_uint8), p(f32), i64, i64, i64]
         lib.memcpy_mt.argtypes = [ctypes.c_void_p, ctypes.c_void_p, i64]
@@ -116,3 +117,20 @@ def randn_int8(rows: int, cols: int, group: int, seed: int, scale: float):
                 -127, 127).astype(np.int8)
     s = np.full((rows // group, cols), scale * 3.0 / 127.0, np.float32)
     return q, s
+
+
+def randn_int4(rows: int, cols: int, group: int, seed: int, scale: float):
+    """Synthesize dummy weights directly in nibble-packed int4 form.
+    Returns (packed uint8 [rows//2, cols], scales f32 [rows//group, cols])."""
+    lib = _load()
+    if lib is not None:
+        packed = np.empty((rows // 2, cols), np.uint8)
+        s = np.empty((rows // group, cols), np.float32)
+        lib.randn_int4(_ptr(packed, ctypes.c_uint8), _ptr(s, ctypes.c_float),
+                       rows, cols, group, seed & (2**64 - 1), scale)
+        return packed, s
+    rng = np.random.default_rng(seed)
+    q = rng.integers(1, 16, (rows, cols)).astype(np.uint8)
+    packed = (q[0::2] & 0xF) | (q[1::2] << 4)
+    s = np.full((rows // group, cols), scale / 4.3205, np.float32)
+    return packed, s

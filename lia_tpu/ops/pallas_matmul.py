@@ -40,14 +40,17 @@ def _woq_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, int4: bool):
     x = x_ref[:]  # [bm, bk]
     qt = q_ref[:]  # [bk, bn] int8  |  [bk//2, bn] packed uint8
     if int4:
-        lo = (qt & 0xF).astype(jnp.int8) - 8
-        hi = (qt >> 4).astype(jnp.int8) - 8
-        qt = jnp.stack([lo, hi], axis=1).reshape(2 * qt.shape[0], qt.shape[1])
+        # nibble bias applied in f32: Mosaic cannot legalize i8 vector subtraction
+        lo = (qt & 0xF).astype(jnp.float32) - 8.0
+        hi = (qt >> 4).astype(jnp.float32) - 8.0
+        qf = jnp.stack([lo, hi], axis=1).reshape(2 * qt.shape[0], qt.shape[1])
+    else:
+        qf = qt.astype(jnp.float32)
     # scales for the groups covered by this K tile: [gpt, bn]
     s = s_ref[:]
     gpt = s.shape[0]
-    bk, bn = qt.shape
-    w = qt.astype(jnp.float32).reshape(gpt, bk // gpt, bn) * s[:, None, :]
+    bk, bn = qf.shape
+    w = qf.reshape(gpt, bk // gpt, bn) * s[:, None, :]
     w = w.reshape(bk, bn).astype(x.dtype)
     acc_ref[:] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32

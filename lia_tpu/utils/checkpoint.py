@@ -73,15 +73,14 @@ def init_dummy_params(
         _seed[0] += 1
         # one native fill over the stacked [L*K, N] buffer: groups tile evenly
         # (L*K/g == L*ng), so no per-layer loop and no stack copy
+        if quant.weight_dtype == "int4":
+            q, sarr = native.randn_int4(Lw * K, N, g, _seed[0], scale)
+            q = q.reshape(Lw, K // 2, N)
+            sarr = sarr.reshape(Lw, K // g, N)
+            return QuantizedWeight(q, sarr, "woq_int4")
         q, sarr = native.randn_int8(Lw * K, N, g, _seed[0], scale)
         q = q.reshape(Lw, K, N)
         sarr = sarr.reshape(Lw, K // g, N)
-        if quant.weight_dtype == "int4":
-            q4 = np.clip(np.rint(q.astype(np.float32) * (7.0 / 127.0)), -8, 7)
-            b = (q4.astype(np.int8) + 8).astype(np.uint8)
-            q = (b[:, 0::2, :] & 0xF) | (b[:, 1::2, :] << 4)
-            sarr = sarr * (127.0 / 7.0)
-            return QuantizedWeight(q, sarr, "woq_int4")
         return QuantizedWeight(q, sarr, "woq_int8")
 
     def zeros(*shape):

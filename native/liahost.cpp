@@ -138,6 +138,46 @@ void randn_int8(int8_t* q, float* scales, int64_t rows, int64_t cols,
   }
 }
 
+// Dummy weights straight into packed-int4 form (two uniform nibbles per byte).
+void randn_int4(uint8_t* packed, float* scales, int64_t rows, int64_t cols,
+                int64_t group, uint64_t seed, float scale) {
+  int64_t ngroups = rows / group;
+  int64_t n = (rows / 2) * cols;  // packed bytes
+  // uniform nibbles in [-7,7] biased to [1,15]: std of uniform{-7..7} = sqrt(56/3)
+  float s_val = scale / 4.3205f;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < ngroups * cols; ++i) scales[i] = s_val;
+#pragma omp parallel
+  {
+#if defined(_OPENMP)
+    int tid = omp_get_thread_num();
+    int nth = omp_get_num_threads();
+#else
+    int tid = 0, nth = 1;
+#endif
+    int64_t chunk = ((n + nth - 1) / nth + 7) & ~int64_t(7);
+    int64_t lo = tid * chunk, hi = std::min(n, lo + chunk);
+    Xo256 rng(seed * 0x9E3779B97f4A7C15ULL + tid + 1);
+    int64_t i = lo;
+    auto nib = [](uint32_t bits) -> uint8_t {
+      // value in [0,14] -> biased nibble [1,15] (centered at 8 => q-8 in [-7,7])
+      return static_cast<uint8_t>((bits % 15) + 1);
+    };
+    for (; i + 8 <= hi; i += 8) {
+      uint64_t b = rng.next();
+      for (int k = 0; k < 8; ++k) {
+        uint32_t byte_bits = static_cast<uint32_t>((b >> (8 * k)) & 0xFF);
+        packed[i + k] = static_cast<uint8_t>(nib(byte_bits & 0xF) |
+                                             (nib(byte_bits >> 4) << 4));
+      }
+    }
+    for (; i < hi; ++i) {
+      uint32_t b = static_cast<uint32_t>(rng.next() & 0xFF);
+      packed[i] = static_cast<uint8_t>(nib(b & 0xF) | (nib(b >> 4) << 4));
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Group-wise symmetric INT8/INT4 quantization (WOQ load-time path).
 // w: [rows, cols] f32 (row = input channel). scales: [rows/group, cols].
