@@ -40,9 +40,11 @@ def _woq_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, int4: bool):
     x = x_ref[:]  # [bm, bk]
     qt = q_ref[:]  # [bk, bn] int8  |  [bk//2, bn] packed uint8
     if int4:
-        # nibble bias applied in f32: Mosaic cannot legalize i8 vector subtraction
-        lo = (qt & 0xF).astype(jnp.float32) - 8.0
-        hi = (qt >> 4).astype(jnp.float32) - 8.0
+        # Mosaic-legal unpack: bitcast u8→i8, widen to i32 immediately — i8
+        # vector sub/shift and u8→f32 casts are all unsupported; i32 bit ops are
+        q32 = pltpu.bitcast(qt, jnp.int8).astype(jnp.int32)
+        lo = ((q32 & 0xF) - 8).astype(jnp.float32)
+        hi = (((q32 >> 4) & 0xF) - 8).astype(jnp.float32)
         qf = jnp.stack([lo, hi], axis=1).reshape(2 * qt.shape[0], qt.shape[1])
     else:
         qf = qt.astype(jnp.float32)
