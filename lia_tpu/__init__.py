@@ -15,7 +15,9 @@ from lia_tpu.config import (
     QuantConfig,
     RuntimeConfig,
 )
+from lia_tpu.api import load_engine
 from lia_tpu.engine.engine import GenerationResult, InferenceEngine, pack_prompts
+from lia_tpu.engine.serving import ContinuousBatcher
 from lia_tpu.models.registry import REGISTRY, get_config
 
 __version__ = "0.1.0"
@@ -30,5 +32,7 @@ __all__ = [
     "REGISTRY",
     "RuntimeConfig",
     "get_config",
+    "load_engine",
+    "ContinuousBatcher",
     "pack_prompts",
 ]

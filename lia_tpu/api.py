@@ -1,0 +1,90 @@
+"""One-stop engine construction — the ``ipex.llm.optimize`` analog.
+
+The reference's public entry point (llm/frontend.py → transformers/optimize.py:1234)
+takes a loaded HF model plus dtype/quant knobs and mutates it for inference. The
+functional equivalent here assembles config + weights + runtime in one call:
+
+    import lia_tpu
+    engine = lia_tpu.load_engine("opt-6.7b", weight_dtype="int8", batch_friendly...)
+    out = engine.generate([[1, 2, 3]], lia_tpu.GenerationConfig(max_new_tokens=32))
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from lia_tpu.config import GenerationConfig, QuantConfig, RuntimeConfig
+from lia_tpu.engine.engine import InferenceEngine
+from lia_tpu.models.registry import get_config
+
+
+def load_engine(
+    model: str,
+    dtype: str = "bfloat16",
+    checkpoint: Optional[str] = None,
+    gptq_checkpoint: Optional[str] = None,
+    dummy: bool = False,
+    weight_dtype: str = "none",
+    group_size: int = -1,
+    kv_cache_dtype: str = "none",
+    prefill_policy: int = 3,
+    decode_policy: int = 3,
+    hbm_percentage: int = 100,
+    num_minibatch: int = 1,
+    stream_weights: bool = False,
+    auto_placement: bool = False,
+    batch: int = 1,
+    in_len: int = 256,
+    out_len: int = 32,
+    seed: int = 0,
+) -> InferenceEngine:
+    """Build a ready-to-generate engine for a registry model.
+
+    Weight sources (first match wins): ``checkpoint`` (HF safetensors dir),
+    ``gptq_checkpoint`` (AutoGPTQ safetensors dir), ``dummy=True`` (random,
+    synthesized directly in quantized form when quantization is requested).
+    """
+    cfg = get_config(model).replace(dtype=dtype)
+    quant = QuantConfig(
+        weight_dtype=weight_dtype, group_size=group_size, kv_cache_dtype=kv_cache_dtype
+    )
+    runtime = RuntimeConfig(
+        prefill_policy=prefill_policy,
+        decode_policy=decode_policy,
+        hbm_percentage=hbm_percentage,
+        num_minibatch=num_minibatch,
+        stream_weights=stream_weights,
+        quant=quant,
+    )
+    if auto_placement:
+        from lia_tpu.runtime.cost_model import resolve_auto_policies
+
+        runtime = runtime.replace(prefill_policy=-1, decode_policy=-1, hbm_percentage=-1)
+        runtime = resolve_auto_policies(cfg, runtime, batch, in_len, out_len)
+
+    if checkpoint:
+        from lia_tpu.ops.quant import quantize_params
+        from lia_tpu.utils.checkpoint import load_hf_checkpoint
+
+        params = load_hf_checkpoint(cfg, checkpoint)
+        if quant.enabled:
+            params = quantize_params(cfg, params, quant)
+    elif gptq_checkpoint:
+        import os
+
+        from safetensors.numpy import load_file
+
+        from lia_tpu.utils.gptq import params_from_gptq_state_dict
+
+        sd = {}
+        for f in sorted(os.listdir(gptq_checkpoint)):
+            if f.endswith(".safetensors"):
+                sd.update(load_file(os.path.join(gptq_checkpoint, f)))
+        params = params_from_gptq_state_dict(cfg, sd, group_size=max(group_size, 128))
+    elif dummy:
+        from lia_tpu.utils.checkpoint import init_dummy_params
+
+        params = init_dummy_params(cfg, seed=seed, quant=quant if quant.enabled else None)
+    else:
+        raise ValueError("provide checkpoint=, gptq_checkpoint=, or dummy=True")
+    return InferenceEngine(cfg, params, runtime)

@@ -80,6 +80,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--group-size", type=int, default=-1)
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
     p.add_argument("--profile", action="store_true", help="emit a jax trace to /tmp/lia_trace")
+    p.add_argument("--prompt", default=None, help="text prompt (requires --tokenizer)")
+    p.add_argument("--tokenizer", default=None, help="local tokenizer directory")
     return p
 
 
@@ -137,11 +139,21 @@ def main(argv=None) -> int:
 
     engine = InferenceEngine(cfg, params, runtime)
 
-    rng = np.random.default_rng(0)
-    prompts = [
-        list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=args.input_tokens))
-        for _ in range(args.batch_size)
-    ]
+    tokenizer = None
+    if args.prompt:
+        if not args.tokenizer:
+            raise SystemExit("--prompt requires --tokenizer <local dir>")
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer, local_files_only=True)
+        ids = tokenizer(args.prompt)["input_ids"]
+        prompts = [list(ids)] * args.batch_size
+    else:
+        rng = np.random.default_rng(0)
+        prompts = [
+            list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=args.input_tokens))
+            for _ in range(args.batch_size)
+        ]
 
     ctx = None
     if args.profile:
@@ -164,6 +176,8 @@ def main(argv=None) -> int:
         print("[lia-tpu] trace written to /tmp/lia_trace")
 
     if results:
+        if tokenizer is not None:
+            print("[output]", tokenizer.decode(list(results[-1].sequences[0])))
         best = max(results, key=lambda r: r.summary()["total_tokens_per_s"])
         s = best.summary()
         print(format_summary(s))
