@@ -9,6 +9,9 @@ indirection-free.
 
 Classic beam search: beams expand over top-k(nb·V); finished beams are frozen (they
 can only emit pad at score 0 delta). Scores are summed token log-probs.
+``_beam_sample`` parity (stochastic beams) uses the Gumbel-top-k trick: candidate
+scores are perturbed with Gumbel noise before the top-k, which draws beams without
+replacement from the softmax distribution while exact scores keep accumulating.
 """
 
 from __future__ import annotations
@@ -41,12 +44,15 @@ def beam_step(
     cache: kvc.KVCache,  # batch axis = B*nb
     scores: jnp.ndarray,  # [B, nb]
     finished: jnp.ndarray,  # [B, nb]
+    rng: jnp.ndarray | None = None,  # PRNG key => stochastic beams (_beam_sample)
 ) -> Tuple[jnp.ndarray, kvc.KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One expansion step. Returns (next_tokens, cache, scores, finished, beam_src)."""
     nb = scores.shape[1]
     B = scores.shape[0]
     V = cfg.vocab_size
     logits, cache = T.decode_step(cfg, params, tokens[:, None], positions[:, None], cache)
+    if gen.do_sample and gen.temperature != 1.0:
+        logits = logits / jnp.maximum(gen.temperature, 1e-6)
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, nb, V)
 
     if gen.eos_token_id is not None:
@@ -56,7 +62,13 @@ def beam_step(
 
     total = scores[:, :, None] + logprobs  # [B, nb, V]
     flat = total.reshape(B, nb * V)
-    new_scores, idx = jax.lax.top_k(flat, nb)  # [B, nb]
+    select = flat
+    if rng is not None and gen.do_sample:
+        # Gumbel-top-k: sample nb candidates without replacement
+        g = -jnp.log(-jnp.log(jax.random.uniform(rng, flat.shape, minval=1e-20, maxval=1.0)))
+        select = flat + g
+    _, idx = jax.lax.top_k(select, nb)  # [B, nb]
+    new_scores = jnp.take_along_axis(flat, idx, axis=1)
     beam_src = (idx // V).astype(jnp.int32)  # which beam each winner came from
     next_tok = (idx % V).astype(jnp.int32)
 
@@ -73,26 +85,31 @@ def beam_step(
 
 
 def make_beam_decoder(cfg: ModelConfig, gen: GenerationConfig, num_steps: int):
-    """Jittable fused beam decode: scans `beam_step`, tracking token history."""
+    """Jittable fused beam decode: scans `beam_step`, tracking token history.
 
-    def fused(params, tok0, pos0, cache, scores0, finished0):
+    With ``gen.do_sample`` the scan is the ``_beam_sample`` variant (per-step
+    Gumbel perturbation from a split PRNG key)."""
+
+    def fused(params, tok0, pos0, cache, scores0, finished0, rng0):
         B_nb = tok0.shape[0]
         # history[i] = i-th generated token; reordered with the beams every step
         history0 = jnp.full((B_nb, num_steps + 1), gen.pad_token_id, jnp.int32)
         history0 = history0.at[:, 0].set(tok0)
 
         def step(carry, i):
-            tok, pos, cache, scores, finished, history = carry
+            tok, pos, cache, scores, finished, history, rng = carry
+            rng, sub = jax.random.split(rng)
             ntok, cache, scores, finished, src = beam_step(
-                cfg, gen, params, tok, pos, cache, scores, finished
+                cfg, gen, params, tok, pos, cache, scores, finished,
+                rng=sub if gen.do_sample else None,
             )
             history = jnp.take(history, src, axis=0)  # reorder past tokens too
             history = jax.lax.dynamic_update_slice(history, ntok[:, None], (0, i + 1))
-            return (ntok, pos + 1, cache, scores, finished, history), None
+            return (ntok, pos + 1, cache, scores, finished, history, rng), None
 
-        (tok, pos, cache, scores, finished, history), _ = jax.lax.scan(
+        (tok, pos, cache, scores, finished, history, rng), _ = jax.lax.scan(
             step,
-            (tok0, pos0, cache, scores0, finished0, history0),
+            (tok0, pos0, cache, scores0, finished0, history0, rng0),
             jnp.arange(num_steps),
         )
         return history, scores

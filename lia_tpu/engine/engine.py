@@ -286,8 +286,9 @@ class InferenceEngine:
             )
         positions = jnp.asarray(np.asarray(mask).sum(1), jnp.int32)
         t0 = time.perf_counter()
+        rng, sub = jax.random.split(jax.random.PRNGKey(seed + 1))
         history, final_scores = self._compiled[key](
-            self.params, first.reshape(-1), positions, cache, scores, finished
+            self.params, first.reshape(-1), positions, cache, scores, finished, sub
         )
         history = np.asarray(history).reshape(B, nb, -1)
         final_scores = np.asarray(final_scores)

@@ -51,3 +51,24 @@ def test_loglikelihood_additivity(eng):
     ll_a = eng.loglikelihood([ctx], [a])[0]
     ll_b = eng.loglikelihood([ctx + a], [b])[0]
     np.testing.assert_allclose(ll_ab, ll_a + ll_b, rtol=1e-4, atol=1e-4)
+
+
+def test_beam_sample_runs_and_differs(eng):
+    """_beam_sample parity: stochastic beams produce valid, generally different
+    sequences from deterministic beam search."""
+    prompts = [[5, 9, 23, 41]]
+    det = eng.generate_beam(prompts, GenerationConfig(max_new_tokens=6, num_beams=4))
+    sto = eng.generate_beam(
+        prompts,
+        GenerationConfig(max_new_tokens=6, num_beams=4, do_sample=True, temperature=2.0),
+    )
+    assert sto.sequences.shape == det.sequences.shape
+    assert (sto.sequences >= 0).all()
+
+
+def test_beam_sample_deterministic_given_seed(eng):
+    prompts = [[5, 9, 23, 41]]
+    gen = GenerationConfig(max_new_tokens=5, num_beams=3, do_sample=True, temperature=1.5)
+    a = eng.generate_beam(prompts, gen, seed=7)
+    b = eng.generate_beam(prompts, gen, seed=7)
+    np.testing.assert_array_equal(a.sequences, b.sequences)
