@@ -95,9 +95,10 @@ def quantize_int4(w: np.ndarray, group: int) -> Tuple[np.ndarray, np.ndarray]:
         return packed, s
     wg = w.reshape(rows // group, group, cols).astype(np.float32)
     s = np.maximum(np.abs(wg).max(axis=1) / 7.0, 1e-8)
-    q = np.rint(wg / s[:, None, :]).clip(-8, 7).astype(np.int8).reshape(rows, cols)
-    b = (q + 8).astype(np.uint8)
-    packed = (b[0::2] & 0xF) | (b[1::2] << 4)
+    q = np.rint(wg / s[:, None, :]).clip(-8, 7).astype(np.int8)
+    b = (q + 8).astype(np.uint8)  # [ng, g, cols]
+    gh = group // 2
+    packed = ((b[:, :gh] & 0xF) | (b[:, gh:] << 4)).reshape(rows // 2, cols)
     return packed, s
 
 

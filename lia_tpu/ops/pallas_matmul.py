@@ -38,21 +38,25 @@ def _woq_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, int4: bool):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]  # [bm, bk]
-    qt = q_ref[:]  # [bk, bn] int8  |  [bk//2, bn] packed uint8
+    qt = q_ref[:]  # [bk, bn] int8  |  [bk//2, bn] packed uint8 (half-split/group)
+    s = s_ref[:]  # [gpt, bn] scales for the groups covered by this K tile
+    gpt = s.shape[0]
     if int4:
         # Mosaic-legal unpack: bitcast u8→i8, widen to i32 immediately — i8
-        # vector sub/shift and u8→f32 casts are all unsupported; i32 bit ops are
+        # vector sub/shift and u8→f32 casts are all unsupported; i32 bit ops are.
+        # Half-split packing makes reassembly a CONCAT per group (no interleave
+        # shuffle): byte r of a group holds rows (r, r+g/2).
         q32 = pltpu.bitcast(qt, jnp.int8).astype(jnp.int32)
-        lo = ((q32 & 0xF) - 8).astype(jnp.float32)
-        hi = (((q32 >> 4) & 0xF) - 8).astype(jnp.float32)
-        qf = jnp.stack([lo, hi], axis=1).reshape(2 * qt.shape[0], qt.shape[1])
+        gh = qt.shape[0] // gpt  # packed rows per group (= g/2)
+        qg = q32.reshape(gpt, gh, qt.shape[1])
+        lo = ((qg & 0xF) - 8).astype(jnp.float32)
+        hi = (((qg >> 4) & 0xF) - 8).astype(jnp.float32)
+        w = jnp.concatenate([lo, hi], axis=1) * s[:, None, :]  # [gpt, g, bn]
+        bk, bn = 2 * qt.shape[0], qt.shape[1]
     else:
         qf = qt.astype(jnp.float32)
-    # scales for the groups covered by this K tile: [gpt, bn]
-    s = s_ref[:]
-    gpt = s.shape[0]
-    bk, bn = qf.shape
-    w = qf.reshape(gpt, bk // gpt, bn) * s[:, None, :]
+        bk, bn = qf.shape
+        w = qf.reshape(gpt, bk // gpt, bn) * s[:, None, :]
     w = w.reshape(bk, bn).astype(x.dtype)
     acc_ref[:] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -90,7 +94,11 @@ def woq_matmul(
     bm = min(block_m, M)
     bn = min(block_n, N)
     bk = min(block_k, K)
-    if g >= bk:
+    if int4:
+        # half-split packing reassembles within a group → tiles must contain
+        # whole groups
+        bk = g * max(1, bk // g)
+    elif g >= bk:
         bk = min(bk, g)
         assert g % bk == 0, f"group {g} must be a multiple of K tile {bk}"
     else:

@@ -109,9 +109,13 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
     q = q.reshape(*lead, K, N)
     s = scale.squeeze(-2).astype(np.float32)  # [..., ng, N]
     if qc.weight_dtype == "int4":
-        # biased nibbles in [0, 15], packed two-per-byte along `in`
-        b = (q + 8).astype(np.uint8)
-        packed = (b[..., 0::2, :] & 0xF) | (b[..., 1::2, :] << 4)  # [..., K/2, N]
+        # biased nibbles in [0, 15], packed two-per-byte with a HALF-SPLIT per
+        # group: byte r of group G holds (lo=row r, hi=row r+g/2). Unpacking is
+        # then a cheap concat along the row axis instead of an interleave — the
+        # interleave shuffle dominated the int4 kernel's runtime on TPU.
+        b = (q + 8).astype(np.uint8).reshape(*lead, ng, g, N)
+        packed = (b[..., : g // 2, :] & 0xF) | (b[..., g // 2 :, :] << 4)
+        packed = packed.reshape(*lead, K // 2, N)
         return QuantizedWeight(packed, s, "woq_int4")
     return QuantizedWeight(q, s, "woq_int8")
 
@@ -146,11 +150,14 @@ def dequantize(rec: "QuantizedWeight", dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the fp weight [..., K, N] (golden path / XLA pre-fusion form)."""
     q, s = rec.q, rec.s
     if rec.fmt == "woq_int4":
-        lo = (q & 0xF).astype(jnp.int8) - 8
-        hi = (q >> 4).astype(jnp.int8) - 8
-        # interleave back along the packed axis: [..., K/2, N] pairs -> [..., K, N]
+        # half-split packing: byte r of group G holds rows (r, r+g/2) of that group
         K2, N = q.shape[-2], q.shape[-1]
-        qi = jnp.stack([lo, hi], axis=-2).reshape(*q.shape[:-2], 2 * K2, N)
+        ng = s.shape[-2]
+        gh = K2 // ng  # half-group packed rows
+        qg = q.reshape(*q.shape[:-2], ng, gh, N)
+        lo = (qg & 0xF).astype(jnp.int8) - 8
+        hi = (qg >> 4).astype(jnp.int8) - 8
+        qi = jnp.concatenate([lo, hi], axis=-2).reshape(*q.shape[:-2], 2 * K2, N)
     else:
         qi = q
     *lead, K, N = qi.shape
@@ -202,11 +209,13 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
         ng = rec.s.shape[-2]
         g = K // ng
         int4 = rec.fmt == "woq_int4"
-        bm = dispatch.pick_block(M, 256, minimum=8) or M
         bn = dispatch.pick_block(N, 512, minimum=128)
         bk_min = 256 if int4 else 128
         if ng == 1:
-            bk = dispatch.pick_block(K, 1024, minimum=bk_min)
+            # int4 half-split packing needs whole groups per tile → bk == K
+            bk = K if int4 else dispatch.pick_block(K, 1024, minimum=bk_min)
+            if bk is not None and (bk % bk_min or K % bk):
+                bk = None
         else:
             # scale block sublane (= groups per K tile) must be ≥8 or cover all
             # groups, so K tiles span either 8+ whole groups or the whole K axis
@@ -218,7 +227,12 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
                     break
             if bk is None and K % bk_min == 0:
                 bk = K  # gpt == ng (full scale table per tile)
-        if bn is not None and bk is not None:
+        # bound the x tile to VMEM (large bk → shrink bm)
+        bm_cap = 256
+        if bk is not None:
+            bm_cap = max(8, min(256, (6 * 2**20) // (bk * 2)))
+        bm = dispatch.pick_block(M, bm_cap, minimum=8) or (M if M <= bm_cap else None)
+        if bn is not None and bk is not None and bm is not None:
             y = woq_matmul(
                 x2d, rec.q, rec.s, -1 if ng == 1 else g, int4=int4,
                 block_m=bm, block_n=bn, block_k=bk,

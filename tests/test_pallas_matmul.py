@@ -20,9 +20,11 @@ def test_woq_matmul_matches_dequant(rng, wdtype, gs):
     w = rng.standard_normal((K, N), dtype=np.float32) * 0.1
     rec = jax.tree.map(jnp.asarray, quantize_weight(w, QuantConfig(weight_dtype=wdtype, group_size=gs)))
     ref = np.asarray(x) @ np.asarray(dequantize(rec, jnp.float32))
+    # int4 tiles must span whole groups (half-split packing)
+    bk = 32 if wdtype == "int8" else max(32, gs if gs > 0 else 128)
     out = woq_matmul(
         x, rec.q, rec.s, gs, int4=(wdtype == "int4"),
-        block_m=8, block_n=32, block_k=32, interpret=True,
+        block_m=8, block_n=32, block_k=bk, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
 
