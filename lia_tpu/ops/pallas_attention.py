@@ -358,3 +358,140 @@ def decode_attention_stacked(
         v_flat,
     )
     return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)
+
+
+# ---------------------------------------------------------------------------
+# Stacked-cache decode via manual in-kernel DMA (no scalar prefetch)
+# ---------------------------------------------------------------------------
+
+
+def _decode_dma_kernel(
+    idx_ref,  # [1, 1] int32 SMEM — layer index
+    len_ref,  # [B, 1] int32 SMEM
+    start_ref,  # [B, 1] int32 SMEM
+    q_ref,  # [1, Hs, 1, G*D] VMEM
+    k_hbm,  # [(L*B), N_kv, S_max, D] — unblocked (stays in HBM)
+    v_hbm,
+    o_ref,  # [1, Hs, 1, G*D]
+    k_s,  # VMEM scratch [Hs, S_max, D]
+    v_s,
+    sems,  # DMA semaphores (2,)
+    *,
+    scale: float,
+    bk: int,
+    G: int,
+    Hs: int,
+    B: int,
+):
+    D = k_s.shape[2]
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    idx = idx_ref[0, 0]
+    length = len_ref[b, 0]
+    start = start_ref[b, 0]
+
+    # DMA this cell's Hs head planes of layer `idx` straight from the stacked
+    # HBM buffer ((L,B) flattened to keep refs rank-4) — the layer select is a
+    # dynamic .at[] slice, no plane copy ever materializes in HBM
+    row = idx * B + b
+    kdma = pltpu.make_async_copy(
+        k_hbm.at[row, pl.ds(h * Hs, Hs)], k_s, sems.at[0]
+    )
+    vdma = pltpu.make_async_copy(
+        v_hbm.at[row, pl.ds(h * Hs, Hs)], v_s, sems.at[1]
+    )
+    kdma.start()
+    vdma.start()
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+    kdma.wait()
+    vdma.wait()
+
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_s[:, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v = v_s[:, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+        allow = (pos < length) & (pos >= start)
+        s = jnp.where(allow, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    num_kv = pl.cdiv(length, bk)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
+def decode_attention_stacked_dma(
+    q: jnp.ndarray,  # [B, 1, N, D]
+    k_cache: jnp.ndarray,  # [L, B, N_kv, S_max, D]
+    v_cache: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # scalar int32
+    slot_mask: jnp.ndarray,  # [B, S_max]
+    length: jnp.ndarray,  # scalar or [B]
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Stacked-cache decode attention using manual in-kernel DMA for the layer
+    select (works where the remote Mosaic helper rejects scalar-prefetch)."""
+    B, _, N, D = q.shape
+    L, _, Nkv, S_max, _ = k_cache.shape
+    G = N // Nkv
+    scale = scale if scale is not None else D**-0.5
+    interpret = _interpret_default() if interpret is None else interpret
+    bk = min(block_k, S_max)
+    assert S_max % bk == 0
+
+    qg = q.reshape(B, Nkv, 1, G * D)
+    lengths = jnp.broadcast_to(length.astype(jnp.int32), (B,))[:, None]
+    starts = lengths - jnp.sum(slot_mask.astype(jnp.int32), axis=1)[:, None]
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    budget = 6 * 1024 * 1024
+    Hs = max(1, min(Nkv, budget // max(2 * S_max * D * itemsize, 1)))
+    while Nkv % Hs:
+        Hs -= 1
+
+    k_flat = k_cache.reshape(L * B, Nkv, S_max, D)
+    v_flat = v_cache.reshape(L * B, Nkv, S_max, D)
+    out = pl.pallas_call(
+        functools.partial(_decode_dma_kernel, scale=scale, bk=bk, G=G, Hs=Hs, B=B),
+        grid=(B, Nkv // Hs),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Hs, S_max, D), k_cache.dtype),
+            pltpu.VMEM((Hs, S_max, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        jnp.broadcast_to(layer_idx.astype(jnp.int32), (1, 1)),
+        lengths,
+        starts,
+        qg,
+        k_flat,
+        v_flat,
+    )
+    return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)

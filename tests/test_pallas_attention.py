@@ -84,3 +84,26 @@ def test_decode_ignores_stale_slots(rng):
     v2 = v.at[:, :, 8:].set(-99.0)
     out_b = decode_attention(q, k2, v2, mask_all, jnp.asarray(6, jnp.int32), block_k=8, interpret=True)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["prefetch", "dma"])
+def test_stacked_decode_matches_plane(rng, variant):
+    """Stacked-cache decode kernels (scalar-prefetch + manual-DMA variants) vs the
+    per-plane kernel. Both are gated off on hardware whose Mosaic toolchain
+    rejects them (see dispatch.stacked_kernel_enabled) but stay correct here."""
+    from lia_tpu.ops.pallas_attention import (
+        decode_attention_stacked,
+        decode_attention_stacked_dma,
+    )
+
+    L, B, Nkv, S, D, G = 3, 2, 4, 32, 16, 2
+    N = Nkv * G
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((L, B, Nkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, Nkv, S, D)), jnp.float32)
+    sm = jnp.ones((B, S), bool)
+    ln = jnp.asarray(21, jnp.int32)
+    fn = decode_attention_stacked if variant == "prefetch" else decode_attention_stacked_dma
+    a = fn(q, k, v, jnp.asarray(1, jnp.int32), sm, ln, block_k=8, interpret=True)
+    b = decode_attention(q, k[1], v[1], sm, ln, block_k=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
