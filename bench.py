@@ -15,6 +15,9 @@ the denominator.
 
 from __future__ import annotations
 
+import contextlib
+import sys
+
 import os as _os
 
 # persistent XLA compilation cache: repeat benchmark invocations skip the
@@ -47,17 +50,19 @@ def main() -> None:
     model = "opt-1.3b"
     batch, n_in, n_out = 8, 256, 32
     cfg = get_config(model)
-    params = init_dummy_params(cfg)
-    engine = InferenceEngine(cfg, params)
     gen = GenerationConfig(max_new_tokens=n_out)
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(10, 30000, size=n_in)) for _ in range(batch)]
 
-    engine.generate(prompts, gen, fused=True)  # warmup/compile
-    best = 0.0
-    for _ in range(3):
-        res = engine.generate(prompts, gen, fused=True)
-        best = max(best, res.summary(batch)["decode_tokens_per_s"])
+    # keep stdout to exactly one JSON line: engine progress prints go to stderr
+    with contextlib.redirect_stdout(sys.stderr):
+        params = init_dummy_params(cfg)
+        engine = InferenceEngine(cfg, params)
+        engine.generate(prompts, gen, fused=True)  # warmup/compile
+        best = 0.0
+        for _ in range(3):
+            res = engine.generate(prompts, gen, fused=True)
+            best = max(best, res.summary(batch)["decode_tokens_per_s"])
 
     print(
         json.dumps(
