@@ -73,13 +73,15 @@ def set_stacked_kernel(v: Optional[bool]) -> None:
 def stacked_kernel_enabled() -> bool:
     """Scalar-prefetch stacked-cache decode kernel gate.
 
-    Default OFF on hardware: this environment's remote Mosaic compile helper
-    crashes (HTTP 500) on PrefetchScalarGridSpec kernels; the kernel is correct
-    in interpreter mode and can be enabled where the toolchain supports it.
+    Default ON: reads each layer's K/V plane straight out of the stacked cache
+    (no per-layer plane copy). Round-1's Mosaic helper rejected
+    PrefetchScalarGridSpec; the current toolchain compiles it for both OPT
+    (G=1, D=64) and Llama (G=4, D=128) shape families (re-validated 2026-08-17).
+    ``set_stacked_kernel(False)`` is the kill-switch.
     """
     if _STACKED_KERNEL is not None:
         return _STACKED_KERNEL
-    return interpret_mode()  # interpreter path is known-good
+    return True
 
 
 def pick_block(n: int, target: int, minimum: int = 8) -> Optional[int]:
