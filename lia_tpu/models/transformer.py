@@ -340,27 +340,35 @@ def decode_layers_scan(
     positions: jnp.ndarray,  # [B, 1]
     n_layers: int,
 ):
-    """Scan all decode layers with the cache carried in place.
+    """Scan all decode layers; the cache is read-only inside the scan.
 
-    Each layer writes only its fresh token into the stacked cache
-    (:func:`lia_tpu.ops.kv_cache.write_token`) and attends straight over the
-    stacked buffer (:func:`lia_tpu.ops.attention.attend_decode_stacked`) — no
-    per-layer plane copies."""
+    Each layer's attention merges the fresh token in-kernel
+    (:func:`lia_tpu.ops.attention.attend_decode_fresh`) instead of writing the
+    cache first; the scan stacks every layer's fresh K/V as ys and ONE
+    ``dynamic_update_slice`` per step commits them all
+    (:func:`lia_tpu.ops.kv_cache.write_token_all`). This trades 2 cache-write
+    ops per LAYER for 2 per STEP — significant on hardware where every op
+    carries ~15µs launch overhead. ``ctx``/``start`` describe the cache BEFORE
+    this token (past tokens only)."""
+    from lia_tpu.ops.quant import is_quantized_kv, quantize_kv
 
-    def body(carry, inputs):
-        h, ck, cv = carry
+    quantized = is_quantized_kv(ck)
+
+    def body(h, inputs):
         lp, idx = inputs
         residual = h
         q, k, v = attn_in(cfg, lp, h, positions)
-        ck = kvc.write_token(ck, k, idx, start)
-        cv = kvc.write_token(cv, v, idx, start)
-        attn_out = att.attend_decode_stacked(q, ck, cv, idx, ctx)
+        if quantized:
+            k, v = quantize_kv(k), quantize_kv(v)
+        attn_out = att.attend_decode_fresh(q, k, v, ck, cv, idx, ctx)
         h = attn_post_mlp(cfg, lp, residual, attn_out)
-        return (h, ck, cv), None
+        return h, (k, v)
 
-    (x, ck, cv), _ = jax.lax.scan(
-        body, (x, ck, cv), (layer_params, jnp.arange(n_layers, dtype=jnp.int32))
+    x, (k_stack, v_stack) = jax.lax.scan(
+        body, x, (layer_params, jnp.arange(n_layers, dtype=jnp.int32))
     )
+    ck = kvc.write_token_all(ck, k_stack, start)
+    cv = kvc.write_token_all(cv, v_stack, start)
     return x, ck, cv
 
 
@@ -373,10 +381,8 @@ def decode_step(
 ) -> Tuple[jnp.ndarray, kvc.KVCache]:
     """One greedy/sampling decode step; returns (logits [B, V], updated cache)."""
     x = embed(cfg, params, tokens, positions)
-    slot_mask = jax.lax.dynamic_update_slice(
-        cache.mask, jnp.ones((tokens.shape[0], 1), jnp.bool_), (0, cache.length)
-    )
-    ctx = att.decode_attn_ctx(slot_mask, cache.length + 1)
+    # ctx covers PAST tokens only; the fresh token is merged inside attention
+    ctx = att.decode_attn_ctx(cache.mask, cache.length)
     start = cache.length
 
     x, k_new, v_new = decode_layers_scan(
@@ -405,11 +411,11 @@ def decode_step_ragged(
     """
     B = tokens.shape[0]
     x = embed(cfg, params, tokens, logical_pos[:, None])
-    slot_mask = jax.vmap(
-        lambda row, p, a: jax.lax.dynamic_update_slice(row, a[None], (p,))
-    )(cache.mask, cache.length, active)
-    ctx = att.decode_attn_ctx(slot_mask, cache.length + 1)
-    start = cache.length  # [B] → ragged writes inside update_layer
+    # ctx covers PAST tokens only; the fresh token is merged inside attention.
+    # Inactive slots compute garbage attention (their outputs are discarded and
+    # their mask/length never advance) — same as the previous per-layer path.
+    ctx = att.decode_attn_ctx(cache.mask, cache.length)
+    start = cache.length  # [B] → ragged writes inside write_token_all
 
     x, k_new, v_new = decode_layers_scan(
         cfg, params["layers"], x, cache.k, cache.v, start, ctx,

@@ -145,6 +145,58 @@ def attend_decode(
     return attend(q, k_cache, v_cache, ctx.mask)
 
 
+def attend_decode_fresh(
+    q: jnp.ndarray,  # [B, 1, N, D]
+    k_fresh: jnp.ndarray,  # [B, N_kv, 1, D] (head-major)
+    v_fresh: jnp.ndarray,
+    k_cache_full,  # [L, B, N_kv, S_max, D] — PAST tokens only (fresh not written)
+    v_cache_full,
+    layer_idx,
+    ctx: DecodeAttn,  # slot_mask/length cover PAST tokens only
+) -> jnp.ndarray:
+    """Decode attention over the stacked cache with the fresh token merged
+    in-kernel (the cache write happens once per step, after the layer scan —
+    see :func:`lia_tpu.models.transformer.decode_layers_scan`).
+
+    Fallback (CPU / quantized KV / odd shapes): write the fresh token into a
+    local copy of the plane and run :func:`attend_decode` — bit-identical to
+    the write-then-attend order the per-layer paths use.
+    """
+    from lia_tpu.ops import dispatch
+    from lia_tpu.ops.quant import is_quantized_kv
+
+    if not is_quantized_kv(k_cache_full):
+        S_max = k_cache_full.shape[3]
+        if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
+            bk = dispatch.pick_block(S_max, 512, minimum=64)
+            if bk is not None:
+                from lia_tpu.ops.pallas_attention import decode_attention_fresh
+
+                return decode_attention_fresh(
+                    q, k_fresh.astype(q.dtype), v_fresh.astype(q.dtype),
+                    k_cache_full, v_cache_full, layer_idx,
+                    ctx.slot_mask, ctx.length, block_k=bk,
+                    interpret=dispatch.interpret_mode(),
+                )
+    from lia_tpu.ops import kv_cache as kvc
+
+    kl = kvc.index_layer_kv(k_cache_full, layer_idx)
+    vl = kvc.index_layer_kv(v_cache_full, layer_idx)
+    kl, vl = kvc.update_layer(kl, vl, k_fresh, v_fresh, ctx.length)
+    new_mask = jnp.ones((q.shape[0], 1), jnp.bool_)
+    ragged = getattr(ctx.length, "ndim", 0) == 1
+    if ragged:
+        slot_mask = jax.vmap(
+            lambda row, p, a: jax.lax.dynamic_update_slice(row, a[None], (p,))
+        )(ctx.slot_mask, ctx.length, new_mask[:, 0])
+    else:
+        slot_mask = jax.lax.dynamic_update_slice(
+            ctx.slot_mask, new_mask, (jnp.zeros((), jnp.int32), ctx.length)
+        )
+    inc_ctx = decode_attn_ctx(slot_mask, ctx.length + 1)
+    return attend_decode(q, kl, vl, inc_ctx)
+
+
 def attend_decode_stacked(
     q: jnp.ndarray, k_cache_full, v_cache_full, layer_idx, ctx: DecodeAttn
 ) -> jnp.ndarray:

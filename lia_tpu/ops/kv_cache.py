@@ -181,6 +181,51 @@ def beam_reorder(cache: KVCache, beam_idx: jnp.ndarray) -> KVCache:
     )
 
 
+def write_token_all(plane_full: Any, new_stack: Any, start) -> Any:
+    """Write ONE decode step's fresh K or V for ALL layers at once.
+
+    ``plane_full``: [L, B, N_kv, S_max, D] (array or QuantizedKV);
+    ``new_stack``: [L, B, N_kv, 1, D] (the layer scan's stacked ys);
+    ``start``: scalar or [B] write offset. One dynamic_update_slice per step
+    replaces the per-layer write (each XLA op costs ~15µs launch overhead on
+    this rig — 2 ops/step vs 2 ops/layer is ~0.7 ms at 24 layers).
+    """
+    from lia_tpu.ops.quant import QuantizedKV, is_quantized_kv, quantize_kv
+
+    zero = jnp.zeros((), jnp.int32)
+    ragged = getattr(start, "ndim", 0) == 1
+
+    def upd(full, val, scale_arr=False):
+        if ragged:
+            if scale_arr:  # [L, B, N_kv, 1] into [L, B, N_kv, S_max]
+                return jax.vmap(
+                    lambda fb, vb, p: jax.lax.dynamic_update_slice(
+                        fb, vb, (zero, zero, p)
+                    ),
+                    in_axes=(1, 1, 0),
+                    out_axes=1,
+                )(full, val, start)
+            return jax.vmap(
+                lambda fb, vb, p: jax.lax.dynamic_update_slice(
+                    fb, vb, (zero, zero, p, zero)
+                ),
+                in_axes=(1, 1, 0),
+                out_axes=1,
+            )(full, val, start)
+        if scale_arr:
+            return jax.lax.dynamic_update_slice(full, val, (zero, zero, zero, start))
+        return jax.lax.dynamic_update_slice(
+            full, val, (zero, zero, zero, start, zero)
+        )
+
+    if is_quantized_kv(plane_full):
+        newq = new_stack if is_quantized_kv(new_stack) else quantize_kv(new_stack)
+        return QuantizedKV(
+            upd(plane_full.q, newq.q), upd(plane_full.s, newq.s, scale_arr=True)
+        )
+    return upd(plane_full, new_stack.astype(plane_full.dtype))
+
+
 def write_token(plane_full: Any, new: Any, layer_idx, start) -> Any:
     """Write a decode step's fresh K or V into the FULL stacked cache in place.
 

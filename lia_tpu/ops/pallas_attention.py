@@ -361,6 +361,150 @@ def decode_attention_stacked(
 
 
 # ---------------------------------------------------------------------------
+# Stacked-cache decode with the fresh token merged in-kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_fresh_kernel(
+    idx_ref,  # [1] int32 scalar-prefetch — layer index
+    len_ref,  # [B, 1] int32 SMEM — valid length per sequence (EXCLUDING fresh)
+    start_ref,  # [B, 1] int32 SMEM — first valid slot per sequence
+    q_ref,  # [1, Hs, 1, G*D]
+    kf_ref,  # [1, Hs, 1, D] — this step's fresh key (not yet in the cache)
+    vf_ref,  # [1, Hs, 1, D]
+    k_ref,  # [1, Hs, S_max, D] — (layer, batch) plane selected by the index map
+    v_ref,
+    o_ref,  # [1, Hs, 1, G*D]
+    *,
+    scale: float,
+    bk: int,
+    G: int,
+):
+    """Decode attention over cache[start, length) ∪ {fresh token}.
+
+    Folding the fresh token into the online softmax removes the per-layer cache
+    write from the decode loop: the caller batches all layers' fresh K/V into
+    ONE dynamic_update_slice per step after the layer scan. On this rig every
+    XLA op costs ~15µs of launch overhead, so dropping 2 ops/layer is worth
+    ~0.7 ms/step at 24 layers — the reference has no analog (its CPU kernel
+    writes the cache in place, MaskedMultiHeadAttentionKrnl.cpp:14-120).
+    """
+    Hs, D = k_ref.shape[1], k_ref.shape[3]
+    b = pl.program_id(0)
+    length = len_ref[b, 0]
+    start = start_ref[b, 0]
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+        allow = (pos < length) & (pos >= start)
+        s = jnp.where(allow, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    num_kv = pl.cdiv(length, bk)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+
+    # fresh-token tile (always valid, position == length)
+    kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)  # [Hs, 1, D]
+    vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
+    sf = jax.lax.dot_general(
+        q, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [Hs, G, 1]
+    m_new = jnp.maximum(m, sf)
+    p = jnp.exp(sf - m_new)
+    alpha = jnp.exp(m - m_new)
+    l = l * alpha + p
+    acc = acc * alpha + jax.lax.dot_general(
+        p, vf, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
+def decode_attention_fresh(
+    q: jnp.ndarray,  # [B, 1, N, D]
+    k_fresh: jnp.ndarray,  # [B, N_kv, 1, D] — this step's key (head-major)
+    v_fresh: jnp.ndarray,
+    k_cache: jnp.ndarray,  # [L, B, N_kv, S_max, D] — stacked cache (PAST tokens only)
+    v_cache: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # scalar int32
+    slot_mask: jnp.ndarray,  # [B, S_max] bool — past-token validity (contiguous rows)
+    length: jnp.ndarray,  # scalar or [B] — past length (excludes the fresh token)
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Decode attention over layer ``layer_idx``'s cache plane + the fresh token."""
+    B, _, N, D = q.shape
+    L, _, Nkv, S_max, _ = k_cache.shape
+    G = N // Nkv
+    scale = scale if scale is not None else D**-0.5
+    interpret = _interpret_default() if interpret is None else interpret
+    bk = min(block_k, S_max)
+    assert S_max % bk == 0
+
+    qg = q.reshape(B, Nkv, 1, G * D)
+    lengths = jnp.broadcast_to(length.astype(jnp.int32), (B,))
+    starts = lengths - jnp.sum(slot_mask.astype(jnp.int32), axis=1)
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    # budget covers K+V blocks ×2 (Mosaic double-buffers grid blocks)
+    budget = 4 * 1024 * 1024
+    Hs = max(1, min(Nkv, budget // max(2 * S_max * D * itemsize, 1)))
+    while Nkv % Hs:
+        Hs -= 1
+
+    k_flat = k_cache.reshape(L * B, Nkv, S_max, D)
+    v_flat = v_cache.reshape(L * B, Nkv, S_max, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Nkv // Hs),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_max, D), lambda b, h, i: (i[0] * B + b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_max, D), lambda b, h, i: (i[0] * B + b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, i: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_fresh_kernel, scale=scale, bk=bk, G=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+        interpret=interpret,
+    )(
+        layer_idx.astype(jnp.int32)[None],
+        lengths[:, None],
+        starts[:, None],
+        qg,
+        k_fresh,
+        v_fresh,
+        k_flat,
+        v_flat,
+    )
+    return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)
+
+
+# ---------------------------------------------------------------------------
 # Stacked-cache decode via manual in-kernel DMA (no scalar prefetch)
 # ---------------------------------------------------------------------------
 

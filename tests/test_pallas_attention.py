@@ -107,3 +107,38 @@ def test_stacked_decode_matches_plane(rng, variant):
     a = fn(q, k, v, jnp.asarray(1, jnp.int32), sm, ln, block_k=8, interpret=True)
     b = decode_attention(q, k[1], v[1], sm, ln, block_k=8, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("pads", [0, 5])
+@pytest.mark.parametrize("gqa", [False, True])
+def test_fresh_decode_matches_write_then_attend(rng, pads, gqa):
+    """Fresh-token-merge decode kernel vs writing the token first and running
+    the per-plane kernel over the updated cache — same math, different op
+    schedule (the fresh merge is the last online-softmax tile)."""
+    from lia_tpu.ops.pallas_attention import decode_attention_fresh
+
+    L, B, S, D, G = 3, 2, 32, 16, 2 if gqa else 1
+    Nkv = 4
+    N = Nkv * G
+    past = 21  # tokens already in the cache
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((L, B, Nkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, Nkv, S, D)), jnp.float32)
+    sm = (jnp.arange(S)[None, :] < past) & (jnp.arange(S)[None, :] >= pads)
+    sm = jnp.broadcast_to(sm, (B, S))
+    ln = jnp.asarray(past, jnp.int32)
+
+    out = decode_attention_fresh(
+        q, kf, vf, k, v, jnp.asarray(1, jnp.int32), sm, ln, block_k=8, interpret=True
+    )
+
+    # golden: write the fresh token into the plane, then per-plane kernel
+    k1 = jax.lax.dynamic_update_slice(k[1], kf, (0, 0, past, 0))
+    v1 = jax.lax.dynamic_update_slice(v[1], vf, (0, 0, past, 0))
+    sm_inc = sm.at[:, past].set(True)
+    ref = decode_attention(
+        q, k1, v1, sm_inc, jnp.asarray(past + 1, jnp.int32), block_k=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
