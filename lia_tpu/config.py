@@ -82,6 +82,7 @@ class ModelConfig:
     mlp_bias: bool = True
     norm_eps: float = 1e-5
     dtype: str = "bfloat16"
+    pad_token_id: int = 1  # OPT's pad; Llama checkpoints ship 0/eos — set per model
 
     @property
     def embed_dim(self) -> int:

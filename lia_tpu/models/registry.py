@@ -52,6 +52,7 @@ def _llama(name, h, ffn, l, heads, kv_heads, vocab, max_pos=8192, theta=500000.0
         attn_bias=False,
         mlp_bias=False,
         norm_eps=1e-5,
+        pad_token_id=0,  # llama tokenizers have no pad; 0 (<unk>) is the convention
         **kw,
     )
 

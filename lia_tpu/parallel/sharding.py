@@ -30,17 +30,44 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def param_pspecs(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree matching ``params``' structure (stacked [L, ...] layers)."""
+def param_pspecs(cfg: ModelConfig, params: Dict[str, Any], tp: int = 1) -> Dict[str, Any]:
+    """PartitionSpec pytree matching ``params``' structure (stacked [L, ...] layers).
+
+    :class:`~lia_tpu.ops.quant.QuantizedWeight` leaves get a QuantizedWeight spec
+    node (``q`` takes the weight's spec adapted to the packed shape, ``s`` a
+    matching group spec), so TP serving composes with WOQ weights — the analog of
+    the reference sharding quantized op-contexts (tensor_parallel.py:266-414 over
+    WeightOnlyQuantizedLinear modules).
+    """
     M = "model"
+
+    def wspec(w: Any, base: P) -> Any:
+        """Adapt a weight spec to a possibly-quantized leaf."""
+        from lia_tpu.ops.quant import QuantizedWeight, is_quantized
+
+        if not is_quantized(w):
+            return base
+        # q [L, K_packed, N] shards like the fp weight (int4 half-split packing
+        # is per-group along K, so a whole-groups row split keeps packing local;
+        # the sum over K rows is permutation-invariant so GSPMD's propagation
+        # through the dequant concat stays correct).
+        row_split = base[1] == M  # wo/w2: K on "model"
+        ng = w.s.shape[-2]
+        if row_split and ng % max(tp, 1) != 0:
+            # scale groups don't tile the TP axis (incl. per-channel ng=1):
+            # replicate scales; GSPMD reshards through the dequant reshape
+            s_spec = P(None, None, None)
+        else:
+            s_spec = base  # s [L, ng, N] splits the same axis (groups ride K)
+        return QuantizedWeight(base, s_spec, w.fmt)
 
     def attn_spec(attn: Dict[str, Any]) -> Dict[str, Any]:
         out = {}
-        for k in attn:
+        for k, v in attn.items():
             if k in ("wq", "wk", "wv"):
-                out[k] = P(None, None, M)  # [L, H, out] — column split
+                out[k] = wspec(v, P(None, None, M))  # [L, H, out] — column split
             elif k == "wo":
-                out[k] = P(None, M, None)  # [L, QD, H] — row split
+                out[k] = wspec(v, P(None, M, None))  # [L, QD, H] — row split
             elif k in ("bq", "bk", "bv"):
                 out[k] = P(None, M)
             else:  # bo — after the psum, replicated
@@ -49,11 +76,11 @@ def param_pspecs(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
 
     def mlp_spec(mlp: Dict[str, Any]) -> Dict[str, Any]:
         out = {}
-        for k in mlp:
+        for k, v in mlp.items():
             if k in ("w1", "wg"):
-                out[k] = P(None, None, M)
+                out[k] = wspec(v, P(None, None, M))
             elif k == "w2":
-                out[k] = P(None, M, None)
+                out[k] = wspec(v, P(None, M, None))
             elif k == "b1":
                 out[k] = P(None, M)
             else:  # b2
@@ -85,9 +112,10 @@ def param_pspecs(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
+    tp = dict(mesh.shape).get("model", 1)
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec),
-        param_pspecs(cfg, params),
+        param_pspecs(cfg, params, tp=tp),
         is_leaf=lambda x: isinstance(x, P),
     )
 

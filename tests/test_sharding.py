@@ -189,3 +189,48 @@ def test_opt175b_tp_program_lowers_abstractly():
     # full-scale tensors present and partitioned-compile succeeds
     compiled = lowered.compile()
     assert compiled is not None
+
+
+@pytest.mark.parametrize("wdtype,gsize", [("int8", -1), ("int8", 64), ("int4", 64)])
+def test_tp_with_quantized_weights(cfg, wdtype, gsize):
+    """TP sharding composes with WOQ weights: QuantizedWeight leaves get q/s
+    pspecs (ADVICE round-1 medium: shard_params crashed on the pytree node
+    mismatch) and the sharded forward matches the single-device one."""
+    from lia_tpu.config import QuantConfig
+    from lia_tpu.ops.quant import quantize_params
+
+    params_host = quantize_params(
+        cfg, init_dummy_params(cfg, seed=5, scale=0.02),
+        QuantConfig(weight_dtype=wdtype, group_size=gsize),
+    )
+    B, S = 2, 16
+    tokens = np.random.default_rng(2).integers(3, 500, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), bool)
+
+    p1 = jax.device_put(params_host)
+    cache1 = kvc.init_cache(cfg, B, S + 2, jnp.float32)
+    ref_logits, ref_cache = jax.jit(partial(T.prefill, cfg))(
+        p1, jnp.asarray(tokens), jnp.asarray(mask), cache1
+    )
+
+    mesh = make_mesh((1, 4))
+    params = shd.shard_params(cfg, params_host, mesh)  # crashed before the fix
+    cache = jax.device_put(
+        kvc.init_cache(cfg, B, S + 2, jnp.float32), shd.cache_shardings(mesh)
+    )
+    ds = shd.data_sharding(mesh)
+    logits, cache = jax.jit(partial(T.prefill, cfg))(
+        params, jax.device_put(jnp.asarray(tokens), ds),
+        jax.device_put(jnp.asarray(mask), ds), cache,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+    pos = jnp.full((B, 1), S, jnp.int32)
+    d_logits, _ = jax.jit(partial(T.decode_step, cfg))(params, tok, pos, cache)
+    r_logits, _ = jax.jit(partial(T.decode_step, cfg))(p1, tok, pos, ref_cache)
+    np.testing.assert_allclose(
+        np.asarray(d_logits), np.asarray(r_logits), rtol=2e-4, atol=2e-4
+    )
