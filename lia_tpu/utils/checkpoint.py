@@ -237,25 +237,58 @@ def load_hf_checkpoint(cfg: ModelConfig, path: str) -> Params:
 # ---------------------------------------------------------------------------
 
 
+# Quantized leaves flatten to two tensors tagged with the format:
+#   "<key>#q#woq_int8" / "<key>#s#woq_int8"   (QuantizedWeight)
+#   "<key>#kvq#" / "<key>#kvs#"               (QuantizedKV)
+# so quantized models round-trip through save_params/load_params — the analog of
+# the reference persisting quantized checkpoints as best_model.pt
+# (examples run.py:59-61,463-470); without this every run re-quantizes from scratch.
+
+
 def _flatten(tree: Params, prefix="") -> Dict[str, np.ndarray]:
+    from lia_tpu.ops.quant import QuantizedKV, QuantizedWeight
+
     out = {}
     for k, v in tree.items():
         key = f"{prefix}{k}"
         if isinstance(v, dict):
             out.update(_flatten(v, key + "/"))
+        elif isinstance(v, QuantizedWeight):
+            out[f"{key}#q#{v.fmt}"] = np.asarray(v.q)
+            out[f"{key}#s#{v.fmt}"] = np.asarray(v.s)
+        elif isinstance(v, QuantizedKV):
+            out[f"{key}#kvq#"] = np.asarray(v.q)
+            out[f"{key}#kvs#"] = np.asarray(v.s)
         else:
             out[key] = np.asarray(v)
     return out
 
 
 def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
+    from lia_tpu.ops.quant import QuantizedKV, QuantizedWeight
+
     tree: Params = {}
+    pending: Dict[str, Dict[str, Any]] = {}
     for key, v in flat.items():
+        if "#" in key:
+            base, part, fmt = key.split("#")
+            rec = pending.setdefault(base, {"fmt": fmt})
+            rec[part] = v
+            continue
         parts = key.split("/")
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
+    for base, rec in pending.items():
+        parts = base.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if "kvq" in rec:
+            node[parts[-1]] = QuantizedKV(rec["kvq"], rec["kvs"])
+        else:
+            node[parts[-1]] = QuantizedWeight(rec["q"], rec["s"], rec["fmt"])
     return tree
 
 

@@ -79,6 +79,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--weight-dtype", default="none", choices=["none", "int8", "int4"])
     p.add_argument("--group-size", type=int, default=-1)
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
+    p.add_argument("--save-quantized", default=None, metavar="PATH",
+                   help="persist the (quantized) param tree after load "
+                        "(reference: run.py best_model.pt, :59-61,463-470)")
+    p.add_argument("--quantized-checkpoint", default=None, metavar="PATH",
+                   help="load a previously saved quantized checkpoint "
+                        "(skips re-quantization)")
     p.add_argument("--profile", action="store_true", help="emit a jax trace to /tmp/lia_trace")
     p.add_argument("--prompt", default=None, help="text prompt (requires --tokenizer)")
     p.add_argument("--tokenizer", default=None, help="local tokenizer directory")
@@ -126,7 +132,11 @@ def main(argv=None) -> int:
 
     print(f"[lia-tpu] model={cfg.name} params≈{cfg.num_params/1e9:.2f}B dtype={cfg.dtype}")
     t0 = time.perf_counter()
-    if args.checkpoint:
+    if args.quantized_checkpoint:
+        from lia_tpu.utils.checkpoint import load_params
+
+        params = load_params(args.quantized_checkpoint)
+    elif args.checkpoint:
         params = load_hf_checkpoint(cfg, args.checkpoint)
         if runtime.quant.enabled:
             from lia_tpu.ops.quant import quantize_params
@@ -135,6 +145,11 @@ def main(argv=None) -> int:
     else:
         # dummy weights synthesize directly in quantized form when requested
         params = init_dummy_params(cfg, quant=runtime.quant if runtime.quant.enabled else None)
+    if args.save_quantized:
+        from lia_tpu.utils.checkpoint import save_params
+
+        save_params(params, args.save_quantized)
+        print(f"[lia-tpu] saved quantized checkpoint → {args.save_quantized}")
     print(f"[lia-tpu] weights ready in {time.perf_counter()-t0:.1f}s")
 
     engine = InferenceEngine(cfg, params, runtime)

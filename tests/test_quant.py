@@ -1,6 +1,7 @@
 """WOQ int8/int4 tests — golden-model comparisons, same pattern as the reference's
 test_quantization_default_recipe.py (WOQ INT8/INT4 matrix vs eager fp reference)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -8,7 +9,13 @@ import pytest
 from lia_tpu.config import GenerationConfig, QuantConfig
 from lia_tpu.engine.engine import InferenceEngine
 from lia_tpu.models.registry import get_config
-from lia_tpu.ops.quant import dequantize, quantize_params, quantize_weight, quantized_matmul
+from lia_tpu.ops.quant import (
+    dequantize,
+    quantize_kv,
+    quantize_params,
+    quantize_weight,
+    quantized_matmul,
+)
 from lia_tpu.utils.checkpoint import init_dummy_params
 
 
@@ -103,3 +110,41 @@ def test_quantize_kv_roundtrip(rng):
     x2 = np.asarray(dequantize_kv(kv, jnp.float32))
     rel = np.abs(x2 - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
     assert rel < 0.02
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """Quantized params survive save_params/load_params (reference persists
+    quantized models as best_model.pt, run.py:59-61,463-470); round-1 gap:
+    _flatten crashed on QuantizedWeight leaves."""
+    from lia_tpu.config import QuantConfig
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.utils.checkpoint import init_dummy_params, load_params, save_params
+
+    cfg = get_config("opt-tiny")
+    params = quantize_params(
+        cfg, init_dummy_params(cfg, seed=3), QuantConfig(weight_dtype="int8", group_size=32)
+    )
+    path = str(tmp_path / "ckpt.safetensors")
+    save_params(params, path)
+    loaded = load_params(path)
+
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(loaded)
+    assert jax.tree.structure(params) == jax.tree.structure(loaded)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # format tags survive
+    assert loaded["layers"]["attn"]["wq"].fmt == "woq_int8"
+
+
+def test_quantized_kv_checkpoint_roundtrip(tmp_path):
+    """QuantizedKV leaves also flatten/unflatten (cache snapshots)."""
+    from lia_tpu.utils.checkpoint import load_params, save_params
+
+    kv = quantize_kv(jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 8, 16)), jnp.float32))
+    tree = {"cache": {"k": kv}}
+    path = str(tmp_path / "kv.safetensors")
+    save_params(tree, path)
+    loaded = load_params(path)
+    np.testing.assert_array_equal(np.asarray(kv.q), loaded["cache"]["k"].q)
+    np.testing.assert_allclose(np.asarray(kv.s), loaded["cache"]["k"].s)
