@@ -162,6 +162,8 @@ class InferenceEngine:
         seed: int = 0,
     ) -> GenerationResult:
         cfg = self.cfg
+        if gen.num_beams > 1:
+            raise ValueError("use generate_beam() for num_beams > 1")
         tokens, mask = pack_prompts(prompts, gen.pad_token_id)
         B, S = tokens.shape
         # cache length rounded to 128 keeps the Pallas decode kernel's K tiles aligned
@@ -204,9 +206,6 @@ class InferenceEngine:
             seqs = np.concatenate([np.asarray(first)[:, None], rest], axis=1)
             return GenerationResult(seqs, lat)
 
-        if gen.num_beams > 1:
-            raise ValueError("use generate_beam() for num_beams > 1")
-
         decode = self._get_decode()
         out: List[np.ndarray] = [np.asarray(first)]
         tok = first
@@ -235,13 +234,15 @@ class InferenceEngine:
         seed: int = 0,
     ) -> GenerationResult:
         """Beam-search generation (reference parity: _beam_search with iakv
-        beam_idx reorder). Returns the best beam per prompt."""
+        beam_idx reorder). Returns the best beam per prompt.
+
+        Composes with the tiered/streamed scheduler: the reference's generation
+        modes all work under any policy
+        (intel_extension_for_pytorch/transformers/generation/beam_search.py);
+        here the scheduler's step passes replace the resident prefill/decode and
+        the beam shuffle gathers BOTH cache segments (reorder_state)."""
         from lia_tpu.engine import beam as beam_mod
 
-        if self.scheduler is not None:
-            raise NotImplementedError(
-                "beam search currently requires resident weights (policy 3, hbm=100)"
-            )
         cfg = self.cfg
         nb = gen.num_beams
         expanded = [p for p in prompts for _ in range(nb)]
@@ -249,11 +250,16 @@ class InferenceEngine:
         Bnb, S = tokens.shape
         B = Bnb // nb
         max_len = -(-(S + gen.max_new_tokens) // 128) * 128
+        lat = LatencyStats()
+
+        if self.scheduler is not None:
+            return self._generate_beam_scheduled(
+                tokens, mask, gen, max_len, lat, seed
+            )
         cache = kvc.init_cache(
             cfg, Bnb, max_len, jnp.dtype(cfg.dtype),
             quantized=self.runtime.quant.kv_cache_dtype == "int8",
         )
-        lat = LatencyStats()
 
         t0 = time.perf_counter()
         logits, cache = self._get_prefill()(
@@ -265,7 +271,20 @@ class InferenceEngine:
             B, nb, cfg.vocab_size
         )
         flat = (scores0[:, :, None] + logprobs).reshape(B, nb * cfg.vocab_size)
-        scores, idx = jax.lax.top_k(flat, nb)
+        select = flat
+        if gen.do_sample:
+            # stochastic beams (_beam_sample parity): the FIRST expansion must be
+            # Gumbel-perturbed too, same trick as beam_step
+            g0 = -jnp.log(
+                -jnp.log(
+                    jax.random.uniform(
+                        jax.random.PRNGKey(seed), flat.shape, minval=1e-20, maxval=1.0
+                    )
+                )
+            )
+            select = flat + g0
+        _, idx = jax.lax.top_k(select, nb)
+        scores = jnp.take_along_axis(flat, idx, axis=1)
         beam_src = (idx // cfg.vocab_size).astype(jnp.int32)
         first = (idx % cfg.vocab_size).astype(jnp.int32)
         base = (jnp.arange(B, dtype=jnp.int32) * nb)[:, None]
@@ -299,36 +318,120 @@ class InferenceEngine:
         seqs = history[np.arange(B), best]
         return GenerationResult(seqs, lat)
 
+    def _generate_beam_scheduled(self, tokens, mask, gen, max_len, lat, seed):
+        """Stepwise beam search over the scheduler's decode passes."""
+        from lia_tpu.engine import beam as beam_mod
+
+        cfg = self.cfg
+        nb = gen.num_beams
+        Bnb, S = tokens.shape
+        B = Bnb // nb
+        sched = self.scheduler
+        rng = jax.random.PRNGKey(seed)
+
+        select = jax.jit(
+            partial(beam_mod.beam_select, gen, cfg.vocab_size), static_argnums=()
+        )
+
+        t0 = time.perf_counter()
+        logits, state = sched.prefill_pass(tokens, mask, max_len)
+        scores0, finished = beam_mod.init_beam_state(B, nb)
+        rng, sub = jax.random.split(rng)
+        tok, scores, finished, src = select(
+            logits, scores0, finished, sub if gen.do_sample else None
+        )
+        state = sched.reorder_state(state, src)
+        history = np.asarray(tok)[:, None]
+        tok.block_until_ready()
+        lat.record(time.perf_counter() - t0)
+
+        pos = jnp.asarray(np.asarray(mask).sum(1), jnp.int32)
+        for _ in range(gen.max_new_tokens - 1):
+            t0 = time.perf_counter()
+            logits, state = sched.decode_pass(tok, pos, state)
+            rng, sub = jax.random.split(rng)
+            tok, scores, finished, src = select(
+                logits, scores, finished, sub if gen.do_sample else None
+            )
+            state = sched.reorder_state(state, src)
+            history = np.concatenate(
+                [np.asarray(history)[np.asarray(src)], np.asarray(tok)[:, None]], axis=1
+            )
+            tok.block_until_ready()
+            lat.record(time.perf_counter() - t0)
+            pos = pos + 1
+
+        final_scores = np.asarray(scores)
+        history = history.reshape(B, nb, -1)
+        best = final_scores.argmax(axis=1)
+        seqs = history[np.arange(B), best]
+        return GenerationResult(seqs, lat)
+
     # -- scoring (accuracy harness) -------------------------------------------
+
+    def _logprob_matrix(self, tokens: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Per-position next-token log-probs [B, S, V] — resident jit or the
+        scheduler's streamed scoring pass."""
+        cfg = self.cfg
+        B, S = tokens.shape
+        if self.scheduler is not None:
+            return np.asarray(self.scheduler.score_logprobs(tokens, mask, S))
+        key = ("score",)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(partial(T.score_logprobs, cfg))
+        cache = kvc.init_cache(cfg, B, S, jnp.dtype(cfg.dtype))
+        return np.asarray(
+            self._compiled[key](self.params, jnp.asarray(tokens), jnp.asarray(mask), cache)
+        )
 
     def loglikelihood(
         self,
         contexts: Sequence[Sequence[int]],
         continuations: Sequence[Sequence[int]],
+        pad_id: Optional[int] = None,
     ) -> np.ndarray:
         """Sum log-prob of each continuation given its context (lm-eval
         `loglikelihood`; reference: run_accuracy.py:543-575 BaseLM adapter).
-        Returns [B] float64."""
-        if self.scheduler is not None:
-            raise NotImplementedError(
-                "loglikelihood scoring currently requires resident weights"
-            )
-        cfg = self.cfg
-        full = [list(c) + list(t) for c, t in zip(contexts, continuations)]
-        tokens, mask = pack_prompts(full, pad_id=1)
-        B, S = tokens.shape
-        key = ("score",)
-        if key not in self._compiled:
-            self._compiled[key] = jax.jit(partial(T.score_logprobs, cfg))
-        cache = kvc.init_cache(cfg, B, S, jnp.dtype(cfg.dtype))
-        lp = np.asarray(
-            self._compiled[key](self.params, jnp.asarray(tokens), jnp.asarray(mask), cache)
-        )
-        out = np.zeros(B, np.float64)
+        Returns [B] float64. Works under any placement policy (the scheduler
+        provides the scoring pass for tiered/streamed weights)."""
         for b, (c, t) in enumerate(zip(contexts, continuations)):
-            n = len(c) + len(t)
+            if len(t) == 0:
+                raise ValueError(f"record {b}: empty continuation")
+            if len(c) == 0 and len(t) == 1:
+                # one unconditioned token has no previous position to score from
+                raise ValueError(
+                    f"record {b}: empty context with single-token continuation "
+                    "cannot be scored (no conditioning position)"
+                )
+        return self.score(contexts, continuations, pad_id=pad_id)[0]
+
+    def score(
+        self,
+        contexts: Sequence[Sequence[int]],
+        continuations: Sequence[Sequence[int]],
+        pad_id: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """lm-eval `loglikelihood` semantics: (sum log-prob, is_greedy) per record.
+
+        ``is_greedy`` is True when every continuation token is the argmax
+        next-token prediction — the flag the harness uses for accuracy metrics
+        (reference BaseLM adapter, run_accuracy.py:543-575).
+        """
+        cfg = self.cfg
+        pad_id = cfg.pad_token_id if pad_id is None else pad_id
+        full = [list(c) + list(t) for c, t in zip(contexts, continuations)]
+        tokens, mask = pack_prompts(full, pad_id=pad_id)
+        B, S = tokens.shape
+        lp = self._logprob_matrix(tokens, mask)
+        ll = np.zeros(B, np.float64)
+        greedy = np.ones(B, bool)
+        for b, (c, t) in enumerate(zip(contexts, continuations)):
             # tokens are right-aligned: continuation occupies the last len(t) slots
             for j, tok in enumerate(t):
                 pos = S - len(t) + j  # slot of this continuation token
-                out[b] += lp[b, pos - 1, tok]
-        return out
+                if pos - 1 < 0:
+                    continue  # first token of an empty-context record: unscorable
+                ll[b] += lp[b, pos - 1, tok]
+                if int(np.argmax(lp[b, pos - 1])) != int(tok):
+                    greedy[b] = False
+        return ll, greedy

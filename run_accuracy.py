@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--weight-dtype", default="none", choices=["none", "int8", "int4"])
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
+    p.add_argument("--lm-eval", action="store_true",
+                   help="run lm-eval-harness tasks (requires lm_eval + --tokenizer)")
+    p.add_argument("--tasks", default="lambada_openai",
+                   help="comma-separated lm-eval task names")
+    p.add_argument("--tokenizer", default=None, help="local tokenizer directory")
     args = p.parse_args(argv)
 
     cfg = get_config(args.model).replace(dtype=args.dtype)
@@ -52,6 +57,26 @@ def main(argv=None) -> int:
     else:
         params = init_dummy_params(cfg, quant=quant if quant.enabled else None)
     engine = InferenceEngine(cfg, params, RuntimeConfig(quant=quant))
+
+    if args.lm_eval:
+        # lambada-parity gate via the harness (reference run_accuracy.py:543-575)
+        if not args.tokenizer:
+            p.error("--lm-eval requires --tokenizer <local dir>")
+        try:
+            import lm_eval
+        except ImportError:
+            p.error("lm_eval is not installed in this environment")
+        from transformers import AutoTokenizer
+
+        from lia_tpu.utils.lm_eval_adapter import make_lm_eval_model
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer, local_files_only=True)
+        lm = make_lm_eval_model(engine, tok, batch_size=args.batch_size)
+        results = lm_eval.simple_evaluate(
+            model=lm, tasks=args.tasks.split(","), limit=args.limit or None
+        )
+        print(json.dumps(results.get("results", results), default=str))
+        return 0
 
     records = []
     if args.dataset:
