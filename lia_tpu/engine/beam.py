@@ -35,22 +35,19 @@ def init_beam_state(B: int, nb: int):
     return scores, finished
 
 
-def beam_step(
-    cfg: ModelConfig,
+def beam_select(
     gen: GenerationConfig,
-    params,
-    tokens: jnp.ndarray,  # [B*nb] current tokens to feed
-    positions: jnp.ndarray,  # [B*nb]
-    cache: kvc.KVCache,  # batch axis = B*nb
+    vocab_size: int,
+    logits: jnp.ndarray,  # [B*nb, V] this step's logits
     scores: jnp.ndarray,  # [B, nb]
     finished: jnp.ndarray,  # [B, nb]
     rng: jnp.ndarray | None = None,  # PRNG key => stochastic beams (_beam_sample)
-) -> Tuple[jnp.ndarray, kvc.KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One expansion step. Returns (next_tokens, cache, scores, finished, beam_src)."""
-    nb = scores.shape[1]
-    B = scores.shape[0]
-    V = cfg.vocab_size
-    logits, cache = T.decode_step(cfg, params, tokens[:, None], positions[:, None], cache)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Beam expansion math shared by the fused resident scan and the
+    scheduler's stepwise loop. Returns (next_tok [B*nb], scores, finished,
+    flat_src [B*nb] — source batch row per winner)."""
+    B, nb = scores.shape
+    V = vocab_size
     if gen.do_sample and gen.temperature != 1.0:
         logits = logits / jnp.maximum(gen.temperature, 1e-6)
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, nb, V)
@@ -71,17 +68,34 @@ def beam_step(
     new_scores = jnp.take_along_axis(flat, idx, axis=1)
     beam_src = (idx // V).astype(jnp.int32)  # which beam each winner came from
     next_tok = (idx % V).astype(jnp.int32)
-
-    # reorder cache rows: global row = b*nb + beam_src
     base = (jnp.arange(B, dtype=jnp.int32) * nb)[:, None]
     flat_src = (base + beam_src).reshape(-1)
-    cache = kvc.beam_reorder(cache, flat_src)
 
     if gen.eos_token_id is not None:
         finished = jnp.take_along_axis(finished, beam_src, axis=1) | (
             next_tok == gen.eos_token_id
         )
-    return next_tok.reshape(-1), cache, new_scores, finished, flat_src
+    return next_tok.reshape(-1), new_scores, finished, flat_src
+
+
+def beam_step(
+    cfg: ModelConfig,
+    gen: GenerationConfig,
+    params,
+    tokens: jnp.ndarray,  # [B*nb] current tokens to feed
+    positions: jnp.ndarray,  # [B*nb]
+    cache: kvc.KVCache,  # batch axis = B*nb
+    scores: jnp.ndarray,  # [B, nb]
+    finished: jnp.ndarray,  # [B, nb]
+    rng: jnp.ndarray | None = None,  # PRNG key => stochastic beams (_beam_sample)
+) -> Tuple[jnp.ndarray, kvc.KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One expansion step. Returns (next_tokens, cache, scores, finished, beam_src)."""
+    logits, cache = T.decode_step(cfg, params, tokens[:, None], positions[:, None], cache)
+    next_tok, new_scores, finished, flat_src = beam_select(
+        gen, cfg.vocab_size, logits, scores, finished, rng
+    )
+    cache = kvc.beam_reorder(cache, flat_src)
+    return next_tok, cache, new_scores, finished, flat_src
 
 
 def make_beam_decoder(cfg: ModelConfig, gen: GenerationConfig, num_steps: int):

@@ -56,16 +56,39 @@ class ContinuousBatcher:
         gen: GenerationConfig = GenerationConfig(),
         kv_quantized: bool = False,
         mesh=None,
+        runtime: Optional[RuntimeConfig] = None,
     ):
         """``mesh``: optional (1, tp) jax Mesh — weights and KV shard over the
         "model" axis (ICI tensor parallelism); the data axis must be 1 because
-        admission prefills single requests."""
+        admission prefills single requests.
+
+        ``runtime``: a RuntimeConfig with tiering/streaming/policies routes all
+        serving compute through the StreamingScheduler's ragged passes — the
+        round-1 gap where ContinuousBatcher was resident-only (reference: every
+        generation mode runs under any policy)."""
         self.cfg = cfg
         self.gen = gen
         self.B = max_batch
         self.max_len = max_len
         self.mesh = mesh
-        if mesh is not None:
+        self.sched = None
+        needs_scheduler = runtime is not None and (
+            runtime.hbm_percentage < 100
+            or runtime.stream_weights
+            or runtime.prefill_policy != 3
+            or runtime.decode_policy != 3
+        )
+        if needs_scheduler:
+            if mesh is not None:
+                raise ValueError("scheduler-backed serving does not compose with a mesh yet")
+            from lia_tpu.runtime.scheduler import StreamingScheduler
+
+            self.sched = StreamingScheduler(cfg, runtime, params_host)
+            self.params = self.sched.resident_params
+            self.state = self.sched.init_serving_state(max_batch, max_len)
+            self._cache_shardings = None
+            self.cache = None
+        elif mesh is not None:
             from lia_tpu.parallel import sharding as shd
 
             if mesh.shape.get("data", 1) != 1:
@@ -75,16 +98,17 @@ class ContinuousBatcher:
         else:
             self.params = jax.device_put(params_host)
             self._cache_shardings = None
-        self.cache = kvc.init_cache(cfg, max_batch, max_len, jnp.dtype(cfg.dtype), quantized=kv_quantized)
-        # ragged state: per-slot lengths
-        self.cache = self.cache._replace(length=jnp.zeros((max_batch,), jnp.int32))
-        if self._cache_shardings is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.sched is None:
+            self.cache = kvc.init_cache(cfg, max_batch, max_len, jnp.dtype(cfg.dtype), quantized=kv_quantized)
+            # ragged state: per-slot lengths
+            self.cache = self.cache._replace(length=jnp.zeros((max_batch,), jnp.int32))
+            if self._cache_shardings is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            shardings = self._cache_shardings._replace(
-                length=NamedSharding(self.mesh, P("data"))
-            )
-            self.cache = jax.device_put(self.cache, shardings)
+                shardings = self._cache_shardings._replace(
+                    length=NamedSharding(self.mesh, P("data"))
+                )
+                self.cache = jax.device_put(self.cache, shardings)
         self.logical_pos = np.zeros(max_batch, np.int64)
         self.active = np.zeros(max_batch, bool)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
@@ -134,19 +158,25 @@ class ContinuousBatcher:
                     f"request {req.req_id} needs {bucket + req.max_new_tokens} slots > max_len {self.max_len}"
                 )
             tokens, mask = pack_prompts([req.prompt], self.gen.pad_token_id, bucket=bucket)
-            seg = kvc.init_cache(
-                self.cfg, 1, self.max_len,
-                jnp.dtype(self.cfg.dtype),
-                quantized=not isinstance(self.cache.k, jnp.ndarray),
-            )
-            if self._cache_shardings is not None:
-                seg = jax.device_put(seg, self._cache_shardings)
-            logits, seg = self._prefill_fn(bucket)(
-                self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
-            )
-            self._rng, sub = jax.random.split(self._rng)
-            first = int(sampling.sample(logits, sub, self.gen)[0])
-            self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
+            if self.sched is not None:
+                logits, seg_state = self.sched.prefill_pass(tokens, mask, self.max_len)
+                self._rng, sub = jax.random.split(self._rng)
+                first = int(sampling.sample(logits, sub, self.gen)[0])
+                self.state = self.sched.insert_slot_state(self.state, seg_state, slot)
+            else:
+                seg = kvc.init_cache(
+                    self.cfg, 1, self.max_len,
+                    jnp.dtype(self.cfg.dtype),
+                    quantized=not isinstance(self.cache.k, jnp.ndarray),
+                )
+                if self._cache_shardings is not None:
+                    seg = jax.device_put(seg, self._cache_shardings)
+                logits, seg = self._prefill_fn(bucket)(
+                    self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
+                )
+                self._rng, sub = jax.random.split(self._rng)
+                first = int(sampling.sample(logits, sub, self.gen)[0])
+                self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
             req.first_token_at = time.perf_counter()
             req.output.append(first)
             self.slot_req[slot] = req
@@ -172,15 +202,23 @@ class ContinuousBatcher:
         self._admit()
         if not self.active.any():
             return bool(self.queue)
-        decode = self._decode_fn()
         self._rng, sub = jax.random.split(self._rng)
-        logits, self.cache = decode(
-            self.params,
-            jnp.asarray(self.tokens)[:, None],
-            jnp.asarray(self.logical_pos, jnp.int32),
-            self.cache,
-            jnp.asarray(self.active),
-        )
+        if self.sched is not None:
+            logits, self.state = self.sched.decode_pass_ragged(
+                jnp.asarray(self.tokens),
+                jnp.asarray(self.logical_pos, jnp.int32),
+                self.state,
+                jnp.asarray(self.active),
+            )
+        else:
+            decode = self._decode_fn()
+            logits, self.cache = decode(
+                self.params,
+                jnp.asarray(self.tokens)[:, None],
+                jnp.asarray(self.logical_pos, jnp.int32),
+                self.cache,
+                jnp.asarray(self.active),
+            )
         toks = np.asarray(sampling.sample(logits, sub, self.gen))
         self._steps += 1
         for slot in np.flatnonzero(self.active):

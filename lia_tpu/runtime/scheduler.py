@@ -104,10 +104,14 @@ class StreamingScheduler:
             from lia_tpu.ops import attention as att
 
             x = T.embed(cfg, top, tokens, positions)
+            # two ctx conventions: the resident segment scan merges the fresh
+            # token in-kernel (PAST-only ctx), while the streamed per-layer
+            # paths write-then-attend (ctx INCLUDING the current token)
+            ctx_past = att.decode_attn_ctx(slot_mask, length)
             sm = jax.lax.dynamic_update_slice(
                 slot_mask, jnp.ones((tokens.shape[0], 1), jnp.bool_), (0, length)
             )
-            return x, att.decode_attn_ctx(sm, length + 1)
+            return x, ctx_past, att.decode_attn_ctx(sm, length + 1)
 
         return self._jit("dec_embed", f)
 
@@ -261,6 +265,58 @@ class StreamingScheduler:
 
         return self._host_jit("host_update", f, donate_argnums=(0,))
 
+    def _host_update_mb_fn(self):
+        """Minibatch variant: write fresh K/V for batch rows [b0, b0+mb)."""
+
+        def f(cache, k, v, idx, b0):
+            start = cache.length
+            kl = kvc.index_layer_kv(cache.k, idx)
+            vl = kvc.index_layer_kv(cache.v, idx)
+            mb = jax.tree.leaves(k)[0].shape[0]
+            slice_b = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, mb, 0)
+            k_sl, v_sl = jax.tree.map(slice_b, kl), jax.tree.map(slice_b, vl)
+            k_sl, v_sl = kvc.update_layer(k_sl, v_sl, k, v, start)
+            upd_b = lambda a, sl: jax.lax.dynamic_update_slice_in_dim(a, sl, b0, 0)
+            kl = jax.tree.map(upd_b, kl, k_sl)
+            vl = jax.tree.map(upd_b, vl, v_sl)
+            return cache._replace(
+                k=kvc.set_layer_kv(cache.k, kl, idx),
+                v=kvc.set_layer_kv(cache.v, vl, idx),
+            )
+
+        return self._host_jit("host_update_mb", f, donate_argnums=(0,))
+
+    def _host_attn_mb_fn(self, phase: str):
+        """Host attention over batch rows [b0, b0+mb) (hybrid minibatch prefill)."""
+        cfg = self.cfg
+        core = T.attn_core_prefill if phase == "prefill" else T.attn_core_decode
+
+        def f(q, k, v, cache, idx, b0, ctx_sl):
+            start = cache.length
+            mb = q.shape[0]
+            kl = kvc.index_layer_kv(cache.k, idx)
+            vl = kvc.index_layer_kv(cache.v, idx)
+            slice_b = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, mb, 0)
+            k_sl, v_sl = jax.tree.map(slice_b, kl), jax.tree.map(slice_b, vl)
+            attn_out, k_sl, v_sl = core(cfg, q, k, v, k_sl, v_sl, start, ctx_sl)
+            upd_b = lambda a, sl: jax.lax.dynamic_update_slice_in_dim(a, sl, b0, 0)
+            kl = jax.tree.map(upd_b, kl, k_sl)
+            vl = jax.tree.map(upd_b, vl, v_sl)
+            cache = cache._replace(
+                k=kvc.set_layer_kv(cache.k, kl, idx),
+                v=kvc.set_layer_kv(cache.v, vl, idx),
+            )
+            return attn_out, cache
+
+        return self._host_jit(("host_attn_mb", phase), f, donate_argnums=(3,))
+
+    @staticmethod
+    def _slice_ctx(ctx, b0: int, mb: int):
+        """Slice an attention ctx's per-sequence arrays to batch rows [b0, b0+mb)."""
+        return jax.tree.map(
+            lambda a: a[b0 : b0 + mb] if getattr(a, "ndim", 0) else a, ctx
+        )
+
     def _advance_fn(self, device_key: str):
         def f(cache, new_mask, n_new):
             return kvc.advance(cache, new_mask, n_new)
@@ -296,20 +352,43 @@ class StreamingScheduler:
                 x, cache = layer_f(lp, x, cache, jnp.int32(idx - n_res), ctx_h, pos_h)
             return jax.device_put(x, jax.devices()[0]), cache
 
+        B = x.shape[0]
+        use_mb = nm > 1 and B % nm == 0
+        mb = B // nm if use_mb else B
+
         if plan.hybrid:
-            # policies 2/4: linears on TPU (streamed weights), attention on host
+            # policies 2/4: linears on TPU (streamed weights), attention on host.
+            # Minibatch-split prefill (lia/modeling_opt.py:1284-1346): slice c's
+            # D2H qkv / host attention / H2D output overlap slice c+1's TPU
+            # linears via async dispatch.
             qkv_f, post_f = self._qkv_fn(), self._post_fn()
             attn_f = self._host_attn_fn(phase)
+            attn_mb_f = self._host_attn_mb_fn(phase) if use_mb else None
             ctx_h = jax.device_put(ctx, self.cpu)
             self.wm.prefetch(n_res)
             for idx in range(n_res, L):
                 self.wm.prefetch(idx + 1)
                 lp = self.wm.get_layer(idx)
-                q, k, v = qkv_f(lp, x, positions)
-                q_h, k_h, v_h = jax.device_put((q, k, v), self.cpu)
-                attn_out, cache = attn_f(q_h, k_h, v_h, cache, jnp.int32(idx - n_res), ctx_h)
-                attn_out = jax.device_put(attn_out, jax.devices()[0])
-                x = post_f(lp, x, attn_out)
+                if not use_mb:
+                    q, k, v = qkv_f(lp, x, positions)
+                    q_h, k_h, v_h = jax.device_put((q, k, v), self.cpu)
+                    attn_out, cache = attn_f(q_h, k_h, v_h, cache, jnp.int32(idx - n_res), ctx_h)
+                    attn_out = jax.device_put(attn_out, jax.devices()[0])
+                    x = post_f(lp, x, attn_out)
+                else:
+                    parts = []
+                    for c in range(nm):
+                        b0 = c * mb
+                        ctx_sl = self._slice_ctx(ctx_h, b0, mb)
+                        q, k, v = qkv_f(lp, x[b0 : b0 + mb], positions[b0 : b0 + mb])
+                        q_h, k_h, v_h = jax.device_put((q, k, v), self.cpu)
+                        attn_out, cache = attn_mb_f(
+                            q_h, k_h, v_h, cache, jnp.int32(idx - n_res),
+                            jnp.int32(b0), ctx_sl,
+                        )
+                        attn_out = jax.device_put(attn_out, jax.devices()[0])
+                        parts.append(post_f(lp, x[b0 : b0 + mb], attn_out))
+                    x = jnp.concatenate(parts, axis=0)
                 if not overlap:
                     jax.block_until_ready(x)
             return x, cache
@@ -320,15 +399,33 @@ class StreamingScheduler:
             upd_f = self._host_update_fn()
             self.wm.prefetch(n_res)
             if phase == "prefill":
+                # policy-0 flagship prefill: minibatch slices pipeline the D2H
+                # KV store against the next slice's TPU compute
+                # (lia/modeling_opt.py:1284-1346 — round-1 gap: nm was dead here)
                 attn_f = self._tpu_prefill_attn_fn()
+                upd_mb_f = self._host_update_mb_fn() if use_mb else None
                 for idx in range(n_res, L):
                     self.wm.prefetch(idx + 1)
                     lp = self.wm.get_layer(idx)
-                    q, k, v = qkv_f(lp, x, positions)
-                    attn_out = attn_f(q, k, v, ctx)
-                    k_h, v_h = jax.device_put((k, v), self.cpu)  # store_cache (D2H)
-                    cache = upd_f(cache, k_h, v_h, jnp.int32(idx - n_res))
-                    x = post_f(lp, x, attn_out)
+                    if not use_mb:
+                        q, k, v = qkv_f(lp, x, positions)
+                        attn_out = attn_f(q, k, v, ctx)
+                        k_h, v_h = jax.device_put((k, v), self.cpu)  # store_cache (D2H)
+                        cache = upd_f(cache, k_h, v_h, jnp.int32(idx - n_res))
+                        x = post_f(lp, x, attn_out)
+                    else:
+                        parts = []
+                        for c in range(nm):
+                            b0 = c * mb
+                            ctx_sl = self._slice_ctx(ctx, b0, mb)
+                            q, k, v = qkv_f(lp, x[b0 : b0 + mb], positions[b0 : b0 + mb])
+                            attn_out = attn_f(q, k, v, ctx_sl)
+                            k_h, v_h = jax.device_put((k, v), self.cpu)
+                            cache = upd_mb_f(
+                                cache, k_h, v_h, jnp.int32(idx - n_res), jnp.int32(b0)
+                            )
+                            parts.append(post_f(lp, x[b0 : b0 + mb], attn_out))
+                        x = jnp.concatenate(parts, axis=0)
                     if not overlap:
                         jax.block_until_ready(x)
             else:
@@ -430,27 +527,17 @@ class StreamingScheduler:
             st = None
         return res, st
 
-    def generate(
-        self,
-        tokens: np.ndarray,
-        mask: np.ndarray,
-        gen: GenerationConfig,
-        max_len: int,
-        lat: LatencyStats,
-        rng,
-    ):
-        from lia_tpu.engine.engine import GenerationResult
-        from lia_tpu.ops import attention as att
+    # -- step-level passes (the seams generation modes compose over) ----------
 
-        cfg = self.cfg
+    def prefill_pass(self, tokens, mask, max_len: int):
+        """Run the prompt through both segments. Returns (last-token logits,
+        state) where ``state`` is the {res_cache, str_cache} pair."""
         B, S = tokens.shape
         res_cache, str_cache = self._init_caches(B, max_len)
         n_res = self.wm.n_resident
         adv_t = self._advance_fn("tpu")
         adv_h = self._advance_fn("host") if self.kv_host else adv_t
 
-        # ---- prefill ----
-        t0 = time.perf_counter()
         x, positions, ctx = self._embed_fn()(
             self.top, jnp.asarray(tokens), jnp.asarray(mask)
         )
@@ -465,6 +552,191 @@ class StreamingScheduler:
             m = jax.device_put(jnp.asarray(mask), self.cpu) if self.kv_host else jnp.asarray(mask)
             str_cache = (adv_h if self.kv_host else adv_t)(str_cache, m, S)
         logits = self._head_fn()(self.top, x)
+        return logits, {"res": res_cache, "str": str_cache}
+
+    def _cur_mask_len(self, state):
+        """Slot mask / length bookkeeping from whichever cache exists (lockstep)."""
+        c = state["res"] if state["res"] is not None else state["str"]
+        m, ln = c.mask, c.length
+        if c is state["str"] and self.kv_host:
+            m, ln = jax.device_put((m, ln), jax.devices()[0])
+        return m, ln
+
+    def decode_pass(self, tok, pos, state):
+        """One decode step over both segments. Returns (logits [B, V], state)."""
+        n_res = self.wm.n_resident
+        adv_t = self._advance_fn("tpu")
+        adv_h = self._advance_fn("host") if self.kv_host else adv_t
+        B = tok.shape[0]
+        ones_t = jnp.ones((B, 1), jnp.bool_)
+        res_cache, str_cache = state["res"], state["str"]
+
+        m, ln = self._cur_mask_len(state)
+        x, ctx_past, ctx = self._dec_embed_fn()(
+            self.top, tok[:, None], pos[:, None], m, ln
+        )
+        if res_cache is not None:
+            seg = self._segment_fn("decode", n_res)
+            x, res_cache = seg(self.wm.resident, x, res_cache, ctx_past, pos[:, None])
+            res_cache = adv_t(res_cache, ones_t, 1)
+        if str_cache is not None:
+            x, str_cache = self._run_streamed(
+                "decode", self.decode_plan, x, str_cache, ctx, pos[:, None]
+            )
+            ones = jax.device_put(ones_t, self.cpu) if self.kv_host else ones_t
+            str_cache = (adv_h if self.kv_host else adv_t)(str_cache, ones, 1)
+        logits = self._head_fn()(self.top, x)
+        return logits, {"res": res_cache, "str": str_cache}
+
+    def _dec_embed_ragged_fn(self):
+        cfg = self.cfg
+
+        def f(top, tokens, logical_pos, slot_mask, length, active):
+            from lia_tpu.ops import attention as att
+
+            x = T.embed(cfg, top, tokens, logical_pos[:, None])
+            ctx_past = att.decode_attn_ctx(slot_mask, length)
+            sm = jax.vmap(
+                lambda row, p, a: jax.lax.dynamic_update_slice(row, a[None], (p,))
+            )(slot_mask, length, active)
+            return x, ctx_past, att.decode_attn_ctx(sm, length + 1)
+
+        return self._jit("dec_embed_ragged", f)
+
+    def _adv_ragged_fn(self, device_key: str):
+        def f(cache, active):
+            return kvc.advance_ragged(cache, active)
+
+        if device_key == "host":
+            return self._host_jit(("adv_ragged", device_key), f, donate_argnums=(0,))
+        return self._jit(("adv_ragged", device_key), f, donate_argnums=(0,))
+
+    # -- continuous-batching (ragged) seams -----------------------------------
+
+    def init_serving_state(self, B: int, max_len: int):
+        """Ragged {res, str} cache state for slot-based serving (per-slot
+        lengths; ContinuousBatcher composition with tiered weights)."""
+        res, st = self._init_caches(B, max_len)
+        if res is not None:
+            res = res._replace(length=jnp.zeros((B,), jnp.int32))
+        if st is not None:
+            z = jnp.zeros((B,), jnp.int32)
+            if self.kv_host:
+                z = jax.device_put(z, self.cpu)
+            st = st._replace(length=z)
+        return {"res": res, "str": st}
+
+    def insert_slot_state(self, state, seg_state, slot):
+        """Splice a freshly-prefilled b=1 segment state into batch row ``slot``."""
+        out = dict(state)
+        slot = jnp.asarray(slot, jnp.int32)
+        if state["res"] is not None:
+            out["res"] = self._jit("ins_res", kvc.insert_slot, donate_argnums=(0,))(
+                state["res"], seg_state["res"], slot
+            )
+        if state["str"] is not None:
+            seg = seg_state["str"]
+            if self.kv_host:
+                slot_h = jax.device_put(slot, self.cpu)
+                out["str"] = self._host_jit(
+                    "ins_str_h", kvc.insert_slot, donate_argnums=(0,)
+                )(state["str"], seg, slot_h)
+            else:
+                out["str"] = self._jit("ins_str", kvc.insert_slot, donate_argnums=(0,))(
+                    state["str"], seg, slot
+                )
+        return out
+
+    def decode_pass_ragged(self, tok, logical_pos, state, active):
+        """One ragged decode step (per-slot lengths). Returns (logits, state)."""
+        n_res = self.wm.n_resident
+        res_cache, str_cache = state["res"], state["str"]
+        m, ln = self._cur_mask_len(state)
+        x, ctx_past, ctx = self._dec_embed_ragged_fn()(
+            self.top, tok[:, None], logical_pos, m, ln, active
+        )
+        if res_cache is not None:
+            seg = self._segment_fn("decode", n_res)
+            x, res_cache = seg(
+                self.wm.resident, x, res_cache, ctx_past, logical_pos[:, None]
+            )
+            res_cache = self._adv_ragged_fn("tpu")(res_cache, active)
+        if str_cache is not None:
+            x, str_cache = self._run_streamed(
+                "decode", self.decode_plan, x, str_cache, ctx, logical_pos[:, None]
+            )
+            a = jax.device_put(active, self.cpu) if self.kv_host else active
+            str_cache = self._adv_ragged_fn("host" if self.kv_host else "tpu")(
+                str_cache, a
+            )
+        logits = self._head_fn()(self.top, x)
+        return logits, {"res": res_cache, "str": str_cache}
+
+    def reorder_state(self, state, beam_idx):
+        """Gather both caches' batch rows by ``beam_idx`` (beam hypothesis
+        shuffle — the iakv beam_idx analog, zero-copy for past tokens)."""
+
+        def f(cache, idx):
+            return kvc.beam_reorder(cache, idx)
+
+        out = dict(state)
+        if state["res"] is not None:
+            out["res"] = self._jit("reorder_t", f, donate_argnums=(0,))(
+                state["res"], beam_idx
+            )
+        if state["str"] is not None:
+            if self.kv_host:
+                idx_h = jax.device_put(beam_idx, self.cpu)
+                out["str"] = self._host_jit("reorder_h", f, donate_argnums=(0,))(
+                    state["str"], idx_h
+                )
+            else:
+                out["str"] = self._jit("reorder_t2", f, donate_argnums=(0,))(
+                    state["str"], beam_idx
+                )
+        return out
+
+    def score_logprobs(self, tokens, mask, max_len: int):
+        """Per-position next-token log-probs [B, S, V] with tiered weights
+        (lm-eval loglikelihood under streaming — engine.score composition)."""
+        B, S = tokens.shape
+        res_cache, str_cache = self._init_caches(B, max_len)
+        n_res = self.wm.n_resident
+        x, positions, ctx = self._embed_fn()(
+            self.top, jnp.asarray(tokens), jnp.asarray(mask)
+        )
+        if res_cache is not None:
+            seg = self._segment_fn("prefill", n_res)
+            x, res_cache = seg(self.wm.resident, x, res_cache, ctx, positions)
+        if str_cache is not None:
+            x, str_cache = self._run_streamed(
+                "prefill", self.prefill_plan, x, str_cache, ctx, positions
+            )
+
+        def score_head(top, x):
+            logits = T.lm_head(self.cfg, top, x)
+            return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        return self._jit("score_head", score_head)(self.top, x)
+
+    # -- generation ------------------------------------------------------------
+
+    def generate(
+        self,
+        tokens: np.ndarray,
+        mask: np.ndarray,
+        gen: GenerationConfig,
+        max_len: int,
+        lat: LatencyStats,
+        rng,
+    ):
+        from lia_tpu.engine.engine import GenerationResult
+
+        B, S = tokens.shape
+
+        # ---- prefill ----
+        t0 = time.perf_counter()
+        logits, state = self.prefill_pass(tokens, mask, max_len)
         rng, sub = jax.random.split(rng)
         tok = sampling.sample(logits, sub, gen)
         tok.block_until_ready()
@@ -477,34 +749,10 @@ class StreamingScheduler:
             else jnp.zeros((B,), bool)
         )
         out = [np.asarray(tok)]
-        dec_embed = self._dec_embed_fn()
-        ones_t = jnp.ones((B, 1), jnp.bool_)
-        ones_h = jax.device_put(ones_t, self.cpu) if self.kv_host else ones_t
-
-        # slot mask / length bookkeeping uses whichever cache exists (in lockstep)
-        def cur_mask_len():
-            c = res_cache if res_cache is not None else str_cache
-            m, ln = c.mask, c.length
-            if c is str_cache and self.kv_host:
-                m, ln = jax.device_put((m, ln), jax.devices()[0])
-            return m, ln
 
         for _ in range(gen.max_new_tokens - 1):
             t0 = time.perf_counter()
-            m, ln = cur_mask_len()
-            x, ctx = dec_embed(self.top, tok[:, None], pos[:, None], m, ln)
-            if res_cache is not None:
-                seg = self._segment_fn("decode", n_res)
-                x, res_cache = seg(self.wm.resident, x, res_cache, ctx, pos[:, None])
-                res_cache = adv_t(res_cache, ones_t, 1)
-            if str_cache is not None:
-                x, str_cache = self._run_streamed(
-                    "decode", self.decode_plan, x, str_cache, ctx, pos[:, None]
-                )
-                str_cache = (adv_h if self.kv_host else adv_t)(
-                    str_cache, ones_h if self.kv_host else ones_t, 1
-                )
-            logits = self._head_fn()(self.top, x)
+            logits, state = self.decode_pass(tok, pos, state)
             rng, sub = jax.random.split(rng)
             tok = sampling.sample(logits, sub, gen)
             if gen.eos_token_id is not None:

@@ -96,3 +96,29 @@ def test_serving_on_tp_mesh():
         cb.submit(p)
     out = {r.req_id: r.output for r in cb.run()}
     assert out == ref_out
+
+
+@pytest.mark.parametrize("policy,hbm", [(3, 50), (0, 0), (1, 0)])
+def test_serving_under_scheduler_matches_resident(model, policy, hbm):
+    """ContinuousBatcher over the StreamingScheduler's ragged passes (round-1
+    gap: serving was resident-only) — per-request tokens must match the
+    resident batcher."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=5)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8, 12, 13], [50, 60]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    rt = RuntimeConfig(
+        prefill_policy=policy, decode_policy=policy,
+        hbm_percentage=hbm, stream_weights=True,
+    )
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen, runtime=rt)
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} under policy {policy}"
