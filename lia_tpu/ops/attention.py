@@ -163,21 +163,33 @@ def attend_decode_fresh(
     the write-then-attend order the per-layer paths use.
     """
     from lia_tpu.ops import dispatch
-    from lia_tpu.ops.quant import is_quantized_kv
+    from lia_tpu.ops.quant import dequantize_kv, is_quantized_kv
 
-    if not is_quantized_kv(k_cache_full):
-        S_max = k_cache_full.shape[3]
-        if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
-            bk = dispatch.pick_block(S_max, 512, minimum=64)
-            if bk is not None:
-                from lia_tpu.ops.pallas_attention import decode_attention_fresh
+    quantized = is_quantized_kv(k_cache_full)
+    S_max = k_cache_full.q.shape[3] if quantized else k_cache_full.shape[3]
+    if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
+        bk = dispatch.pick_block(S_max, 512, minimum=64)
+        if bk is not None:
+            if quantized:
+                from lia_tpu.ops.pallas_attention import decode_attention_fresh_int8
 
-                return decode_attention_fresh(
-                    q, k_fresh.astype(q.dtype), v_fresh.astype(q.dtype),
-                    k_cache_full, v_cache_full, layer_idx,
-                    ctx.slot_mask, ctx.length, block_k=bk,
+                kf = dequantize_kv(k_fresh, q.dtype) if is_quantized_kv(k_fresh) else k_fresh.astype(q.dtype)
+                vf = dequantize_kv(v_fresh, q.dtype) if is_quantized_kv(v_fresh) else v_fresh.astype(q.dtype)
+                return decode_attention_fresh_int8(
+                    q, kf, vf,
+                    k_cache_full.q, k_cache_full.s,
+                    v_cache_full.q, v_cache_full.s,
+                    layer_idx, ctx.slot_mask, ctx.length, block_k=bk,
                     interpret=dispatch.interpret_mode(),
                 )
+            from lia_tpu.ops.pallas_attention import decode_attention_fresh
+
+            return decode_attention_fresh(
+                q, k_fresh.astype(q.dtype), v_fresh.astype(q.dtype),
+                k_cache_full, v_cache_full, layer_idx,
+                ctx.slot_mask, ctx.length, block_k=bk,
+                interpret=dispatch.interpret_mode(),
+            )
     from lia_tpu.ops import kv_cache as kvc
 
     kl = kvc.index_layer_kv(k_cache_full, layer_idx)

@@ -505,6 +505,162 @@ def decode_attention_fresh(
 
 
 # ---------------------------------------------------------------------------
+# INT8-KV stacked decode (dequant in-kernel; HBM reads stay int8-sized)
+# ---------------------------------------------------------------------------
+
+
+def _decode_fresh_int8_kernel(
+    idx_ref,  # [1] int32 scalar-prefetch — layer index
+    len_ref,  # [B, 1] int32 SMEM
+    start_ref,  # [B, 1] int32 SMEM
+    q_ref,  # [1, Hs, 1, G*D]
+    kf_ref,  # [1, Hs, 1, D] bf16 fresh key (pre-dequantized to match storage)
+    vf_ref,  # [1, Hs, 1, D]
+    k_ref,  # [1, Hs, S_max, D] int8 — cache plane
+    ks_ref,  # [1, Hs, S_max] f32 — per-token K scales
+    v_ref,  # [1, Hs, S_max, D] int8
+    vs_ref,  # [1, Hs, S_max] f32
+    o_ref,  # [1, Hs, 1, G*D]
+    *,
+    scale: float,
+    bk: int,
+    G: int,
+):
+    """INT8 cache decode attention: the kernel reads int8 K/V tiles straight
+    from HBM and applies the per-token scales to the SCORE/PROB matrices
+    instead of the D-wide values (D× fewer multiplies), so HBM traffic is half
+    of bf16 KV. Replaces the round-1 whole-cache XLA dequant at
+    ops/attention.py (which doubled traffic and made int8 KV a non-win).
+    Reference analog: the int8 cache path of MaskedMultiHeadAttentionKrnl.cpp.
+    """
+    Hs, D = k_ref.shape[1], k_ref.shape[3]
+    b = pl.program_id(0)
+    length = len_ref[b, 0]
+    start = start_ref[b, 0]
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)  # [Hs, bk, D]
+        ks = ks_ref[0, :, pl.ds(j * bk, bk)]  # [Hs, bk]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [Hs, G, bk]
+        s = s * ks[:, None, :]  # defer K dequant to the score matrix
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+        allow = (pos < length) & (pos >= start)
+        s = jnp.where(allow, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        vs = vs_ref[0, :, pl.ds(j * bk, bk)]
+        pv = p * vs[:, None, :]  # fold V dequant into the prob matrix
+        acc = acc * alpha + jax.lax.dot_general(
+            pv, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    num_kv = pl.cdiv(length, bk)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+
+    # fresh-token tile (bf16, already matches the cache's dequantized values)
+    kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)
+    vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
+    sf = jax.lax.dot_general(
+        q, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    m_new = jnp.maximum(m, sf)
+    p = jnp.exp(sf - m_new)
+    alpha = jnp.exp(m - m_new)
+    l = l * alpha + p
+    acc = acc * alpha + jax.lax.dot_general(
+        p, vf, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
+def decode_attention_fresh_int8(
+    q: jnp.ndarray,  # [B, 1, N, D]
+    k_fresh: jnp.ndarray,  # [B, N_kv, 1, D] bf16 (pre-dequantized fresh key)
+    v_fresh: jnp.ndarray,
+    kq: jnp.ndarray,  # [L, B, N_kv, S_max, D] int8
+    ks: jnp.ndarray,  # [L, B, N_kv, S_max] f32
+    vq: jnp.ndarray,
+    vs: jnp.ndarray,
+    layer_idx: jnp.ndarray,
+    slot_mask: jnp.ndarray,  # [B, S_max] — past-token validity
+    length: jnp.ndarray,  # scalar or [B] — past length
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fresh-merge decode attention over an INT8 stacked cache."""
+    B, _, N, D = q.shape
+    L, _, Nkv, S_max, _ = kq.shape
+    G = N // Nkv
+    scale = scale if scale is not None else D**-0.5
+    interpret = _interpret_default() if interpret is None else interpret
+    bk = min(block_k, S_max)
+    assert S_max % bk == 0
+
+    qg = q.reshape(B, Nkv, 1, G * D)
+    lengths = jnp.broadcast_to(length.astype(jnp.int32), (B,))
+    starts = lengths - jnp.sum(slot_mask.astype(jnp.int32), axis=1)
+    # int8 values + f32 scales: budget covers K+V blocks ×2 (double buffering)
+    budget = 4 * 1024 * 1024
+    per_head = 2 * S_max * (D + 4)
+    Hs = max(1, min(Nkv, budget // max(per_head, 1)))
+    while Nkv % Hs:
+        Hs -= 1
+
+    k_flat = kq.reshape(L * B, Nkv, S_max, D)
+    ks_flat = ks.reshape(L * B, Nkv, S_max)
+    v_flat = vq.reshape(L * B, Nkv, S_max, D)
+    vs_flat = vs.reshape(L * B, Nkv, S_max)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Nkv // Hs),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_max, D), lambda b, h, i: (i[0] * B + b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_max), lambda b, h, i: (i[0] * B + b, h, 0)),
+            pl.BlockSpec((1, Hs, S_max, D), lambda b, h, i: (i[0] * B + b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_max), lambda b, h, i: (i[0] * B + b, h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, i: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_fresh_int8_kernel, scale=scale, bk=bk, G=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+        interpret=interpret,
+    )(
+        layer_idx.astype(jnp.int32)[None],
+        lengths[:, None],
+        starts[:, None],
+        qg,
+        k_fresh,
+        v_fresh,
+        k_flat,
+        ks_flat,
+        v_flat,
+        vs_flat,
+    )
+    return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)
+
+
+# ---------------------------------------------------------------------------
 # Stacked-cache decode via manual in-kernel DMA (no scalar prefetch)
 # ---------------------------------------------------------------------------
 

@@ -142,3 +142,39 @@ def test_fresh_decode_matches_write_then_attend(rng, pads, gqa):
         q, k1, v1, sm_inc, jnp.asarray(past + 1, jnp.int32), block_k=8, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("gqa", [False, True])
+def test_fresh_decode_int8_matches_dequant_golden(rng, gqa):
+    """INT8-cache fresh-merge kernel vs dequantize-then-attend golden: the
+    deferred per-token scaling (scores for K, probs for V) must match applying
+    the scales to the values."""
+    from lia_tpu.ops.pallas_attention import decode_attention_fresh_int8
+    from lia_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    L, B, S, D, G = 3, 2, 32, 16, 2 if gqa else 1
+    Nkv = 4
+    N = Nkv * G
+    past = 21
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    kkv = quantize_kv(jnp.asarray(rng.standard_normal((L, B, Nkv, S, D)), jnp.float32))
+    vkv = quantize_kv(jnp.asarray(rng.standard_normal((L, B, Nkv, S, D)), jnp.float32))
+    sm = jnp.broadcast_to(jnp.arange(S)[None, :] < past, (B, S))
+    ln = jnp.asarray(past, jnp.int32)
+
+    out = decode_attention_fresh_int8(
+        q, kf, vf, kkv.q, kkv.s, vkv.q, vkv.s,
+        jnp.asarray(1, jnp.int32), sm, ln, block_k=8, interpret=True,
+    )
+
+    kd = dequantize_kv(kkv, jnp.float32)[1]
+    vd = dequantize_kv(vkv, jnp.float32)[1]
+    k1 = jax.lax.dynamic_update_slice(kd, kf, (0, 0, past, 0))
+    v1 = jax.lax.dynamic_update_slice(vd, vf, (0, 0, past, 0))
+    ref = decode_attention(
+        q, k1, v1, sm.at[:, past].set(True), jnp.asarray(past + 1, jnp.int32),
+        block_k=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
