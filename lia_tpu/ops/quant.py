@@ -32,26 +32,32 @@ import numpy as np
 
 from lia_tpu.config import ModelConfig, QuantConfig
 
-QUANT_FORMATS = ("woq_int8", "woq_int4")
+QUANT_FORMATS = ("woq_int8", "woq_int4", "woq_int4z")
 
 
 @jax.tree_util.register_pytree_node_class
 class QuantizedWeight:
-    """Pytree node: quantized values + grouped scales; format tag is static."""
+    """Pytree node: quantized values + grouped scales; format tag is static.
 
-    __slots__ = ("q", "s", "fmt")
+    ``woq_int4z`` is the ASYMMETRIC int4 form (GPTQ-native): ``q`` holds raw
+    nibble codes in [0, 15] (global half-split packed) and ``z`` per-group
+    zero-points, ``w = (code - z) * s``. Symmetric formats leave ``z`` None.
+    """
 
-    def __init__(self, q, s, fmt: str):
+    __slots__ = ("q", "s", "fmt", "z")
+
+    def __init__(self, q, s, fmt: str, z=None):
         self.q = q
         self.s = s
         self.fmt = fmt
+        self.z = z
 
     def tree_flatten(self):
-        return (self.q, self.s), self.fmt
+        return (self.q, self.s, self.z), self.fmt
 
     @classmethod
     def tree_unflatten(cls, fmt, children):
-        return cls(children[0], children[1], fmt)
+        return cls(children[0], children[1], fmt, children[2])
 
     def __repr__(self):
         return f"QuantizedWeight({self.fmt}, q={getattr(self.q, 'shape', None)})"
@@ -109,13 +115,15 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
     q = q.reshape(*lead, K, N)
     s = scale.squeeze(-2).astype(np.float32)  # [..., ng, N]
     if qc.weight_dtype == "int4":
-        # biased nibbles in [0, 15], packed two-per-byte with a HALF-SPLIT per
-        # group: byte r of group G holds (lo=row r, hi=row r+g/2). Unpacking is
-        # then a cheap concat along the row axis instead of an interleave — the
-        # interleave shuffle dominated the int4 kernel's runtime on TPU.
-        b = (q + 8).astype(np.uint8).reshape(*lead, ng, g, N)
-        packed = (b[..., : g // 2, :] & 0xF) | (b[..., g // 2 :, :] << 4)
-        packed = packed.reshape(*lead, K // 2, N)
+        # biased nibbles in [0, 15], packed two-per-byte with a GLOBAL
+        # half-split: byte r holds (lo = row r, hi = row K/2 + r). The kernel
+        # then runs TWO plain matmuls (x[:, :K/2] @ lo, x[:, K/2:] @ hi) with
+        # no concat/interleave relayout at all — the reassembly shuffle is what
+        # dominated the round-1 int4 kernel. Groups must not straddle K/2.
+        assert g == K or (K // 2) % g == 0, f"group {g} must divide K/2={K//2}"
+        b = (q + 8).astype(np.uint8)
+        bh = b.reshape(*lead, K, N)
+        packed = (bh[..., : K // 2, :] & 0xF) | (bh[..., K // 2 :, :] << 4)
         return QuantizedWeight(packed, s, "woq_int4")
     return QuantizedWeight(q, s, "woq_int8")
 
@@ -149,20 +157,19 @@ def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
 def dequantize(rec: "QuantizedWeight", dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the fp weight [..., K, N] (golden path / XLA pre-fusion form)."""
     q, s = rec.q, rec.s
-    if rec.fmt == "woq_int4":
-        # half-split packing: byte r of group G holds rows (r, r+g/2) of that group
-        K2, N = q.shape[-2], q.shape[-1]
-        ng = s.shape[-2]
-        gh = K2 // ng  # half-group packed rows
-        qg = q.reshape(*q.shape[:-2], ng, gh, N)
-        lo = (qg & 0xF).astype(jnp.int8) - 8
-        hi = (qg >> 4).astype(jnp.int8) - 8
-        qi = jnp.concatenate([lo, hi], axis=-2).reshape(*q.shape[:-2], 2 * K2, N)
+    if rec.fmt in ("woq_int4", "woq_int4z"):
+        # global half-split packing: byte r holds rows (r, K/2 + r)
+        bias = 8 if rec.fmt == "woq_int4" else 0  # int4z keeps raw codes
+        lo = (q & 0xF).astype(jnp.int32) - bias
+        hi = ((q >> 4) & 0xF).astype(jnp.int32) - bias
+        qi = jnp.concatenate([lo, hi], axis=-2)
     else:
         qi = q
     *lead, K, N = qi.shape
     ng = s.shape[-2]
     wg = qi.reshape(*lead, ng, K // ng, N).astype(jnp.float32)
+    if rec.fmt == "woq_int4z":
+        wg = wg - rec.z[..., :, None, :]
     w = wg * s[..., :, None, :]
     return w.reshape(*lead, K, N).astype(dtype)
 
@@ -177,12 +184,17 @@ def _pallas_woq_viable(x2d, rec) -> bool:
     N = rec.q.shape[-1]
     ng = rec.s.shape[-2]
     g = K // ng
-    int4 = rec.fmt == "woq_int4"
+    int4 = rec.fmt in ("woq_int4", "woq_int4z")
     if N % 128 != 0:
         return False
     if K % (128 if not int4 else 256) != 0:
         return False
-    if g % (128 if not int4 else 256) != 0 and g != K:
+    if int4:
+        # global half-split: groups must tile K/2 and 8 groups must make a
+        # 128-multiple half-tile (scale-block sublane rule)
+        if g != K and ((K // 2) % g != 0 or (8 * g) % 128 != 0):
+            return False
+    elif g % 128 != 0 and g != K:
         return False
     if M % 8 != 0 and M < 8:
         return M >= 1  # tiny M handled by bm == M (full-dim block)
@@ -208,13 +220,24 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
         N = rec.q.shape[-1]
         ng = rec.s.shape[-2]
         g = K // ng
-        int4 = rec.fmt == "woq_int4"
+        int4 = rec.fmt in ("woq_int4", "woq_int4z")
         bn = dispatch.pick_block(N, 512, minimum=128)
-        bk_min = 256 if int4 else 128
-        if ng == 1:
-            # int4 half-split packing needs whole groups per tile → bk == K
-            bk = K if int4 else dispatch.pick_block(K, 1024, minimum=bk_min)
-            if bk is not None and (bk % bk_min or K % bk):
+        if int4:
+            # K grid walks packed rows [0, K/2): pick bkh with whole groups and
+            # a 128-multiple row count (scale-block sublane = gpt ≥ 8 rule)
+            Kh = K // 2
+            if ng == 1:
+                bk = dispatch.pick_block(Kh, 1024, minimum=128)
+            else:
+                bk = None
+                for m in (8, 16, 32):
+                    cand = g * m
+                    if Kh % cand == 0 and cand % 128 == 0:
+                        bk = cand
+                        break
+        elif ng == 1:
+            bk = dispatch.pick_block(K, 1024, minimum=128)
+            if bk is not None and (bk % 128 or K % bk):
                 bk = None
         else:
             # scale block sublane (= groups per K tile) must be ≥8 or cover all
@@ -222,22 +245,32 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
             bk = None
             for m in (8, 16, 32):
                 cand = g * m
-                if cand >= bk_min and K % cand == 0 and cand % bk_min == 0:
+                if cand >= 128 and K % cand == 0 and cand % 128 == 0:
                     bk = cand
                     break
-            if bk is None and K % bk_min == 0:
+            if bk is None and K % 128 == 0:
                 bk = K  # gpt == ng (full scale table per tile)
         # bound the x tile to VMEM (large bk → shrink bm)
         bm_cap = 256
         if bk is not None:
-            bm_cap = max(8, min(256, (6 * 2**20) // (bk * 2)))
+            x_tile = bk * (2 if int4 else 1)  # int4 reads two x tiles per cell
+            bm_cap = max(8, min(256, (6 * 2**20) // (x_tile * 2)))
         bm = dispatch.pick_block(M, bm_cap, minimum=8) or (M if M <= bm_cap else None)
         if bn is not None and bk is not None and bm is not None:
-            y = woq_matmul(
-                x2d, rec.q, rec.s, -1 if ng == 1 else g, int4=int4,
-                block_m=bm, block_n=bn, block_k=bk,
-                interpret=dispatch.interpret_mode(),
-            )
+            if rec.fmt == "woq_int4z":
+                from lia_tpu.ops.pallas_matmul import woq4z_matmul
+
+                y = woq4z_matmul(
+                    x2d, rec.q, rec.s, rec.z, -1 if ng == 1 else g,
+                    block_m=bm, block_n=bn, block_k=bk,
+                    interpret=dispatch.interpret_mode(),
+                )
+            else:
+                y = woq_matmul(
+                    x2d, rec.q, rec.s, -1 if ng == 1 else g, int4=int4,
+                    block_m=bm, block_n=bn, block_k=bk,
+                    interpret=dispatch.interpret_mode(),
+                )
             return y.reshape(*lead, N)
     w = dequantize(rec, jnp.bfloat16)
     return jax.lax.dot_general(

@@ -205,10 +205,12 @@ void quantize_int8(const float* w, int8_t* q, float* scales,
 // INT4: biased nibbles packed two-per-byte with a HALF-SPLIT per group —
 // byte r of group G holds (lo=row r, hi=row r+group/2), so unpacking is a
 // concat, not an interleave. packed: [rows/2, cols].
+// GLOBAL half-split packing: byte r holds (lo = row r, hi = row rows/2 + r).
+// Matches quant.quantize_weight / the two-matmul Pallas dequant kernel.
 void quantize_int4(const float* w, uint8_t* packed, float* scales,
                    int64_t rows, int64_t cols, int64_t group) {
   int64_t ngroups = rows / group;
-  int64_t gh = group / 2;
+  int64_t half = rows / 2;
 #pragma omp parallel for schedule(static)
   for (int64_t gc = 0; gc < ngroups * cols; ++gc) {
     int64_t g = gc / cols, c = gc % cols;
@@ -217,18 +219,19 @@ void quantize_int4(const float* w, uint8_t* packed, float* scales,
       amax = std::max(amax, std::fabs(w[r * cols + c]));
     float s = std::max(amax / 7.0f, 1e-8f);
     scales[g * cols + c] = s;
-    float inv = 1.0f / s;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t rc = 0; rc < half * cols; ++rc) {
+    int64_t r = rc / cols, c = rc % cols;
     auto nib = [&](int64_t rr) -> uint8_t {
+      float inv = 1.0f / scales[(rr / group) * cols + c];
       float qv = std::nearbyint(w[rr * cols + c] * inv);
       qv = std::max(-8.0f, std::min(7.0f, qv));
       return static_cast<uint8_t>(static_cast<int>(qv) + 8);
     };
-    int64_t base = g * group;
-    for (int64_t r = 0; r < gh; ++r) {
-      packed[(g * gh + r) * cols + c] =
-          static_cast<uint8_t>(nib(base + r) & 0xF) |
-          static_cast<uint8_t>(nib(base + gh + r) << 4);
-    }
+    packed[r * cols + c] =
+        static_cast<uint8_t>(nib(r) & 0xF) |
+        static_cast<uint8_t>(nib(half + r) << 4);
   }
 }
 
