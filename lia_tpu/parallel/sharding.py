@@ -59,7 +59,8 @@ def param_pspecs(cfg: ModelConfig, params: Dict[str, Any], tp: int = 1) -> Dict[
             s_spec = P(None, None, None)
         else:
             s_spec = base  # s [L, ng, N] splits the same axis (groups ride K)
-        return QuantizedWeight(base, s_spec, w.fmt)
+        z_spec = None if w.z is None else s_spec
+        return QuantizedWeight(base, s_spec, w.fmt, z_spec)
 
     def attn_spec(attn: Dict[str, Any]) -> Dict[str, Any]:
         out = {}

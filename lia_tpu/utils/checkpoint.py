@@ -256,6 +256,8 @@ def _flatten(tree: Params, prefix="") -> Dict[str, np.ndarray]:
         elif isinstance(v, QuantizedWeight):
             out[f"{key}#q#{v.fmt}"] = np.asarray(v.q)
             out[f"{key}#s#{v.fmt}"] = np.asarray(v.s)
+            if v.z is not None:
+                out[f"{key}#z#{v.fmt}"] = np.asarray(v.z)
         elif isinstance(v, QuantizedKV):
             out[f"{key}#kvq#"] = np.asarray(v.q)
             out[f"{key}#kvs#"] = np.asarray(v.s)
@@ -288,7 +290,9 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
         if "kvq" in rec:
             node[parts[-1]] = QuantizedKV(rec["kvq"], rec["kvs"])
         else:
-            node[parts[-1]] = QuantizedWeight(rec["q"], rec["s"], rec["fmt"])
+            node[parts[-1]] = QuantizedWeight(
+                rec["q"], rec["s"], rec["fmt"], rec.get("z")
+            )
     return tree
 
 
