@@ -84,6 +84,82 @@ def collect_act_scales(
     return {"qkv": np.asarray(m1s), "mlp_in": np.asarray(m2s)}
 
 
+def autotune_alpha(
+    cfg: ModelConfig,
+    params,
+    prompts: Sequence[Sequence[int]],
+    qc,
+    alphas: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
+    pad_id: int | None = None,
+) -> tuple[float, Dict[float, float]]:
+    """Sweep migration alphas and pick the one minimizing quantized-vs-fp
+    divergence on the calibration prompts.
+
+    Reference equivalent: the SmoothQuant alpha autotune
+    (intel_extension_for_pytorch/quantization/_autotune.py — grid search over
+    alpha scored by an accuracy criterion). Here the criterion is mean KL
+    divergence of next-token distributions over all calibration positions —
+    checkpoint- and task-free, so it runs in zero-egress environments.
+
+    Returns (best_alpha, {alpha: kl}).
+    """
+    from lia_tpu.engine.engine import pack_prompts
+    from lia_tpu.ops.quant import quantize_params
+
+    pad_id = cfg.pad_token_id if pad_id is None else pad_id
+    tokens, mask = pack_prompts(prompts, pad_id)
+    B, S = tokens.shape
+    tok_j, mask_j = jnp.asarray(tokens), jnp.asarray(mask)
+
+    @jax.jit
+    def logprobs(p):
+        cache = kvc.init_cache(cfg, B, S, jnp.dtype(cfg.dtype))
+        return T.score_logprobs(cfg, p, tok_j, mask_j, cache)
+
+    lp_ref = logprobs(jax.device_put(params))
+    valid = mask_j[:, :, None].astype(jnp.float32)
+
+    @jax.jit
+    def mean_kl(lp_q):
+        kl = jnp.sum(jnp.exp(lp_ref) * (lp_ref - lp_q), axis=-1, keepdims=True)
+        return jnp.sum(kl * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    act = collect_act_scales(cfg, params, prompts, pad_id=pad_id)
+    report: Dict[float, float] = {}
+    best_alpha, best = None, np.inf
+    for a in alphas:
+        folded = apply_smoothquant(cfg, params, act, alpha=float(a))
+        qp = quantize_params(cfg, folded, qc)
+        kl = float(mean_kl(logprobs(jax.device_put(qp))))
+        report[float(a)] = kl
+        if kl < best:
+            best, best_alpha = kl, float(a)
+    return best_alpha, report
+
+
+def smoothquant_quantize(
+    cfg: ModelConfig,
+    params,
+    prompts: Sequence[Sequence[int]],
+    qc,
+    alpha: float | str = "auto",
+    pad_id: int | None = None,
+):
+    """One-stop SmoothQuant flow: calibrate → (autotune) → fold → quantize.
+
+    ``alpha="auto"`` runs :func:`autotune_alpha`; a float uses it directly.
+    Mirrors the reference recipe pipeline (quantization/_smooth_quant.py +
+    run_quantization.py --alpha auto knobs).
+    """
+    from lia_tpu.ops.quant import quantize_params
+
+    if alpha == "auto":
+        alpha, _ = autotune_alpha(cfg, params, prompts, qc, pad_id=pad_id)
+    act = collect_act_scales(cfg, params, prompts, pad_id=pad_id or cfg.pad_token_id)
+    folded = apply_smoothquant(cfg, params, act, alpha=float(alpha))
+    return quantize_params(cfg, folded, qc), float(alpha)
+
+
 def apply_smoothquant(
     cfg: ModelConfig, params, act_scales: Dict[str, np.ndarray], alpha: float = 0.5
 ):

@@ -79,6 +79,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--weight-dtype", default="none", choices=["none", "int8", "int4"])
     p.add_argument("--group-size", type=int, default=-1)
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
+    p.add_argument("--smoothquant", default=None, metavar="ALPHA",
+                   help="SmoothQuant outlier migration before WOQ: 'auto' runs "
+                        "the alpha autotune (reference _autotune.py), or pass "
+                        "a float alpha")
     p.add_argument("--save-quantized", default=None, metavar="PATH",
                    help="persist the (quantized) param tree after load "
                         "(reference: run.py best_model.pt, :59-61,463-470)")
@@ -89,6 +93,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", default=None, help="text prompt (requires --tokenizer)")
     p.add_argument("--tokenizer", default=None, help="local tokenizer directory")
     return p
+
+
+def _smoothquant_flow(cfg, params, runtime, alpha_arg):
+    """Calibrate on synthetic prompts, (auto)tune alpha, fold, quantize."""
+    import numpy as _np
+
+    from lia_tpu.ops.smoothquant import smoothquant_quantize
+
+    rng = _np.random.default_rng(0)
+    calib = [list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=64))
+             for _ in range(4)]
+    alpha = "auto" if alpha_arg == "auto" else float(alpha_arg)
+    params, used = smoothquant_quantize(cfg, params, calib, runtime.quant, alpha=alpha)
+    print(f"[lia-tpu] smoothquant folded with alpha={used}")
+    return params
 
 
 def main(argv=None) -> int:
@@ -132,16 +151,22 @@ def main(argv=None) -> int:
 
     print(f"[lia-tpu] model={cfg.name} params≈{cfg.num_params/1e9:.2f}B dtype={cfg.dtype}")
     t0 = time.perf_counter()
+    sq = args.smoothquant if runtime.quant.enabled else None
     if args.quantized_checkpoint:
         from lia_tpu.utils.checkpoint import load_params
 
         params = load_params(args.quantized_checkpoint)
     elif args.checkpoint:
         params = load_hf_checkpoint(cfg, args.checkpoint)
-        if runtime.quant.enabled:
+        if sq is not None:
+            params = _smoothquant_flow(cfg, params, runtime, sq)
+        elif runtime.quant.enabled:
             from lia_tpu.ops.quant import quantize_params
 
             params = quantize_params(cfg, params, runtime.quant)
+    elif sq is not None:
+        # SmoothQuant needs fp weights to calibrate/fold before quantizing
+        params = _smoothquant_flow(cfg, init_dummy_params(cfg), runtime, sq)
     else:
         # dummy weights synthesize directly in quantized form when requested
         params = init_dummy_params(cfg, quant=runtime.quant if runtime.quant.enabled else None)

@@ -57,3 +57,25 @@ def test_smoothquant_improves_int8_match(model):
     agree_plain = (plain.sequences == fp.sequences).mean()
     agree_sq = (sq.sequences == fp.sequences).mean()
     assert agree_sq >= agree_plain - 1e-9, (agree_sq, agree_plain)
+
+
+def test_autotune_alpha_picks_best_and_flow_runs(model):
+    """Alpha autotune sweeps the grid and returns the KL-minimizing alpha
+    (reference: quantization/_autotune.py grid search); the one-stop flow
+    produces a quantized tree usable by the engine."""
+    from lia_tpu.config import GenerationConfig, QuantConfig
+    from lia_tpu.engine.engine import InferenceEngine
+    from lia_tpu.ops.smoothquant import autotune_alpha, smoothquant_quantize
+
+    cfg, params = model
+    prompts = [[5, 9, 23, 41, 8, 77], [100, 7, 3]]
+    qc = QuantConfig(weight_dtype="int8", group_size=32)
+    best, report = autotune_alpha(cfg, params, prompts, qc, alphas=(0.3, 0.5, 0.7))
+    assert best in (0.3, 0.5, 0.7)
+    assert len(report) == 3 and all(np.isfinite(v) for v in report.values())
+    assert report[best] == min(report.values())
+
+    qp, used = smoothquant_quantize(cfg, params, prompts, qc, alpha=best)
+    assert used == best
+    out = InferenceEngine(cfg, qp).generate(prompts, GenerationConfig(max_new_tokens=3))
+    assert out.sequences.shape[1] == 3
