@@ -55,9 +55,20 @@ def hybrid_mesh(
         devices = np.asarray(jax.devices()).reshape(ici_shape)
         return Mesh(devices, tuple(axis_names))
     idx = list(axis_names).index(dcn_axis)
-    dcn_shape = [1] * len(ici_shape)
-    dcn_shape[idx] = n_hosts
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=list(ici_shape), dcn_mesh_shape=dcn_shape
-    )
-    return Mesh(devices, tuple(axis_names))
+    n_slices = len({getattr(d, "slice_index", 0) or 0 for d in jax.devices()})
+    if n_slices == n_hosts:
+        # real multi-slice TPU topology: let mesh_utils minimize DCN hops
+        dcn_shape = [1] * len(ici_shape)
+        dcn_shape[idx] = n_hosts
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=list(ici_shape), dcn_mesh_shape=dcn_shape
+        )
+        return Mesh(devices, tuple(axis_names))
+    # no slice topology info (CPU emulation / single-slice): group by process so
+    # the dcn axis crosses processes and every other axis stays host-local
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    arr = np.asarray(devs, dtype=object).reshape((n_hosts,) + tuple(ici_shape))
+    arr = np.moveaxis(arr, 0, idx)
+    final = list(ici_shape)
+    final[idx] *= n_hosts
+    return Mesh(arr.reshape(final), tuple(axis_names))
