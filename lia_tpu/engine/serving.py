@@ -57,6 +57,9 @@ class ContinuousBatcher:
         kv_quantized: bool = False,
         mesh=None,
         runtime: Optional[RuntimeConfig] = None,
+        paged: bool = False,
+        block_size: int = 16,
+        num_blocks: Optional[int] = None,
     ):
         """``mesh``: optional (1, tp) jax Mesh — weights and KV shard over the
         "model" axis (ICI tensor parallelism); the data axis must be 1 because
@@ -65,7 +68,13 @@ class ContinuousBatcher:
         ``runtime``: a RuntimeConfig with tiering/streaming/policies routes all
         serving compute through the StreamingScheduler's ragged passes — the
         round-1 gap where ContinuousBatcher was resident-only (reference: every
-        generation mode runs under any policy)."""
+        generation mode runs under any policy).
+
+        ``paged``: allocate KV in fixed-size pages from a shared pool instead
+        of slot-per-sequence slabs (vLLM-style; reference PagedAttention op).
+        Decode walks the block table inside the Pallas kernel; pages free as
+        requests finish, so max_len no longer reserves worst-case memory per
+        slot. Block 0 is the reserved null page."""
         self.cfg = cfg
         self.gen = gen
         self.B = max_batch
@@ -98,7 +107,25 @@ class ContinuousBatcher:
         else:
             self.params = jax.device_put(params_host)
             self._cache_shardings = None
-        if self.sched is None:
+        self.paged = paged
+        if paged:
+            if self.sched is not None or mesh is not None:
+                raise ValueError("paged serving is resident single-device for now")
+            from lia_tpu.ops import paged as pg
+
+            self.block_size = block_size
+            # default pool: enough pages for every slot at max_len, + null page
+            nb = num_blocks or (max_batch * -(-max_len // block_size) + 1)
+            self.num_blocks = nb
+            shape = (cfg.num_layers, nb, cfg.num_kv_heads, block_size, cfg.head_dim)
+            self.k_pool = jnp.zeros(shape, jnp.dtype(cfg.dtype))
+            self.v_pool = jnp.zeros(shape, jnp.dtype(cfg.dtype))
+            self.free_blocks = list(range(nb - 1, 0, -1))  # block 0 = null page
+            self.max_pages = -(-max_len // block_size)
+            self.block_table = np.zeros((max_batch, self.max_pages), np.int32)
+            self.kv_lengths = np.zeros(max_batch, np.int32)
+            self.cache = None
+        elif self.sched is None:
             self.cache = kvc.init_cache(cfg, max_batch, max_len, jnp.dtype(cfg.dtype), quantized=kv_quantized)
             # ragged state: per-slot lengths
             self.cache = self.cache._replace(length=jnp.zeros((max_batch,), jnp.int32))
@@ -158,7 +185,38 @@ class ContinuousBatcher:
                     f"request {req.req_id} needs {bucket + req.max_new_tokens} slots > max_len {self.max_len}"
                 )
             tokens, mask = pack_prompts([req.prompt], self.gen.pad_token_id, bucket=bucket)
-            if self.sched is not None:
+            if self.paged:
+                n_pages = -(-(len(req.prompt) + req.max_new_tokens) // self.block_size)
+                if len(self.free_blocks) < n_pages:
+                    self.queue.appendleft(req)  # no memory — wait for frees
+                    return
+                # prefill into a throwaway contiguous cache, then page it in
+                seg = kvc.init_cache(self.cfg, 1, bucket, jnp.dtype(self.cfg.dtype))
+                logits, seg = self._prefill_fn(bucket)(
+                    self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
+                )
+                self._rng, sub = jax.random.split(self._rng)
+                first = int(sampling.sample(logits, sub, self.gen)[0])
+                pages = [self.free_blocks.pop() for _ in range(n_pages)]
+                row = np.zeros(self.max_pages, np.int32)
+                row[: n_pages] = pages
+                self.block_table[slot] = row
+                # prompts are left-padded in the slab; pages want tokens from 0
+                from lia_tpu.ops import paged as pg
+
+                pad = bucket - len(req.prompt)
+                seg_k = jnp.roll(seg.k[:, 0], -pad, axis=2)  # [L, H, S, D]
+                seg_v = jnp.roll(seg.v[:, 0], -pad, axis=2)
+                if "page_prompt" not in self._compiled:
+                    self._compiled["page_prompt"] = jax.jit(
+                        pg.write_prompt_all_layers, donate_argnums=(0, 1)
+                    )
+                self.k_pool, self.v_pool = self._compiled["page_prompt"](
+                    self.k_pool, self.v_pool, seg_k, seg_v,
+                    jnp.asarray(row), jnp.asarray(len(req.prompt), jnp.int32),
+                )
+                self.kv_lengths[slot] = len(req.prompt)
+            elif self.sched is not None:
                 logits, seg_state = self.sched.prefill_pass(tokens, mask, self.max_len)
                 self._rng, sub = jax.random.split(self._rng)
                 first = int(sampling.sample(logits, sub, self.gen)[0])
@@ -195,6 +253,12 @@ class ContinuousBatcher:
             self.done.append(req)
             self.slot_req[slot] = None
             self.active[slot] = False
+            if self.paged:  # release this request's pages back to the pool
+                self.free_blocks.extend(
+                    int(b) for b in self.block_table[slot] if b != 0
+                )
+                self.block_table[slot] = 0
+                self.kv_lengths[slot] = 0
 
     def step(self) -> bool:
         """One engine iteration: admit waiting requests, then one decode step.
@@ -203,7 +267,25 @@ class ContinuousBatcher:
         if not self.active.any():
             return bool(self.queue)
         self._rng, sub = jax.random.split(self._rng)
-        if self.sched is not None:
+        if self.paged:
+            from lia_tpu.ops import paged as pg
+
+            if "paged_decode" not in self._compiled:
+                self._compiled["paged_decode"] = jax.jit(
+                    partial(pg.decode_step_paged, self.cfg), donate_argnums=(3, 4)
+                )
+            logits, self.k_pool, self.v_pool = self._compiled["paged_decode"](
+                self.params,
+                jnp.asarray(self.tokens)[:, None],
+                jnp.asarray(self.logical_pos, jnp.int32),
+                self.k_pool,
+                self.v_pool,
+                jnp.asarray(self.block_table),
+                jnp.asarray(self.kv_lengths, jnp.int32),
+                jnp.asarray(self.active),
+            )
+            self.kv_lengths[self.active] += 1
+        elif self.sched is not None:
             logits, self.state = self.sched.decode_pass_ragged(
                 jnp.asarray(self.tokens),
                 jnp.asarray(self.logical_pos, jnp.int32),

@@ -21,13 +21,18 @@ sharing, fragmentation control) — complementary to the slab cache in
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from lia_tpu.config import ModelConfig
 from lia_tpu.ops import attention as att
+
+NEG_INF = -1e30
 
 
 class PagedKVCache(NamedTuple):
@@ -64,23 +69,46 @@ def reshape_and_cache(
     cache: PagedKVCache,
     slots: jnp.ndarray,  # [B] flat pool slots (from slot_mapping)
 ) -> PagedKVCache:
-    """Scatter one token per sequence into the pool (reshape_and_cache parity)."""
+    """Scatter one token per sequence into the pool (reshape_and_cache parity).
+
+    ONE vectorized XLA scatter per plane (round 1 ran an O(B)-sequential
+    ``fori_loop`` of dynamic updates — PagedAttentionKrnl.cpp's
+    reshape_and_cache is a parallel scatter too)."""
     bs = cache.block_size
     blk = slots // bs
     off = slots % bs
 
     def scatter(pool, new):
-        # pool: [nb, H, bs, D]; write new[i, :, 0, :] at (blk[i], :, off[i], :)
-        def body(i, pool):
-            return jax.lax.dynamic_update_slice(
-                pool,
-                new[i, :, 0:1, :][None].astype(pool.dtype),
-                (blk[i], jnp.zeros((), jnp.int32), off[i], jnp.zeros((), jnp.int32)),
-            )
-
-        return jax.lax.fori_loop(0, new.shape[0], body, pool)
+        # pool: [nb, H, bs, D] ← new[i, :, 0, :] at (blk[i], :, off[i], :)
+        return pool.at[blk, :, off, :].set(new[:, :, 0, :].astype(pool.dtype))
 
     return PagedKVCache(scatter(cache.k, k_new), scatter(cache.v, v_new))
+
+
+def write_prompt_paged(
+    cache: PagedKVCache,
+    k_seq: jnp.ndarray,  # [N_kv, S, D] one sequence's fresh keys (head-major)
+    v_seq: jnp.ndarray,
+    block_table_row: jnp.ndarray,  # [max_blocks] int32
+    length: jnp.ndarray | int,  # number of valid tokens (from slot 0)
+) -> PagedKVCache:
+    """Write a freshly-prefilled sequence's first ``length`` tokens into its
+    pages (admission path). Block 0 is the pool's reserved NULL page (the
+    allocator never hands it out): positions beyond ``length`` scatter there
+    harmlessly, keeping the write a single vectorized op."""
+    H, S, D = k_seq.shape
+    bs = cache.block_size
+    pos = jnp.arange(S, dtype=jnp.int32)
+    valid = pos < length
+    blk = jnp.where(valid, jnp.take(block_table_row, pos // bs), 0)
+    off = pos % bs
+
+    def scatter(pool, new):
+        return pool.at[blk, :, off, :].set(
+            new.transpose(1, 0, 2).astype(pool.dtype)
+        )
+
+    return PagedKVCache(scatter(cache.k, k_seq), scatter(cache.v, v_seq))
 
 
 def gather_sequence(
@@ -104,11 +132,328 @@ def paged_attention(
     lengths: jnp.ndarray,  # [B] valid tokens per sequence
     scale: float | None = None,
 ) -> jnp.ndarray:
-    """single_query_cached_kv_attention parity: decode attention over paged KV."""
-    B = q.shape[0]
+    """single_query_cached_kv_attention parity: decode attention over paged KV.
+
+    Pallas fast path (TPU): the block-table page walk happens inside the kernel
+    via scalar-prefetch index maps; fallback is the XLA gather + jnp path."""
+    from lia_tpu.ops import dispatch
+
+    if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
+        D = q.shape[-1]
+        bs = cache.block_size
+        if D % 8 == 0 and (bs % 8 == 0 or bs >= 8):
+            return paged_decode_attention(
+                q, cache.k[None], cache.v[None], jnp.asarray(0, jnp.int32),
+                block_table, lengths, scale=scale,
+                interpret=dispatch.interpret_mode(),
+            )
     ks, vs = jax.vmap(lambda row: gather_sequence(cache, row))(block_table)
     # ks: [B, N_kv, S_virtual, D]
+    B = q.shape[0]
     S_virtual = ks.shape[2]
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, S_virtual), 1)
     mask = pos < lengths[:, None]
     return att.attend(q, ks, vs, mask[:, None, :], scale=scale)
+
+
+def write_prompt_all_layers(
+    k_pool: jnp.ndarray,  # [L, nb, H, bs, D]
+    v_pool: jnp.ndarray,
+    seg_k: jnp.ndarray,  # [L, H, S, D] one sequence's prefilled K (head-major)
+    seg_v: jnp.ndarray,
+    block_table_row: jnp.ndarray,  # [P] int32
+    length,  # valid tokens
+):
+    """Admission write: ONE scatter per plane commits all layers' prompt KV
+    into the sequence's pages (invalid positions land in the null page 0)."""
+    L, H, S, D = seg_k.shape
+    bs = k_pool.shape[3]
+    pos = jnp.arange(S, dtype=jnp.int32)
+    valid = pos < length
+    blk = jnp.where(valid, jnp.take(block_table_row, pos // bs), 0)
+    off = pos % bs
+    l_idx = jnp.arange(L, dtype=jnp.int32)[:, None]
+
+    def scatter(pool, seg):
+        vals = seg.transpose(0, 2, 1, 3)  # [L, S, H, D]
+        return pool.at[l_idx, blk[None, :], :, off[None, :], :].set(
+            vals.astype(pool.dtype)
+        )
+
+    return scatter(k_pool, seg_k), scatter(v_pool, seg_v)
+
+
+def write_token_all_layers(
+    k_pool: jnp.ndarray,  # [L, nb, H, bs, D]
+    v_pool: jnp.ndarray,
+    k_stack: jnp.ndarray,  # [L, B, H, 1, D] — the layer scan's stacked fresh keys
+    v_stack: jnp.ndarray,
+    block_table: jnp.ndarray,  # [B, P]
+    lengths: jnp.ndarray,  # [B] write position per sequence
+    active: jnp.ndarray,  # [B] bool — inactive slots write to the null page
+):
+    """Decode-step write: ONE scatter per plane commits every layer's fresh
+    token (the paged analog of kv_cache.write_token_all)."""
+    L, B = k_stack.shape[:2]
+    bs = k_pool.shape[3]
+    blk = jnp.take_along_axis(block_table, (lengths // bs)[:, None], axis=1)[:, 0]
+    blk = jnp.where(active, blk, 0)
+    off = lengths % bs
+    l_idx = jnp.arange(L, dtype=jnp.int32)[:, None]
+
+    def scatter(pool, stack):
+        vals = stack[:, :, :, 0, :]  # [L, B, H, D]
+        return pool.at[l_idx, blk[None, :], :, off[None, :], :].set(
+            vals.astype(pool.dtype)
+        )
+
+    return scatter(k_pool, k_stack), scatter(v_pool, v_stack)
+
+
+def attend_decode_paged(
+    q: jnp.ndarray,  # [B, 1, N, D]
+    k_fresh: jnp.ndarray,  # [B, N_kv, 1, D]
+    v_fresh: jnp.ndarray,
+    k_pool: jnp.ndarray,  # [L, nb, N_kv, bs, D]
+    v_pool: jnp.ndarray,
+    layer_idx,
+    block_table: jnp.ndarray,  # [B, P]
+    lengths: jnp.ndarray,  # [B] past tokens (fresh merged separately)
+) -> jnp.ndarray:
+    """Dispatched paged decode attention with fresh-token merge."""
+    from lia_tpu.ops import dispatch
+
+    if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
+        return paged_decode_attention(
+            q, k_pool, v_pool, layer_idx, block_table, lengths,
+            k_fresh=k_fresh, v_fresh=v_fresh,
+            interpret=dispatch.interpret_mode(),
+        )
+    # fallback: gather the layer's pages, append fresh, run the jnp golden path
+    kl = jax.lax.dynamic_index_in_dim(k_pool, layer_idx, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v_pool, layer_idx, 0, keepdims=False)
+    cache = PagedKVCache(kl, vl)
+    ks, vs = jax.vmap(lambda row: gather_sequence(cache, row))(block_table)
+    B, S = block_table.shape[0], ks.shape[2]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    ks2 = jnp.concatenate([ks, k_fresh.astype(ks.dtype)], axis=2)
+    vs2 = jnp.concatenate([vs, v_fresh.astype(vs.dtype)], axis=2)
+    mask = jnp.concatenate(
+        [pos < lengths[:, None], jnp.ones((B, 1), bool)], axis=1
+    )
+    return att.attend(q, ks2, vs2, mask[:, None, :])
+
+
+def decode_step_paged(
+    cfg: ModelConfig,
+    params,
+    tokens: jnp.ndarray,  # [B, 1]
+    logical_pos: jnp.ndarray,  # [B]
+    k_pool: jnp.ndarray,  # [L, nb, H, bs, D]
+    v_pool: jnp.ndarray,
+    block_table: jnp.ndarray,  # [B, P]
+    lengths: jnp.ndarray,  # [B] past tokens per sequence
+    active: jnp.ndarray,  # [B] bool
+):
+    """One ragged decode step over the paged pool (continuous batching).
+
+    Mirrors transformer.decode_step_ragged: the layer scan reads pages via the
+    Pallas block-table kernel (fresh token merged in-kernel), stacks fresh K/V
+    as scan ys, and two scatters commit all layers afterwards.
+    """
+    from lia_tpu.models import transformer as T
+
+    x = T.embed(cfg, params, tokens, logical_pos[:, None])
+    positions = logical_pos[:, None]
+
+    def body(h, inputs):
+        lp, idx = inputs
+        residual = h
+        q, k, v = T.attn_in(cfg, lp, h, positions)
+        attn_out = attend_decode_paged(
+            q, k, v, k_pool, v_pool, idx, block_table, lengths
+        )
+        h = T.attn_post_mlp(cfg, lp, residual, attn_out)
+        return h, (k, v)
+
+    x, (k_stack, v_stack) = jax.lax.scan(
+        body, x, (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32))
+    )
+    k_pool, v_pool = write_token_all_layers(
+        k_pool, v_pool, k_stack, v_stack, block_table, lengths, active
+    )
+    logits = T.lm_head(cfg, params, x)[:, 0, :]
+    return logits, k_pool, v_pool
+
+
+# ---------------------------------------------------------------------------
+# Pallas paged decode kernel (block-table page walk in the index map)
+# ---------------------------------------------------------------------------
+
+
+def _paged_kernel(
+    tbl_ref,  # [B, P] int32 scalar-prefetch — block table
+    idx_ref,  # [1] int32 scalar-prefetch — layer index
+    len_ref,  # [B, 1] int32 SMEM — valid tokens per sequence (excl. fresh)
+    q_ref,  # [1, Hs, 1, G*D]
+    kf_ref,  # [1, Hs, 1, D] or None-shaped (no fresh merge)
+    vf_ref,
+    k_ref,  # [1, Hs, bs, D] — page selected by the index map
+    v_ref,
+    o_ref,  # [1, Hs, 1, G*D]
+    m_s,  # VMEM scratch [Hs, G, 128] (lane-padded online-softmax carries)
+    l_s,
+    acc_s,  # VMEM scratch [Hs, G, D]
+    *,
+    scale: float,
+    bs: int,
+    G: int,
+    merge_fresh: bool,
+):
+    """One (b, h, page) grid cell of paged decode attention.
+
+    The page walk is free: the K/V BlockSpec index maps read the prefetched
+    block table, so each grid step DMAs pool page ``table[b, j]`` directly —
+    the reference's C++ page loop (PagedAttentionKrnl.cpp) becomes index-map
+    arithmetic. Online-softmax carries persist in VMEM scratch across the page
+    grid dimension (innermost, sequential).
+    """
+    Hs, D = k_ref.shape[1], k_ref.shape[3]
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    npages = pl.num_programs(2)
+    length = len_ref[b, 0]
+
+    @pl.when(j == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    # pages beyond the sequence's frontier contribute nothing — skip compute
+    @pl.when(j * bs < length)
+    def _():
+        q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+        k = k_ref[0].astype(jnp.float32)  # [Hs, bs, D]
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [Hs, G, bs]
+        pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bs), 2)
+        s = jnp.where(pos < length, s, NEG_INF)
+        m = m_s[:, :, 0:1]
+        l = l_s[:, :, 0:1]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
+        l_s[:] = jnp.broadcast_to(l, l_s.shape)
+
+    @pl.when(j == npages - 1)
+    def _():
+        m = m_s[:, :, 0:1]
+        l = l_s[:, :, 0:1]
+        acc = acc_s[:]
+        if merge_fresh:
+            q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+            kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)  # [Hs, 1, D]
+            vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
+            sf = jax.lax.dot_general(
+                q, kf, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            m_new = jnp.maximum(m, sf)
+            p = jnp.exp(sf - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + p
+            acc = acc * alpha + jax.lax.dot_general(
+                p, vf, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "merge_fresh")
+)
+def paged_decode_attention(
+    q: jnp.ndarray,  # [B, 1, N, D]
+    k_pool: jnp.ndarray,  # [L, num_blocks, N_kv, bs, D] stacked paged pool
+    v_pool: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # scalar int32
+    block_table: jnp.ndarray,  # [B, P] int32 (sequence-ordered pages)
+    lengths: jnp.ndarray,  # [B] valid tokens (excluding any fresh token)
+    k_fresh: jnp.ndarray | None = None,  # [B, N_kv, 1, D] — merged in-kernel
+    v_fresh: jnp.ndarray | None = None,
+    scale: float | None = None,
+    interpret: bool | None = None,
+    merge_fresh: bool | None = None,
+) -> jnp.ndarray:
+    """Decode attention over a paged pool; the page walk rides the BlockSpec
+    index maps (scalar-prefetched block table + layer index)."""
+    B, _, N, D = q.shape
+    L, nb, Nkv, bs, _ = k_pool.shape
+    G = N // Nkv
+    P = block_table.shape[1]
+    scale = scale if scale is not None else D**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if merge_fresh is None:
+        merge_fresh = k_fresh is not None
+    if k_fresh is None:
+        k_fresh = jnp.zeros((B, Nkv, 1, D), q.dtype)
+        v_fresh = jnp.zeros((B, Nkv, 1, D), q.dtype)
+
+    qg = q.reshape(B, Nkv, 1, G * D)
+    lengths = jnp.broadcast_to(lengths.astype(jnp.int32), (B,))
+    # one KV head-group per cell sized by VMEM (pages are small; use all heads)
+    Hs = Nkv
+    k_flat = k_pool.reshape(L * nb, Nkv, bs, D)
+    v_flat = v_pool.reshape(L * nb, Nkv, bs, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # block table + layer index
+        grid=(B, Nkv // Hs, P),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, h, j, tbl, li: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (1, Hs, bs, D), lambda b, h, j, tbl, li: (li[0] * nb + tbl[b, j], h, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, Hs, bs, D), lambda b, h, j, tbl, li: (li[0] * nb + tbl[b, j], h, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hs, G, 128), jnp.float32),
+            pltpu.VMEM((Hs, G, 128), jnp.float32),
+            pltpu.VMEM((Hs, G, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_kernel, scale=scale, bs=bs, G=G, merge_fresh=merge_fresh
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        layer_idx.astype(jnp.int32)[None],
+        lengths[:, None],
+        qg,
+        k_fresh.astype(q.dtype),
+        v_fresh.astype(q.dtype),
+        k_flat,
+        v_flat,
+    )
+    return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)

@@ -1,6 +1,7 @@
 """Paged KV cache tests — golden comparison vs the contiguous cache path
 (reference analog: test_paged_attention.py)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -65,3 +66,118 @@ def test_block_reuse_isolation(cfg, rng):
     # with a single token, attention output == that token's value vector
     np.testing.assert_allclose(np.asarray(out[0]), 1.0, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out[1]), 100.0, rtol=1e-5)
+
+
+def test_paged_kernel_matches_gather_golden(rng):
+    """Pallas paged decode kernel (block-table walk in the index map) vs the
+    XLA gather + jnp golden path; includes ragged lengths and shared pool."""
+    from lia_tpu.ops.paged import paged_decode_attention
+
+    cfg = get_config("opt-tiny")
+    L, nb, bs = 2, 16, 8
+    B, Nkv, D, G = 3, cfg.num_kv_heads, cfg.head_dim, 1
+    N = Nkv * G
+    P = 4  # pages per sequence
+    kp = jnp.asarray(rng.standard_normal((L, nb, Nkv, bs, D)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((L, nb, Nkv, bs, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    # block 0 reserved; sequences own disjoint pages
+    table = jnp.asarray(
+        np.arange(1, 1 + B * P).reshape(B, P), jnp.int32
+    )
+    lengths = jnp.asarray([29, 8, 17], jnp.int32)
+
+    out = paged_decode_attention(
+        q, kp, vp, jnp.asarray(1, jnp.int32), table, lengths, interpret=True
+    )
+
+    # golden: gather pages, run masked attention
+    from lia_tpu.ops import attention as att
+    from lia_tpu.ops.paged import PagedKVCache, gather_sequence
+
+    cache = PagedKVCache(kp[1], vp[1])
+    ks, vs = jax.vmap(lambda row: gather_sequence(cache, row))(table)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, P * bs), 1)
+    ref = att.attend(q, ks, vs, (pos < lengths[:, None])[:, None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_kernel_fresh_merge(rng):
+    """Fresh-token merge path: kernel(cache, fresh) == golden over cache+fresh."""
+    from lia_tpu.ops import attention as att
+    from lia_tpu.ops.paged import (
+        PagedKVCache, gather_sequence, paged_decode_attention,
+    )
+
+    L, nb, bs = 1, 8, 8
+    B, Nkv, D, G = 2, 4, 16, 2
+    N = Nkv * G
+    P = 3
+    kp = jnp.asarray(rng.standard_normal((L, nb, Nkv, bs, D)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((L, nb, Nkv, bs, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    table = jnp.asarray(np.arange(1, 1 + B * P).reshape(B, P), jnp.int32)
+    lengths = jnp.asarray([13, 20], jnp.int32)
+
+    out = paged_decode_attention(
+        q, kp, vp, jnp.asarray(0, jnp.int32), table, lengths,
+        k_fresh=kf, v_fresh=vf, interpret=True,
+    )
+
+    cache = PagedKVCache(kp[0], vp[0])
+    ks, vs = jax.vmap(lambda row: gather_sequence(cache, row))(table)
+    S = P * bs
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    # golden: append the fresh token after the valid prefix per sequence
+    ks2 = jnp.concatenate([ks, kf], axis=2)
+    vs2 = jnp.concatenate([vs, vf], axis=2)
+    mask = jnp.concatenate(
+        [pos < lengths[:, None], jnp.ones((B, 1), bool)], axis=1
+    )
+    ref = att.attend(q, ks2, vs2, mask[:, None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_reshape_and_cache_vectorized_matches(rng):
+    """The single-scatter reshape_and_cache writes the same slots as a serial
+    reference."""
+    from lia_tpu.ops.paged import (
+        PagedKVCache, init_paged_cache, reshape_and_cache, slot_mapping,
+    )
+
+    cfg = get_config("opt-tiny")
+    cache = init_paged_cache(cfg, num_blocks=6, block_size=4, dtype=jnp.float32)
+    B = 3
+    table = jnp.asarray([[1, 2, 0], [3, 0, 0], [4, 5, 0]], jnp.int32)
+    positions = jnp.asarray([5, 0, 7], jnp.int32)
+    k_new = jnp.asarray(rng.standard_normal((B, cfg.num_kv_heads, 1, cfg.head_dim)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, cfg.num_kv_heads, 1, cfg.head_dim)), jnp.float32)
+    slots = slot_mapping(table, positions, 4)
+    out = reshape_and_cache(k_new, v_new, cache, slots)
+    ref_k = np.zeros_like(np.asarray(cache.k))
+    for i in range(B):
+        blk, off = int(slots[i]) // 4, int(slots[i]) % 4
+        ref_k[blk, :, off, :] = np.asarray(k_new)[i, :, 0, :]
+    np.testing.assert_allclose(np.asarray(out.k), ref_k)
+
+
+def test_write_prompt_paged(rng):
+    from lia_tpu.ops.paged import init_paged_cache, write_prompt_paged
+
+    cfg = get_config("opt-tiny")
+    cache = init_paged_cache(cfg, num_blocks=8, block_size=4, dtype=jnp.float32)
+    H, D = cfg.num_kv_heads, cfg.head_dim
+    S, length = 12, 9
+    k_seq = jnp.asarray(rng.standard_normal((H, S, D)), jnp.float32)
+    v_seq = jnp.asarray(rng.standard_normal((H, S, D)), jnp.float32)
+    row = jnp.asarray([2, 5, 7, 0], jnp.int32)
+    out = write_prompt_paged(cache, k_seq, v_seq, row, length)
+    for t in range(length):
+        blk, off = int(row[t // 4]), t % 4
+        np.testing.assert_allclose(
+            np.asarray(out.k)[blk, :, off, :], np.asarray(k_seq)[:, t, :]
+        )
+    # positions >= length landed in the reserved null page 0 only
+    np.testing.assert_allclose(np.asarray(out.k)[1], 0.0)

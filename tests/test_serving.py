@@ -122,3 +122,42 @@ def test_serving_under_scheduler_matches_resident(model, policy, hbm):
     by_id = {r.req_id: r.output for r in cb.run()}
     for i, j in zip(ids, ids_ref):
         assert by_id[i] == ref_by_id[j], f"request {i} under policy {policy}"
+
+
+def test_paged_serving_matches_resident(model):
+    """Paged continuous batching (block-table Pallas kernel + page allocator)
+    generates the same per-request tokens as the slab batcher; pages recycle
+    across requests."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=5)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8, 12, 13], [50, 60]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, paged=True, block_size=8
+    )
+    n_free0 = len(cb.free_blocks)
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (paged)"
+    assert len(cb.free_blocks) == n_free0  # all pages returned
+
+
+def test_paged_serving_memory_backpressure(model):
+    """When the pool is too small for all requests at once, admission waits for
+    page frees instead of failing."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=4)
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=4, max_len=64, gen=gen,
+        paged=True, block_size=8, num_blocks=5,  # ~2 requests' worth of pages
+    )
+    prompts = [[5, 9, 23], [100, 7], [8, 8, 8], [50, 60, 61, 62]]
+    ids = [cb.submit(p) for p in prompts]
+    done = cb.run()
+    assert len(done) == 4
+    assert {r.req_id for r in done} == set(ids)
