@@ -31,7 +31,13 @@ GB = 1e9
 
 @dataclass
 class SystemProfile:
-    """Calibrated machine characteristics (defaults: TPU v5e + modest host)."""
+    """Calibrated machine characteristics (defaults: TPU v5e + modest host).
+
+    ``op_overhead_s`` was MEASURED on this rig (round 2): a trivial XLA op in a
+    compiled scan costs ~15µs, a pallas_call ~31µs — at small batch the decode
+    step is launch-overhead-bound, not bandwidth-bound, so the model must carry
+    this term to predict reality (validated in test_cost_model.py against the
+    measured step times)."""
 
     tpu_flops: float = 197e12  # bf16 MXU FLOP/s (v5e ≈ 394 peak; derated 50%)
     hbm_bw: float = 700e9  # bytes/s (v5e ≈ 819 peak; derated)
@@ -39,6 +45,11 @@ class SystemProfile:
     h2d_bw: float = 8e9  # host→HBM staging bandwidth
     host_flops: float = 150e9  # XLA:CPU matmul FLOP/s
     host_mem_bw: float = 20e9  # host DRAM bandwidth
+    op_overhead_s: float = 15e-6  # per-XLA-op launch cost inside compiled loops
+    ops_per_layer: float = 7.0  # launches per decoder layer (qkv×3, attn, wo, mlp×2)
+    ops_per_step: float = 5.0  # embed + lm_head + sampling + cache commit
+    woq_bw_derate: float = 0.55  # WOQ kernels' achieved fraction of hbm_bw at
+    # small M (measured: int8 fused dequant-matmul ~206 GB/s of 700 effective)
 
 
 class Microbench:
@@ -125,11 +136,26 @@ class CostModel:
     def tpu_layer_time(self, B: int, S: int, s_ctx: int, weights_resident: bool) -> float:
         p = self.profile
         flops = self.layer_flops(B, S, s_ctx)
-        bytes_rw = self.weight_bytes_per_layer() + self.kv_bytes_per_layer(B, s_ctx)
-        t = max(flops / p.tpu_flops, bytes_rw / p.hbm_bw)
+        w_bw = p.hbm_bw * (
+            p.woq_bw_derate if self.quant.weight_dtype in ("int8", "int4") else 1.0
+        )
+        bytes_t = (
+            self.weight_bytes_per_layer() / w_bw
+            + self.kv_bytes_per_layer(B, s_ctx) / p.hbm_bw
+        )
+        t = max(flops / p.tpu_flops, bytes_t)
+        t += p.ops_per_layer * p.op_overhead_s  # launch overhead (measured)
         if not weights_resident:
             # streamed: transfer overlapped with compute — bound by the slower
             t = max(t, self.weight_bytes_per_layer() / p.h2d_bw)
+        return t
+
+    def predict_decode_step(self, B: int, s_ctx: int, resident: bool = True) -> float:
+        """Full-model decode step-time prediction (validated vs measurements)."""
+        c, p = self.cfg, self.profile
+        t = c.num_layers * self.tpu_layer_time(B, 1, s_ctx, resident)
+        head_bytes = c.vocab_size * c.embed_dim * 2
+        t += head_bytes / p.hbm_bw + p.ops_per_step * p.op_overhead_s
         return t
 
     def host_layer_time(self, B: int, S: int, s_ctx: int) -> float:
