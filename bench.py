@@ -1,16 +1,19 @@
 #!/usr/bin/env python
 """Headline benchmark — prints ONE JSON line with the round's metric.
 
-Round-1 config (BASELINE.md ladder step 1): OPT-1.3B bf16 greedy, 256-in/32-out,
-batch 8, fully HBM-resident, fused on-device decode loop. Metric: decode tokens/s.
+Round-2 config (BASELINE.md ladder step 2): OPT-6.7B **INT8 weights + INT8 KV
+cache**, greedy, 256-in/32-out, batch 16, HBM-resident, fused on-device decode
+loop (Pallas WOQ matmul + int8-KV-native decode attention). Metric: decode
+tokens/s. (Round-1 headline was ladder step 1, OPT-1.3B bf16 b8: 1160.4 tok/s
+this round — see RESULTS.md.)
 
 ``vs_baseline`` derivation (reference publishes no absolute LIA numbers —
 BASELINE.md): the closest reference-hardware datapoint is IPEX LLaMA2-7B INT8 at
 batch 8 = 170.21 tok/s on a 4th-gen Xeon (reference docs/tutorials/performance.md:
-41-48). Scaling by per-token weight traffic (7B int8 params ≈ 7.0 GB vs OPT-1.3B
-bf16 ≈ 2.63 GB — both decode loops are weight-bandwidth-bound) gives an equivalent
-reference-class estimate of 170.21 × 7.0/2.63 ≈ 453 tok/s for this config; that is
-the denominator.
+41-48). Scaling by per-token weight traffic (7.0 GB vs OPT-6.7B int8 ≈ 6.7 GB —
+both decode loops are weight-bandwidth-bound) gives an equivalent
+reference-class estimate of 170.21 × 7.0/6.7 ≈ 177.8 tok/s; that is the
+denominator.
 """
 
 from __future__ import annotations
@@ -36,28 +39,29 @@ import time
 
 import numpy as np
 
-BASELINE_TOKENS_PER_S = 453.0
+BASELINE_TOKENS_PER_S = 177.8
 
 
 def main() -> None:
     import jax
 
-    from lia_tpu.config import GenerationConfig
+    from lia_tpu.config import GenerationConfig, QuantConfig, RuntimeConfig
     from lia_tpu.engine.engine import InferenceEngine
     from lia_tpu.models.registry import get_config
     from lia_tpu.utils.checkpoint import init_dummy_params
 
-    model = "opt-1.3b"
-    batch, n_in, n_out = 8, 256, 32
+    model = "opt-6.7b"
+    batch, n_in, n_out = 16, 256, 32
     cfg = get_config(model)
+    quant = QuantConfig(weight_dtype="int8", group_size=128, kv_cache_dtype="int8")
     gen = GenerationConfig(max_new_tokens=n_out)
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(10, 30000, size=n_in)) for _ in range(batch)]
 
     # keep stdout to exactly one JSON line: engine progress prints go to stderr
     with contextlib.redirect_stdout(sys.stderr):
-        params = init_dummy_params(cfg)
-        engine = InferenceEngine(cfg, params)
+        params = init_dummy_params(cfg, quant=quant)
+        engine = InferenceEngine(cfg, params, RuntimeConfig(quant=quant))
         engine.generate(prompts, gen, fused=True)  # warmup/compile
         best = 0.0
         for _ in range(3):
@@ -67,7 +71,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"decode_tokens_per_s {model} bf16 b{batch} in{n_in} out{n_out}",
+                "metric": f"decode_tokens_per_s {model} int8+int8kv b{batch} in{n_in} out{n_out}",
                 "value": round(best, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(best / BASELINE_TOKENS_PER_S, 3),

@@ -172,6 +172,9 @@ def _attn_post_mlp(cfg: ModelConfig, lp: Params, residual: jnp.ndarray, attn_out
     if not cfg.pre_norm:
         x = norm(cfg, lp["ln1"], x)
 
+    if cfg.pre_norm and _fused_mlp_viable(cfg, lp, x):
+        return _fused_mlp_call(cfg, lp, x)
+
     residual = x
     h = norm(cfg, lp["ln2"], x) if cfg.pre_norm else x
     h = mlp(cfg, lp, h)
@@ -179,6 +182,54 @@ def _attn_post_mlp(cfg: ModelConfig, lp: Params, residual: jnp.ndarray, attn_out
     if not cfg.pre_norm:
         x = norm(cfg, lp["ln2"], x)
     return x
+
+
+def _fused_mlp_viable(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> bool:
+    """One-launch MLP kernel gate: TPU, bf16 weights, small row count (decode),
+    tile-legal shapes. ~5 XLA launches → 1 pallas_call (≈15µs/op on this rig)."""
+    from lia_tpu.ops import dispatch
+    from lia_tpu.ops.quant import is_quantized
+
+    if not dispatch.use_pallas() or not dispatch.fused_mlp_enabled():
+        return False
+    m = lp["mlp"]
+    if any(is_quantized(m.get(k)) for k in ("w1", "wg", "w2") if m.get(k) is not None):
+        return False
+    B, S, H = x.shape
+    F = m["w1"].shape[-1]
+    rows = B * S
+    return rows <= 256 and H % 128 == 0 and F % 512 == 0
+
+
+def _fused_mlp_call(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
+    from lia_tpu.ops import dispatch
+    from lia_tpu.ops.pallas_mlp import fused_mlp
+
+    B, S, H = x.shape
+    m = lp["mlp"]
+    ln = lp["ln2"]
+    swiglu = cfg.activation == Activation.SILU
+    F = m["w1"].shape[-1]
+    # bound double-buffered weight tiles to ~8 MB of VMEM
+    k_mats = 3 if swiglu else 2
+    cap = max(512, (8 * 2**20) // (k_mats * H * 2 * 2) // 512 * 512)
+    bf = dispatch.pick_block(F, cap, minimum=512) or F
+    y = fused_mlp(
+        x.reshape(B * S, H),
+        ln["scale"],
+        ln.get("bias"),
+        m["w1"],
+        m.get("b1"),
+        m.get("wg") if swiglu else None,
+        m["w2"],
+        m.get("b2"),
+        activation=cfg.activation.value,
+        rms=cfg.norm == Norm.RMSNORM,
+        eps=cfg.norm_eps,
+        block_f=bf,
+        interpret=dispatch.interpret_mode(),
+    )
+    return y.reshape(B, S, H)
 
 
 def decoder_layer_prefill(

@@ -84,6 +84,25 @@ def stacked_kernel_enabled() -> bool:
     return True
 
 
+_FUSED_MLP: Optional[bool] = None
+
+
+def set_fused_mlp(v: Optional[bool]) -> None:
+    global _FUSED_MLP
+    _FUSED_MLP = v
+
+
+def fused_mlp_enabled() -> bool:
+    """Fused-MLP megakernel gate. Default OFF: measured on the v5e (round 2,
+    OPT-1.3B b8) the single-launch kernel LOSES to XLA's unfused chain
+    (1060 vs 1160 tok/s) — pallas weight streaming at M=8 runs ~2-3× below
+    XLA's matmul pipeline, outweighing the ~75µs/layer of launch savings.
+    Kept for larger-batch / future-toolchain experiments."""
+    if _FUSED_MLP is not None:
+        return _FUSED_MLP
+    return False
+
+
 def pick_block(n: int, target: int, minimum: int = 8) -> Optional[int]:
     """Largest divisor of ``n`` that is ≤ target and a multiple of ``minimum``."""
     b = min(target, n)
