@@ -60,6 +60,7 @@ class ContinuousBatcher:
         paged: bool = False,
         block_size: int = 16,
         num_blocks: Optional[int] = None,
+        prefill_chunk: Optional[int] = None,
     ):
         """``mesh``: optional (1, tp) jax Mesh — weights and KV shard over the
         "model" axis (ICI tensor parallelism); the data axis must be 1 because
@@ -74,7 +75,13 @@ class ContinuousBatcher:
         of slot-per-sequence slabs (vLLM-style; reference PagedAttention op).
         Decode walks the block table inside the Pallas kernel; pages free as
         requests finish, so max_len no longer reserves worst-case memory per
-        slot. Block 0 is the reserved null page."""
+        slot. Block 0 is the reserved null page.
+
+        ``prefill_chunk``: admission processes at most ONE chunk of this many
+        prompt tokens per engine step, so running requests keep decoding while
+        a long prompt prefills (bounds the TTFT inflation a synchronous
+        admission prefill causes — the round-1 weak spot). Resident slab mode
+        only."""
         self.cfg = cfg
         self.gen = gen
         self.B = max_batch
@@ -140,6 +147,10 @@ class ContinuousBatcher:
         self.active = np.zeros(max_batch, bool)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
+        if prefill_chunk is not None and (self.sched is not None or mesh is not None or paged):
+            raise ValueError("prefill_chunk composes with resident slab serving only")
+        self.prefill_chunk = prefill_chunk
+        self._pending = None  # in-flight chunked admission state
         self.queue: Deque[Request] = deque()
         self.done: List[Request] = []
         self._next_id = 0
@@ -175,7 +186,66 @@ class ContinuousBatcher:
         self.queue.append(Request(rid, list(prompt), max_new_tokens or self.gen.max_new_tokens))
         return rid
 
+    def _chunk_fn(self, C: int):
+        key = ("chunk", C)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                partial(T.prefill_chunk, self.cfg), donate_argnums=(3,)
+            )
+        return self._compiled[key]
+
+    def _admit_chunked(self) -> None:
+        """Process at most ONE prompt chunk per engine step; decode continues
+        between chunks (chunked/piggybacked prefill)."""
+        C = self.prefill_chunk
+        if self._pending is None:
+            if not self.queue or self.active.all():
+                return
+            slot = int(np.flatnonzero(~self.active)[0])
+            req = self.queue.popleft()
+            n = len(req.prompt)
+            total = -(-n // C) * C
+            if total + req.max_new_tokens > self.max_len:
+                raise ValueError(
+                    f"request {req.req_id} needs {total + req.max_new_tokens} slots > max_len {self.max_len}"
+                )
+            toks = np.full(total, self.gen.pad_token_id, np.int32)
+            toks[total - n:] = np.asarray(req.prompt, np.int32)  # left-pad chunk 0
+            mask = np.zeros(total, bool)
+            mask[total - n:] = True
+            seg = kvc.init_cache(
+                self.cfg, 1, self.max_len, jnp.dtype(self.cfg.dtype),
+                quantized=not isinstance(self.cache.k, jnp.ndarray),
+            )
+            self._pending = [req, slot, seg, toks, mask, 0]
+        req, slot, seg, toks, mask, off = self._pending
+        logits, seg = self._chunk_fn(C)(
+            self.params,
+            jnp.asarray(toks[off : off + C])[None],
+            jnp.asarray(mask[off : off + C])[None],
+            seg,
+        )
+        off += C
+        if off < len(toks):
+            self._pending = [req, slot, seg, toks, mask, off]
+            return
+        # final chunk: sample the first token and splice the segment in
+        self._pending = None
+        self._rng, sub = jax.random.split(self._rng)
+        first = int(sampling.sample(logits, sub, self.gen)[0])
+        self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
+        req.first_token_at = time.perf_counter()
+        req.output.append(first)
+        self.slot_req[slot] = req
+        self.active[slot] = True
+        self.tokens[slot] = first
+        self.logical_pos[slot] = len(req.prompt)
+        self._maybe_finish(slot, first)
+
     def _admit(self) -> None:
+        if self.prefill_chunk is not None:
+            self._admit_chunked()
+            return
         while self.queue and not self.active.all():
             slot = int(np.flatnonzero(~self.active)[0])
             req = self.queue.popleft()
@@ -265,7 +335,7 @@ class ContinuousBatcher:
         Returns False when there is nothing left to do."""
         self._admit()
         if not self.active.any():
-            return bool(self.queue)
+            return bool(self.queue) or self._pending is not None
         self._rng, sub = jax.random.split(self._rng)
         if self.paged:
             from lia_tpu.ops import paged as pg
@@ -314,8 +384,8 @@ class ContinuousBatcher:
         return True
 
     def run(self) -> List[Request]:
-        while self.step() or self.queue or self.active.any():
-            if not self.queue and not self.active.any():
+        while self.step() or self.queue or self.active.any() or self._pending is not None:
+            if not self.queue and not self.active.any() and self._pending is None:
                 break
         return self.done
 

@@ -361,6 +361,48 @@ def prefill(
     return logits, cache
 
 
+def prefill_chunk(
+    cfg: ModelConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, C] — the next C prompt tokens
+    chunk_mask: jnp.ndarray,  # [B, C] bool — False ONLY as a prefix of the
+    # FIRST chunk (left-padding keeps cache validity contiguous [start, length))
+    cache: kvc.KVCache,
+) -> Tuple[jnp.ndarray, kvc.KVCache]:
+    """Process ONE chunk of a longer prompt against the existing cache.
+
+    Chunked prefill: admission/serving can interleave prompt chunks with decode
+    steps (bounding TTFT inflation for running requests), and prompts longer
+    than any bucket stream through in slices. Each layer writes the chunk into
+    its cache plane, then attends over [start, base + C) — past + chunk — via
+    :func:`lia_tpu.ops.attention.attend_prefill_cached`. Returns the chunk's
+    last-token logits and the updated cache. The reference prefills whole
+    prompts only (lia/modeling_opt.py minibatches over BATCH, not sequence).
+    """
+    B, C = tokens.shape
+    base = cache.length
+    # logical positions continue from the REAL (non-pad) tokens cached so far
+    prev_real = jnp.sum(cache.mask.astype(jnp.int32), axis=1)  # [B]
+    positions = prev_real[:, None] + jnp.cumsum(chunk_mask.astype(jnp.int32), axis=1) - 1
+    x = embed(cfg, params, tokens, positions)
+    slot_mask = jax.lax.dynamic_update_slice(cache.mask, chunk_mask, (0, base))
+
+    def body(h, per_layer):
+        lp, kl, vl = per_layer
+        residual = h
+        q, k, v = attn_in(cfg, lp, h, positions)
+        kl, vl = kvc.update_layer(kl, vl, k, v, base)
+        attn_out = att.attend_prefill_cached(q, kl, vl, base, slot_mask)
+        h = attn_post_mlp(cfg, lp, residual, attn_out)
+        return h, (kl, vl)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    cache = cache._replace(k=k_new, v=v_new)
+    cache = kvc.advance(cache, chunk_mask, C)
+    logits = lm_head(cfg, params, x[:, -1:, :])[:, 0, :]
+    return logits, cache
+
+
 def score_logprobs(
     cfg: ModelConfig,
     params: Params,

@@ -118,6 +118,39 @@ def attend_prefill(
     return attend(q, k, v, ctx.mask)
 
 
+def attend_prefill_cached(
+    q: jnp.ndarray,  # [B, C, N, D] chunk queries
+    k_cache,  # [B, N_kv, S_max, D] cache plane (chunk already written)
+    v_cache,
+    base,  # scalar or [B] — cache length before the chunk
+    slot_mask: jnp.ndarray,  # [B, S_max] validity incl. chunk rows
+) -> jnp.ndarray:
+    """Chunk-over-cache causal attention (chunked prefill). Pallas on TPU;
+    jnp golden fallback elsewhere / for quantized caches."""
+    from lia_tpu.ops import dispatch
+    from lia_tpu.ops.quant import dequantize_kv, is_quantized_kv
+
+    if is_quantized_kv(k_cache):
+        k_cache = dequantize_kv(k_cache, q.dtype)
+        v_cache = dequantize_kv(v_cache, q.dtype)
+    B, C = q.shape[:2]
+    S_max = k_cache.shape[2]
+    if dispatch.use_pallas():
+        bk = dispatch.pick_block(S_max, 512, minimum=64)
+        if bk is not None:
+            from lia_tpu.ops.pallas_attention import flash_attention_cached
+
+            return flash_attention_cached(
+                q, k_cache, v_cache, base, slot_mask, block_k=bk,
+                interpret=dispatch.interpret_mode(),
+            )
+    bases = jnp.broadcast_to(base, (B,))
+    q_pos = bases[:, None] + jnp.arange(C)[None, :]  # [B, C]
+    k_pos = jnp.arange(S_max)[None, None, :]
+    mask = (k_pos <= q_pos[:, :, None]) & slot_mask[:, None, :]
+    return attend(q, k_cache, v_cache, mask)
+
+
 def attend_decode(
     q: jnp.ndarray, k_cache, v_cache, ctx: DecodeAttn
 ) -> jnp.ndarray:

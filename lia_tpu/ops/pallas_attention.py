@@ -140,6 +140,107 @@ def flash_attention_prefill(
 
 
 # ---------------------------------------------------------------------------
+# Chunked prefill: a prompt chunk attending over the cache (past + itself)
+# ---------------------------------------------------------------------------
+
+
+def _flash_cached_kernel(
+    base_ref,  # [B, 1] int32 SMEM — cache length BEFORE this chunk (chunk row 0's pos)
+    start_ref,  # [B, 1] int32 SMEM — first valid cache slot per sequence
+    q_ref,  # [1, 1, C, G*D]
+    k_ref,  # [1, 1, S_max, D] — cache plane (chunk already written)
+    v_ref,
+    o_ref,  # [1, 1, C, G*D]
+    *,
+    scale: float,
+    bk: int,
+    G: int,
+):
+    """Flash attention for a prompt CHUNK over the full cache plane: chunk row
+    t attends cache positions [start_b, base_b + t]. Enables chunked prefill —
+    long prompts and serving admission slices that interleave with decode
+    (the reference prefills whole prompts only)."""
+    b = pl.program_id(0)
+    C, D = q_ref.shape[2], k_ref.shape[3]
+    base = base_ref[b, 0]
+    start = start_ref[b, 0]
+    q = q_ref[0, 0].astype(jnp.float32).reshape(C * G, D) * scale
+
+    m0 = jnp.full((C * G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((C * G, 1), jnp.float32)
+    acc0 = jnp.zeros((C * G, D), jnp.float32)
+
+    q_pos = base + jax.lax.broadcasted_iota(jnp.int32, (C, G, bk), 0).reshape(
+        C * G, bk
+    )
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (C * G, bk), 1)
+        allow = (k_pos <= q_pos) & (k_pos >= start)
+        s = jnp.where(allow, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    num_kv = pl.cdiv(base + C, bk)  # tiles beyond the chunk's frontier are dead
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.reshape(C, G * D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
+def flash_attention_cached(
+    q: jnp.ndarray,  # [B, C, N, D] — the chunk's queries
+    k_cache: jnp.ndarray,  # [B, N_kv, S_max, D] — cache plane incl. the chunk
+    v_cache: jnp.ndarray,
+    base: jnp.ndarray,  # scalar or [B] — cache length before the chunk
+    slot_mask: jnp.ndarray,  # [B, S_max] — validity incl. the chunk's rows
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Chunk-over-cache causal attention. Returns [B, C, N, D]."""
+    B, C, N, D = q.shape
+    Nkv, S_max = k_cache.shape[1], k_cache.shape[2]
+    G = N // Nkv
+    scale = scale if scale is not None else D**-0.5
+    interpret = _interpret_default() if interpret is None else interpret
+    bk = min(block_k, S_max)
+    assert S_max % bk == 0
+
+    qg = q.reshape(B, C, Nkv, G * D).transpose(0, 2, 1, 3)  # [B, Nkv, C, G*D]
+    bases = jnp.broadcast_to(base.astype(jnp.int32), (B,))
+    ends = bases + C
+    starts = ends - jnp.sum(slot_mask.astype(jnp.int32), axis=1)
+    out = pl.pallas_call(
+        functools.partial(_flash_cached_kernel, scale=scale, bk=bk, G=G),
+        grid=(B, Nkv),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C, G * D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S_max, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S_max, D), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, C, G * D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, C, G * D), q.dtype),
+        interpret=interpret,
+    )(bases[:, None], starts[:, None], qg, k_cache, v_cache)
+    return out.transpose(0, 2, 1, 3).reshape(B, C, N, D)
+
+
+# ---------------------------------------------------------------------------
 # Decode attention over the KV cache
 # ---------------------------------------------------------------------------
 

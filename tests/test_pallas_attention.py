@@ -178,3 +178,53 @@ def test_fresh_decode_int8_matches_dequant_golden(rng, gqa):
         block_k=8, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("gqa", [False, True])
+def test_chunked_prefill_matches_full(rng, gqa):
+    """Two prefill_chunk calls over a split prompt must match one full prefill
+    (logits + cache contents) — the chunked-prefill correctness gate."""
+    from functools import partial
+
+    from lia_tpu.models import transformer as T
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.ops import kv_cache as kvc
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    name = "llama-tiny" if gqa else "opt-tiny"
+    cfg = get_config(name).replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=5, scale=0.03)
+    B, n = 2, 19
+    toks = rng.integers(3, 500, (B, n)).astype(np.int32)
+    C = 16
+    total = 32  # two chunks, chunk 0 left-padded by 13
+    pad = total - n
+    tokens = np.full((B, total), 1, np.int32)
+    tokens[:, pad:] = toks
+    mask = np.zeros((B, total), bool)
+    mask[:, pad:] = True
+
+    full_cache = kvc.init_cache(cfg, B, 64, jnp.float32)
+    ref_logits, ref_cache = jax.jit(partial(T.prefill, cfg))(
+        jax.device_put(params), jnp.asarray(tokens), jnp.asarray(mask), full_cache
+    )
+
+    cache = kvc.init_cache(cfg, B, 64, jnp.float32)
+    chunk_f = jax.jit(partial(T.prefill_chunk, cfg))
+    p = jax.device_put(params)
+    for off in range(0, total, C):
+        logits, cache = chunk_f(
+            p, jnp.asarray(tokens[:, off : off + C]),
+            jnp.asarray(mask[:, off : off + C]), cache,
+        )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+    # pad slots hold implementation-defined garbage (all-masked attention rows
+    # feed later layers' pad rows) and are never read back — compare valid slots
+    valid = np.asarray(ref_cache.mask)  # [B, S_max]
+    ck = np.asarray(cache.k) * valid[None, :, None, :, None]
+    rk = np.asarray(ref_cache.k) * valid[None, :, None, :, None]
+    np.testing.assert_allclose(ck, rk, rtol=2e-4, atol=2e-4)
+    assert int(cache.length) == int(ref_cache.length)
+    np.testing.assert_array_equal(np.asarray(cache.mask), np.asarray(ref_cache.mask))

@@ -161,3 +161,23 @@ def test_paged_serving_memory_backpressure(model):
     done = cb.run()
     assert len(done) == 4
     assert {r.req_id for r in done} == set(ids)
+
+
+def test_chunked_admission_matches_and_interleaves(model):
+    """prefill_chunk admission: outputs match the synchronous batcher, and
+    decode steps for running requests interleave with the chunks (TTFT fix)."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=6)
+    prompts = [[5, 9, 23, 41], list(range(3, 43)), [8, 8, 8], [50, 60, 7, 9, 11]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, prefill_chunk=16
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (chunked admission)"
