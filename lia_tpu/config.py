@@ -24,7 +24,8 @@ from typing import Optional, Tuple
 
 class Activation(str, enum.Enum):
     RELU = "relu"
-    GELU = "gelu"
+    GELU = "gelu"  # exact (erf) — HF "gelu" (gpt-neox, falcon nn.GELU)
+    GELU_NEW = "gelu_new"  # tanh approximation — HF "gelu_new" (gpt-j)
     SILU = "silu"  # used as SwiGLU gate in llama-style MLPs
 
 
@@ -60,6 +61,8 @@ class ModelConfig:
     """
 
     name: str = "opt-125m"
+    family: str = "opt"  # HF checkpoint layout family: opt | llama (also mistral/
+    # qwen2) | gptj | gpt_neox | falcon — drives the state-dict mapping
     vocab_size: int = 50272
     hidden_size: int = 768
     ffn_size: int = 3072
@@ -79,10 +82,23 @@ class ModelConfig:
     tie_embeddings: bool = True
     word_embed_proj_dim: Optional[int] = None  # opt-350m: 512 != hidden 1024
     attn_bias: bool = True
+    o_bias: Optional[bool] = None  # out-proj bias; None → follow attn_bias (qwen2: qkv
+    # carry bias but o_proj does not)
     mlp_bias: bool = True
+    lm_head_bias: bool = False  # gpt-j ships a bias on lm_head
     norm_eps: float = 1e-5
     dtype: str = "bfloat16"
     pad_token_id: int = 1  # OPT's pad; Llama checkpoints ship 0/eos — set per model
+    # --- family-widening knobs (gpt-j / gpt-neox / falcon / mistral / qwen2) ---
+    parallel_residual: bool = False  # out = x + attn(ln(x)) + mlp(ln'(x)) — single
+    # residual stream (HF GPTJBlock / GPTNeoXLayer use_parallel_residual / Falcon)
+    parallel_shared_norm: bool = False  # gpt-j: MLP input reuses ln1's output;
+    # False (neox/falcon new-arch=False): MLP input is ln2(x)
+    rotary_dim: Optional[int] = None  # partial RoPE: rotate only the first
+    # rotary_dim dims of each head (gpt-j 64/256·D, neox rotary_pct)
+    rope_interleaved: bool = False  # gpt-j/neox "rotate_every_two" pairing
+    # (even/odd lanes) instead of llama's half-split pairing
+    sliding_window: Optional[int] = None  # mistral: attend only the last W positions
 
     @property
     def embed_dim(self) -> int:

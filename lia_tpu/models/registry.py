@@ -1,10 +1,14 @@
-"""Model registry: named architecture configs for the OPT and Llama families.
+"""Model registry: named architecture configs across the reference's model families.
 
-Mirrors the reference's per-model load configs
-(examples/cpu/inference/python/llm/utils/model_class/*.py) and its OPT size ladder
-(README.md:11-15: OPT 125M…175B; Llama-2/3 in the companion image). Sizes follow the
-published HF configs; OPT-175B matches the FlexGen-style dummy-weight generator
-(examples/cpu/inference/python/llm/utils/opt-weight-gen.py:8-40).
+Mirrors the reference's per-model load classes
+(examples/cpu/inference/python/llm/utils/model_class/{opt,llama,gptj,gptneox,
+falcon,mistral,qwen}.py) and its OPT size ladder (README.md:11-15: OPT 125M…175B).
+Sizes follow the published HF configs; OPT-175B matches the FlexGen-style
+dummy-weight generator (examples/cpu/inference/python/llm/utils/opt-weight-gen.py:8-40).
+
+Family quirks are expressed as config knobs, not subclasses: parallel residual
+(gpt-j/neox/falcon), shared vs separate MLP norm, partial/interleaved rotary,
+sliding-window attention (mistral), per-projection bias layout (qwen2).
 """
 
 from __future__ import annotations
@@ -15,6 +19,7 @@ from lia_tpu.config import Activation, ModelConfig, Norm
 def _opt(name, h, ffn, l, heads, vocab=50272, max_pos=2048, **kw) -> ModelConfig:
     return ModelConfig(
         name=name,
+        family="opt",
         vocab_size=vocab,
         hidden_size=h,
         ffn_size=ffn,
@@ -33,8 +38,14 @@ def _opt(name, h, ffn, l, heads, vocab=50272, max_pos=2048, **kw) -> ModelConfig
 
 
 def _llama(name, h, ffn, l, heads, kv_heads, vocab, max_pos=8192, theta=500000.0, **kw) -> ModelConfig:
+    # kw may override the family defaults (qwen2: attn_bias=True, o_bias=False)
+    kw.setdefault("attn_bias", False)
+    kw.setdefault("mlp_bias", False)
+    kw.setdefault("norm_eps", 1e-5)
+    kw.setdefault("pad_token_id", 0)  # llama tokenizers have no pad; 0 (<unk>) is convention
     return ModelConfig(
         name=name,
+        family="llama",
         vocab_size=vocab,
         hidden_size=h,
         ffn_size=ffn,
@@ -49,10 +60,100 @@ def _llama(name, h, ffn, l, heads, kv_heads, vocab, max_pos=8192, theta=500000.0
         rope=True,
         rope_theta=theta,
         tie_embeddings=False,
+        **kw,
+    )
+
+
+def _gptj(name, h, ffn, l, heads, vocab, rotary_dim, max_pos=2048, **kw) -> ModelConfig:
+    """GPT-J: parallel residual, single shared ln_1, interleaved partial rotary,
+    no attention biases, biased MLP and lm_head (HF modeling_gptj)."""
+    return ModelConfig(
+        name=name,
+        family="gptj",
+        vocab_size=vocab,
+        hidden_size=h,
+        ffn_size=ffn,
+        num_layers=l,
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=h // heads,
+        max_position_embeddings=max_pos,
+        activation=Activation.GELU_NEW,
+        norm=Norm.LAYERNORM,
+        learned_pos=False,
+        rope=True,
+        rope_theta=10000.0,
+        rotary_dim=rotary_dim,
+        rope_interleaved=True,
+        parallel_residual=True,
+        parallel_shared_norm=True,
+        tie_embeddings=False,
+        attn_bias=False,
+        mlp_bias=True,
+        lm_head_bias=True,
+        pad_token_id=50256,  # eos; gpt-j has no pad token
+        **kw,
+    )
+
+
+def _gpt_neox(name, h, ffn, l, heads, vocab, rotary_pct=0.25, max_pos=2048, **kw) -> ModelConfig:
+    """GPT-NeoX / Pythia: parallel residual with separate post-attention LN,
+    fused-QKV checkpoints (de-interleaved on load), partial non-interleaved
+    rotary (rotary_pct), exact GELU (HF modeling_gpt_neox)."""
+    d = h // heads
+    return ModelConfig(
+        name=name,
+        family="gpt_neox",
+        vocab_size=vocab,
+        hidden_size=h,
+        ffn_size=ffn,
+        num_layers=l,
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=d,
+        max_position_embeddings=max_pos,
+        activation=Activation.GELU,
+        norm=Norm.LAYERNORM,
+        learned_pos=False,
+        rope=True,
+        rope_theta=10000.0,
+        rotary_dim=int(d * rotary_pct),
+        parallel_residual=True,
+        parallel_shared_norm=False,
+        tie_embeddings=False,
+        attn_bias=True,
+        mlp_bias=True,
+        pad_token_id=0,
+        **kw,
+    )
+
+
+def _falcon(name, h, ffn, l, heads, vocab, max_pos=2048, **kw) -> ModelConfig:
+    """Falcon-7B-style: multi-query attention (1 KV head), parallel residual
+    sharing input_layernorm, no biases, tied embeddings (HF modeling_falcon,
+    new_decoder_architecture=False)."""
+    return ModelConfig(
+        name=name,
+        family="falcon",
+        vocab_size=vocab,
+        hidden_size=h,
+        ffn_size=ffn,
+        num_layers=l,
+        num_heads=heads,
+        num_kv_heads=1,
+        head_dim=h // heads,
+        max_position_embeddings=max_pos,
+        activation=Activation.GELU,
+        norm=Norm.LAYERNORM,
+        learned_pos=False,
+        rope=True,
+        rope_theta=10000.0,
+        parallel_residual=True,
+        parallel_shared_norm=True,
+        tie_embeddings=True,
         attn_bias=False,
         mlp_bias=False,
-        norm_eps=1e-5,
-        pad_token_id=0,  # llama tokenizers have no pad; 0 (<unk>) is the convention
+        pad_token_id=11,  # falcon tokenizer convention
         **kw,
     )
 
@@ -75,14 +176,48 @@ REGISTRY = {
     "llama-2-13b": _llama("llama-2-13b", 5120, 13824, 40, 40, 40, 32000, max_pos=4096, theta=10000.0),
     "llama-3-8b": _llama("llama-3-8b", 4096, 14336, 32, 32, 8, 128256),
     "llama-3-70b": _llama("llama-3-70b", 8192, 28672, 80, 64, 8, 128256),
+    # --- Mistral (llama layout + sliding-window attention) ---
+    "mistral-7b": _llama(
+        "mistral-7b", 4096, 14336, 32, 32, 8, 32000,
+        max_pos=32768, theta=10000.0, sliding_window=4096,
+    ),
+    # --- Qwen2 (llama layout; qkv biases but no o_proj bias) ---
+    "qwen2-7b": _llama(
+        "qwen2-7b", 3584, 18944, 28, 28, 4, 152064,
+        max_pos=32768, theta=1000000.0, attn_bias=True, o_bias=False,
+        norm_eps=1e-6, pad_token_id=151643,
+    ),
+    # --- GPT-J / GPT-NeoX / Falcon (parallel-residual families) ---
+    "gpt-j-6b": _gptj("gpt-j-6b", 4096, 16384, 28, 16, 50400, rotary_dim=64),
+    "gpt-neox-20b": _gpt_neox("gpt-neox-20b", 6144, 24576, 44, 64, 50432),
+    "pythia-6.9b": _gpt_neox("pythia-6.9b", 4096, 16384, 32, 32, 50432),
+    "falcon-7b": _falcon("falcon-7b", 4544, 18176, 32, 71, 65024),
     # --- tiny configs for tests (analog of tests/cpu/hf_configs/) ---
     "opt-tiny": _opt("opt-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
     "llama-tiny": _llama("llama-tiny", 64, 128, 2, 4, 2, 503, max_pos=128, theta=10000.0),
+    "mistral-tiny": _llama(
+        "mistral-tiny", 64, 128, 2, 4, 2, 503,
+        max_pos=128, theta=10000.0, sliding_window=24,
+    ),
+    "qwen2-tiny": _llama(
+        "qwen2-tiny", 64, 128, 2, 4, 2, 503,
+        max_pos=128, theta=10000.0, attn_bias=True, o_bias=False,
+    ),
+    "gptj-tiny": _gptj("gptj-tiny", 64, 256, 2, 4, 503, rotary_dim=8, max_pos=128),
+    "neox-tiny": _gpt_neox("neox-tiny", 64, 256, 2, 4, 503, rotary_pct=0.5, max_pos=128),
+    "falcon-tiny": _falcon("falcon-tiny", 64, 256, 2, 4, 503, max_pos=128),
 }
 
 
 def get_config(name: str) -> ModelConfig:
-    key = name.lower().replace("facebook/", "").replace("meta-llama/", "").replace("_", "-")
+    key = name.lower()
+    for org in ("facebook/", "meta-llama/", "eleutherai/", "tiiuae/", "mistralai/", "qwen/"):
+        key = key.replace(org, "")
+    key = key.replace("_", "-")
+    # common HF suffixes/aliases: mistral-7b-v0.1 → mistral-7b, qwen2-7b-instruct → qwen2-7b
+    for suffix in ("-v0.1", "-v0.2", "-instruct", "-hf"):
+        if key.endswith(suffix):
+            key = key[: -len(suffix)]
     if key not in REGISTRY:
         raise KeyError(f"unknown model '{name}'; known: {sorted(REGISTRY)}")
     return REGISTRY[key]

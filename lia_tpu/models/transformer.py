@@ -70,8 +70,10 @@ def norm(cfg: ModelConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
 def activation_fn(cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.activation == Activation.RELU:
         return jax.nn.relu(x)
-    if cfg.activation == Activation.GELU:
-        return jax.nn.gelu(x)
+    if cfg.activation == Activation.GELU:  # exact erf gelu (HF "gelu")
+        return jax.nn.gelu(x, approximate=False)
+    if cfg.activation == Activation.GELU_NEW:  # tanh approx (HF "gelu_new", gpt-j)
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.silu(x)
 
 
@@ -93,8 +95,8 @@ def qkv_project(
     k = linear(x, a["wk"], a.get("bk")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     v = linear(x, a["wv"], a.get("bv")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     if cfg.rope:
-        q = apply_rope(q, positions, cfg.rope_theta)
-        k = apply_rope(k, positions, cfg.rope_theta)
+        q = apply_rope(q, positions, cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
+        k = apply_rope(k, positions, cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
     # K/V to head-major [B, N_kv, S, D] — the cache/attention layout
     return q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
@@ -168,6 +170,13 @@ def attn_post_mlp(cfg: ModelConfig, lp: Params, residual: jnp.ndarray, attn_out)
 def _attn_post_mlp(cfg: ModelConfig, lp: Params, residual: jnp.ndarray, attn_out):
     B, S = attn_out.shape[:2]
     h = linear(attn_out.reshape(B, S, -1), lp["attn"]["wo"], lp["attn"].get("bo"))
+    if cfg.parallel_residual:
+        # single residual stream: out = x + attn(ln1(x)) + mlp(ln_mlp(x)), where
+        # ln_mlp is ln1 itself (gpt-j / falcon-7b shared norm) or a separate ln2
+        # (gpt-neox use_parallel_residual). HF GPTJBlock / GPTNeoXLayer.
+        mlp_norm = lp["ln1"] if cfg.parallel_shared_norm else lp["ln2"]
+        m = mlp(cfg, lp, norm(cfg, mlp_norm, residual))
+        return residual + h + m
     x = residual + h
     if not cfg.pre_norm:
         x = norm(cfg, lp["ln1"], x)
@@ -311,9 +320,12 @@ def _lm_head(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         w = params["lm_head"]
     else:  # tied embeddings
         w = params["embed_tokens"].T
-    return jax.lax.dot_general(
+    y = jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if "lm_head_bias" in params:  # gpt-j ships a bias on lm_head
+        y = y + params["lm_head_bias"].astype(jnp.float32)
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -331,7 +343,7 @@ def run_prefill_layers(
     """Embed + all decoder layers; returns (hidden [B, S, H], updated cache)."""
     positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1  # pad-aware
     x = embed(cfg, params, tokens, positions)
-    ctx = att.prefill_attn_ctx(input_mask)
+    ctx = att.prefill_attn_ctx(input_mask, cfg.sliding_window)
     start = cache.length
 
     def body(h, per_layer):
@@ -392,7 +404,9 @@ def prefill_chunk(
         residual = h
         q, k, v = attn_in(cfg, lp, h, positions)
         kl, vl = kvc.update_layer(kl, vl, k, v, base)
-        attn_out = att.attend_prefill_cached(q, kl, vl, base, slot_mask)
+        attn_out = att.attend_prefill_cached(
+            q, kl, vl, base, slot_mask, cfg.sliding_window
+        )
         h = attn_post_mlp(cfg, lp, residual, attn_out)
         return h, (kl, vl)
 
@@ -475,7 +489,7 @@ def decode_step(
     """One greedy/sampling decode step; returns (logits [B, V], updated cache)."""
     x = embed(cfg, params, tokens, positions)
     # ctx covers PAST tokens only; the fresh token is merged inside attention
-    ctx = att.decode_attn_ctx(cache.mask, cache.length)
+    ctx = att.decode_attn_ctx(cache.mask, cache.length, cfg.sliding_window)
     start = cache.length
 
     x, k_new, v_new = decode_layers_scan(
@@ -507,7 +521,7 @@ def decode_step_ragged(
     # ctx covers PAST tokens only; the fresh token is merged inside attention.
     # Inactive slots compute garbage attention (their outputs are discarded and
     # their mask/length never advance) — same as the previous per-layer path.
-    ctx = att.decode_attn_ctx(cache.mask, cache.length)
+    ctx = att.decode_attn_ctx(cache.mask, cache.length, cfg.sliding_window)
     start = cache.length  # [B] → ragged writes inside write_token_all
 
     x, k_new, v_new = decode_layers_scan(

@@ -51,10 +51,13 @@ def attend(
 
 def causal_mask(
     input_mask: jnp.ndarray,  # [B, S] bool — True at real-token slots
+    window: int | None = None,  # sliding-window attention (mistral)
 ) -> jnp.ndarray:
-    """Causal ∧ padding mask for prefill: [B, S, S]."""
+    """Causal ∧ padding (∧ sliding-window) mask for prefill: [B, S, S]."""
     S = input_mask.shape[1]
     causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    if window is not None:
+        causal &= jnp.triu(jnp.ones((S, S), jnp.bool_), -(window - 1))
     return causal[None, :, :] & input_mask[:, None, :]
 
 
@@ -78,7 +81,8 @@ class PrefillAttn(NamedTuple):
     """Attention context for a prompt chunk (built once, shared by all layers)."""
 
     input_mask: jnp.ndarray  # [B, S] bool
-    mask: jnp.ndarray  # [B, S, S] causal ∧ padding
+    mask: jnp.ndarray  # [B, S, S] causal ∧ padding (∧ window)
+    window: int | None = None  # static sliding-window width (mistral) or None
 
 
 class DecodeAttn(NamedTuple):
@@ -89,12 +93,29 @@ class DecodeAttn(NamedTuple):
     mask: jnp.ndarray  # [B, 1, S_max]
 
 
-def prefill_attn_ctx(input_mask: jnp.ndarray) -> PrefillAttn:
-    return PrefillAttn(input_mask, causal_mask(input_mask))
+def prefill_attn_ctx(input_mask: jnp.ndarray, window: int | None = None) -> PrefillAttn:
+    return PrefillAttn(input_mask, causal_mask(input_mask, window), window)
 
 
-def decode_attn_ctx(slot_mask: jnp.ndarray, length: jnp.ndarray) -> DecodeAttn:
-    """``slot_mask``/``length`` must already include the token being decoded."""
+def decode_attn_ctx(
+    slot_mask: jnp.ndarray, length: jnp.ndarray, window: int | None = None
+) -> DecodeAttn:
+    """Build a decode attention context over the cache's valid slots.
+
+    ``length`` follows the caller's convention — past-only (fresh-merge paths:
+    the query sits at position ``length``) or inclusive (``length`` counts the
+    just-written token). ``window`` (sliding-window attention, mistral) assumes
+    the PAST-ONLY convention: slots ``<= length - window`` are dropped from the
+    validity mask here, at context-build time, so the query at ``length`` sees
+    exactly the last ``window`` positions (itself + ``window-1`` past). Validity
+    stays a contiguous range, so every decode kernel (plane / stacked /
+    fresh-merge / int8) works unchanged; inclusive-convention callers
+    (scheduler host paths) don't pass ``window``."""
+    if window is not None:
+        B, S_max = slot_mask.shape
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, S_max), 1)
+        lengths = jnp.broadcast_to(length, (B,))[:, None]
+        slot_mask = slot_mask & (pos > lengths - window)
     return DecodeAttn(slot_mask, length, decode_mask(slot_mask, length))
 
 
@@ -113,7 +134,7 @@ def attend_prefill(
 
             return flash_attention_prefill(
                 q, k, v, ctx.input_mask, block_q=bq, block_k=bk,
-                interpret=dispatch.interpret_mode(),
+                window=ctx.window, interpret=dispatch.interpret_mode(),
             )
     return attend(q, k, v, ctx.mask)
 
@@ -124,6 +145,7 @@ def attend_prefill_cached(
     v_cache,
     base,  # scalar or [B] — cache length before the chunk
     slot_mask: jnp.ndarray,  # [B, S_max] validity incl. chunk rows
+    window: int | None = None,  # sliding-window attention (mistral)
 ) -> jnp.ndarray:
     """Chunk-over-cache causal attention (chunked prefill). Pallas on TPU;
     jnp golden fallback elsewhere / for quantized caches."""
@@ -142,12 +164,14 @@ def attend_prefill_cached(
 
             return flash_attention_cached(
                 q, k_cache, v_cache, base, slot_mask, block_k=bk,
-                interpret=dispatch.interpret_mode(),
+                window=window, interpret=dispatch.interpret_mode(),
             )
     bases = jnp.broadcast_to(base, (B,))
     q_pos = bases[:, None] + jnp.arange(C)[None, :]  # [B, C]
     k_pos = jnp.arange(S_max)[None, None, :]
     mask = (k_pos <= q_pos[:, :, None]) & slot_mask[:, None, :]
+    if window is not None:
+        mask &= k_pos > q_pos[:, :, None] - window
     return attend(q, k_cache, v_cache, mask)
 
 

@@ -55,6 +55,7 @@ def _flash_kernel(
     bk: int,
     seq_len: int,
     G: int,
+    window: int | None,
 ):
     i = pl.program_id(2)
     D = k_ref.shape[3]
@@ -80,6 +81,8 @@ def _flash_kernel(
         # left-padding => validity is contiguous [start, ·): a scalar compare, no
         # mask vector to DMA (and no lane-misaligned loads for Mosaic to reject)
         allow = (q_pos >= k_pos) & (k_pos >= start)
+        if window is not None:  # sliding window: slot-space == token-space offset
+            allow &= k_pos > q_pos - window
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -92,12 +95,16 @@ def _flash_kernel(
 
     # causal: kv tiles beyond this q tile's last row are fully masked — skip them
     num_kv = pl.cdiv(jnp.minimum((i + 1) * bq, seq_len), bk)
-    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    # sliding window: tiles wholly before the earliest visible position are dead
+    first_kv = 0 if window is None else jnp.maximum(0, (i * bq - window + 1) // bk)
+    m, l, acc = jax.lax.fori_loop(first_kv, num_kv, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(bq, G * D).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "window", "interpret")
+)
 def flash_attention_prefill(
     q: jnp.ndarray,  # [B, S, N, D]
     k: jnp.ndarray,  # [B, N_kv, S, D] (head-major)
@@ -107,6 +114,7 @@ def flash_attention_prefill(
     scale: float | None = None,
     block_q: int = 256,
     block_k: int = 512,
+    window: int | None = None,  # sliding-window attention (mistral)
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Causal flash attention over a (left-padded) prompt. Returns [B, S, N, D]."""
@@ -124,7 +132,9 @@ def flash_attention_prefill(
     starts = (S - jnp.sum(input_mask.astype(jnp.int32), axis=1))[:, None]  # [B, 1]
     grid = (B, Nkv, S // bq)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, bq=bq, bk=bk, seq_len=S, G=G),
+        functools.partial(
+            _flash_kernel, scale=scale, bq=bq, bk=bk, seq_len=S, G=G, window=window
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
@@ -155,6 +165,7 @@ def _flash_cached_kernel(
     scale: float,
     bk: int,
     G: int,
+    window: int | None,
 ):
     """Flash attention for a prompt CHUNK over the full cache plane: chunk row
     t attends cache positions [start_b, base_b + t]. Enables chunked prefill —
@@ -183,6 +194,8 @@ def _flash_cached_kernel(
         )
         k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (C * G, bk), 1)
         allow = (k_pos <= q_pos) & (k_pos >= start)
+        if window is not None:
+            allow &= k_pos > q_pos - window
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -194,12 +207,15 @@ def _flash_cached_kernel(
         return m_new, l, acc
 
     num_kv = pl.cdiv(base + C, bk)  # tiles beyond the chunk's frontier are dead
-    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    first_kv = 0 if window is None else jnp.maximum(0, (base - window + 1) // bk)
+    m, l, acc = jax.lax.fori_loop(first_kv, num_kv, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(C, G * D).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_k", "window", "interpret")
+)
 def flash_attention_cached(
     q: jnp.ndarray,  # [B, C, N, D] — the chunk's queries
     k_cache: jnp.ndarray,  # [B, N_kv, S_max, D] — cache plane incl. the chunk
@@ -208,6 +224,7 @@ def flash_attention_cached(
     slot_mask: jnp.ndarray,  # [B, S_max] — validity incl. the chunk's rows
     scale: float | None = None,
     block_k: int = 512,
+    window: int | None = None,  # sliding-window attention (mistral)
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Chunk-over-cache causal attention. Returns [B, C, N, D]."""
@@ -224,7 +241,7 @@ def flash_attention_cached(
     ends = bases + C
     starts = ends - jnp.sum(slot_mask.astype(jnp.int32), axis=1)
     out = pl.pallas_call(
-        functools.partial(_flash_cached_kernel, scale=scale, bk=bk, G=G),
+        functools.partial(_flash_cached_kernel, scale=scale, bk=bk, G=G, window=window),
         grid=(B, Nkv),
         in_specs=[
             pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),

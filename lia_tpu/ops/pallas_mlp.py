@@ -75,7 +75,9 @@ def _mlp_kernel(
         )
         act = jax.nn.silu(gate) * up
     elif activation == "gelu":
-        act = jax.nn.gelu(up)
+        act = jax.nn.gelu(up, approximate=False)
+    elif activation == "gelu_new":
+        act = jax.nn.gelu(up, approximate=True)
     else:
         act = jax.nn.relu(up)
     acc_s[:] += jax.lax.dot_general(

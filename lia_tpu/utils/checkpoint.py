@@ -97,7 +97,9 @@ def init_dummy_params(
 
     attn: Params = {"wq": wq(L, H, QD), "wk": wq(L, H, KD), "wv": wq(L, H, KD), "wo": wq(L, QD, H)}
     if cfg.attn_bias:
-        attn.update(bq=zeros(L, QD), bk=zeros(L, KD), bv=zeros(L, KD), bo=zeros(L, H))
+        attn.update(bq=zeros(L, QD), bk=zeros(L, KD), bv=zeros(L, KD))
+    if cfg.o_bias if cfg.o_bias is not None else cfg.attn_bias:  # qwen2: qkv bias, no bo
+        attn["bo"] = zeros(L, H)
     if cfg.activation == Activation.SILU:
         mlp: Params = {"wg": wq(L, H, F), "w1": wq(L, H, F), "w2": wq(L, F, H)}
     else:
@@ -105,10 +107,10 @@ def init_dummy_params(
         if cfg.mlp_bias:
             mlp.update(b1=zeros(L, F), b2=zeros(L, H))
 
-    params: Params = {
-        "embed_tokens": w(cfg.vocab_size, E),
-        "layers": {"ln1": norm_p(), "attn": attn, "ln2": norm_p(), "mlp": mlp},
-    }
+    layers: Params = {"ln1": norm_p(), "attn": attn, "mlp": mlp}
+    if not cfg.parallel_shared_norm:  # gpt-j/falcon-7b have no ln2 at all
+        layers["ln2"] = norm_p()
+    params: Params = {"embed_tokens": w(cfg.vocab_size, E), "layers": layers}
     if cfg.learned_pos:
         params["embed_positions"] = w(cfg.max_position_embeddings + cfg.pos_offset, H)
     if cfg.word_embed_proj_dim:
@@ -121,11 +123,13 @@ def init_dummy_params(
         params["final_norm"] = fn
     if not cfg.tie_embeddings:
         params["lm_head"] = w(E, cfg.vocab_size)
+        if cfg.lm_head_bias:
+            params["lm_head_bias"] = np.zeros((cfg.vocab_size,), dt)
     return params
 
 
 # ---------------------------------------------------------------------------
-# HF state-dict mapping (OPT + Llama)
+# HF state-dict mapping (OPT / Llama+Mistral+Qwen2 / GPT-J / GPT-NeoX / Falcon)
 # ---------------------------------------------------------------------------
 
 
@@ -133,7 +137,11 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
     """Map an HF state dict (numpy arrays) into our stacked pytree.
 
     HF linears store ``weight`` as [out, in]; we store [in, out] for ``x @ w``.
-    OPT key layout per transformers' modeling_opt; Llama per modeling_llama.
+    Dispatch on ``cfg.family`` — the TPU analog of the reference's per-model
+    load classes (examples/.../utils/model_class/{opt,llama,gptj,gptneox,
+    falcon}.py): opt per modeling_opt; llama (also mistral/qwen2, which share
+    the key layout modulo biases) per modeling_llama; gptj/gpt_neox/falcon per
+    their HF modeling files, including fused-QKV de-interleaving.
     """
     dt = _np_dtype(cfg.dtype)
     L = cfg.num_layers
@@ -152,7 +160,14 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         f = wT if transpose else raw
         return np.stack([f(fmt.format(i)) for i in range(L)])
 
-    is_opt = cfg.activation != Activation.SILU
+    if cfg.family == "gptj":
+        return _params_gptj(cfg, raw, wT, stack)
+    if cfg.family == "gpt_neox":
+        return _params_gpt_neox(cfg, get, raw, wT, stack, dt)
+    if cfg.family == "falcon":
+        return _params_falcon(cfg, get, raw, wT, stack, dt)
+
+    is_opt = cfg.family == "opt"
     if is_opt:
         pre = "model.decoder."
         params: Params = {"embed_tokens": raw(pre + "embed_tokens.weight")}
@@ -201,19 +216,156 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
     if not cfg.tie_embeddings:
         params["lm_head"] = wT("lm_head.weight")
     lp = pre + "layers.{}."
+    attn = {
+        "wq": stack(lp + "self_attn.q_proj.weight", True),
+        "wk": stack(lp + "self_attn.k_proj.weight", True),
+        "wv": stack(lp + "self_attn.v_proj.weight", True),
+        "wo": stack(lp + "self_attn.o_proj.weight", True),
+    }
+    if cfg.attn_bias:  # qwen2 ships qkv biases in the llama layout
+        attn["bq"] = stack(lp + "self_attn.q_proj.bias")
+        attn["bk"] = stack(lp + "self_attn.k_proj.bias")
+        attn["bv"] = stack(lp + "self_attn.v_proj.bias")
+    if cfg.o_bias if cfg.o_bias is not None else cfg.attn_bias:
+        attn["bo"] = stack(lp + "self_attn.o_proj.bias")
     params["layers"] = {
         "ln1": {"scale": stack(lp + "input_layernorm.weight")},
-        "attn": {
-            "wq": stack(lp + "self_attn.q_proj.weight", True),
-            "wk": stack(lp + "self_attn.k_proj.weight", True),
-            "wv": stack(lp + "self_attn.v_proj.weight", True),
-            "wo": stack(lp + "self_attn.o_proj.weight", True),
-        },
+        "attn": attn,
         "ln2": {"scale": stack(lp + "post_attention_layernorm.weight")},
         "mlp": {
             "wg": stack(lp + "mlp.gate_proj.weight", True),
             "w1": stack(lp + "mlp.up_proj.weight", True),
             "w2": stack(lp + "mlp.down_proj.weight", True),
+        },
+    }
+    return params
+
+
+def _params_gptj(cfg: ModelConfig, raw, wT, stack) -> Params:
+    """GPT-J (HF modeling_gptj): parallel residual with a SINGLE shared ln_1,
+    separate q/k/v projections (no biases), fc_in/fc_out MLP with biases,
+    untied lm_head WITH bias, interleaved partial rotary."""
+    params: Params = {"embed_tokens": raw("transformer.wte.weight")}
+    params["final_norm"] = {
+        "scale": raw("transformer.ln_f.weight"),
+        "bias": raw("transformer.ln_f.bias"),
+    }
+    params["lm_head"] = wT("lm_head.weight")
+    params["lm_head_bias"] = raw("lm_head.bias")
+    lp = "transformer.h.{}."
+    params["layers"] = {
+        "ln1": {
+            "scale": stack(lp + "ln_1.weight"),
+            "bias": stack(lp + "ln_1.bias"),
+        },
+        "attn": {
+            "wq": stack(lp + "attn.q_proj.weight", True),
+            "wk": stack(lp + "attn.k_proj.weight", True),
+            "wv": stack(lp + "attn.v_proj.weight", True),
+            "wo": stack(lp + "attn.out_proj.weight", True),
+        },
+        "mlp": {
+            "w1": stack(lp + "mlp.fc_in.weight", True),
+            "b1": stack(lp + "mlp.fc_in.bias"),
+            "w2": stack(lp + "mlp.fc_out.weight", True),
+            "b2": stack(lp + "mlp.fc_out.bias"),
+        },
+    }
+    return params
+
+
+def _params_gpt_neox(cfg: ModelConfig, get, raw, wT, stack, dt) -> Params:
+    """GPT-NeoX / Pythia (HF modeling_gpt_neox): parallel residual with separate
+    post_attention_layernorm, FUSED query_key_value whose out-dim is laid out
+    head-by-head as [q|k|v] per head — de-interleave into our separate wq/wk/wv."""
+    N, D, L = cfg.num_heads, cfg.head_dim, cfg.num_layers
+
+    def split_qkv(i):
+        w = get(f"gpt_neox.layers.{i}.attention.query_key_value.weight")  # [3H, H]
+        b = get(f"gpt_neox.layers.{i}.attention.query_key_value.bias")  # [3H]
+        wv = w.reshape(N, 3 * D, -1)  # per-head [q(D) | k(D) | v(D)] rows
+        bv = b.reshape(N, 3 * D)
+        out = []
+        for j in range(3):
+            wj = wv[:, j * D : (j + 1) * D, :].reshape(N * D, -1)
+            bj = bv[:, j * D : (j + 1) * D].reshape(N * D)
+            out.append((wj.T.astype(dt), bj.astype(dt)))
+        return out
+
+    qkv = [split_qkv(i) for i in range(L)]
+    lp = "gpt_neox.layers.{}."
+    params: Params = {"embed_tokens": raw("gpt_neox.embed_in.weight")}
+    params["final_norm"] = {
+        "scale": raw("gpt_neox.final_layer_norm.weight"),
+        "bias": raw("gpt_neox.final_layer_norm.bias"),
+    }
+    params["lm_head"] = wT("embed_out.weight")
+    params["layers"] = {
+        "ln1": {
+            "scale": stack(lp + "input_layernorm.weight"),
+            "bias": stack(lp + "input_layernorm.bias"),
+        },
+        "attn": {
+            "wq": np.stack([q[0][0] for q in qkv]),
+            "bq": np.stack([q[0][1] for q in qkv]),
+            "wk": np.stack([q[1][0] for q in qkv]),
+            "bk": np.stack([q[1][1] for q in qkv]),
+            "wv": np.stack([q[2][0] for q in qkv]),
+            "bv": np.stack([q[2][1] for q in qkv]),
+            "wo": stack(lp + "attention.dense.weight", True),
+            "bo": stack(lp + "attention.dense.bias"),
+        },
+        "ln2": {
+            "scale": stack(lp + "post_attention_layernorm.weight"),
+            "bias": stack(lp + "post_attention_layernorm.bias"),
+        },
+        "mlp": {
+            "w1": stack(lp + "mlp.dense_h_to_4h.weight", True),
+            "b1": stack(lp + "mlp.dense_h_to_4h.bias"),
+            "w2": stack(lp + "mlp.dense_4h_to_h.weight", True),
+            "b2": stack(lp + "mlp.dense_4h_to_h.bias"),
+        },
+    }
+    return params
+
+
+def _params_falcon(cfg: ModelConfig, get, raw, wT, stack, dt) -> Params:
+    """Falcon-7B-style (HF modeling_falcon, multi_query=True, parallel_attn=True,
+    new_decoder_architecture=False): parallel residual sharing input_layernorm,
+    fused QKV laid out [q heads... | k | v] along the out-dim (simple splits for
+    multi-query), no biases, tied embeddings. The 40B new-arch per-group
+    interleave is not supported — use num_kv_heads==1 configs."""
+    assert cfg.num_kv_heads == 1, "falcon mapping supports multi_query (=1 kv head)"
+    N, D, L = cfg.num_heads, cfg.head_dim, cfg.num_layers
+
+    def split_qkv(i):
+        w = get(f"transformer.h.{i}.self_attention.query_key_value.weight")
+        wq = w[: N * D, :].T.astype(dt)
+        wk = w[N * D : (N + 1) * D, :].T.astype(dt)
+        wv = w[(N + 1) * D :, :].T.astype(dt)
+        return wq, wk, wv
+
+    qkv = [split_qkv(i) for i in range(L)]
+    lp = "transformer.h.{}."
+    params: Params = {"embed_tokens": raw("transformer.word_embeddings.weight")}
+    params["final_norm"] = {
+        "scale": raw("transformer.ln_f.weight"),
+        "bias": raw("transformer.ln_f.bias"),
+    }
+    params["layers"] = {
+        "ln1": {
+            "scale": stack(lp + "input_layernorm.weight"),
+            "bias": stack(lp + "input_layernorm.bias"),
+        },
+        "attn": {
+            "wq": np.stack([q[0] for q in qkv]),
+            "wk": np.stack([q[1] for q in qkv]),
+            "wv": np.stack([q[2] for q in qkv]),
+            "wo": stack(lp + "self_attention.dense.weight", True),
+        },
+        "mlp": {
+            "w1": stack(lp + "mlp.dense_h_to_4h.weight", True),
+            "w2": stack(lp + "mlp.dense_4h_to_h.weight", True),
         },
     }
     return params

@@ -69,6 +69,137 @@ def llama_pair():
     return cfg, hf, params
 
 
+@pytest.fixture(scope="module")
+def gptj_pair():
+    from transformers import GPTJConfig, GPTJForCausalLM
+
+    cfg = get_config("gptj-tiny").replace(dtype="float32")
+    hf_cfg = GPTJConfig(
+        vocab_size=cfg.vocab_size,
+        n_embd=cfg.hidden_size,
+        n_inner=cfg.ffn_size,
+        n_layer=cfg.num_layers,
+        n_head=cfg.num_heads,
+        n_positions=cfg.max_position_embeddings,
+        rotary_dim=cfg.rotary_dim,
+        activation_function="gelu_new",
+        tie_word_embeddings=False,
+        layer_norm_epsilon=cfg.norm_eps,
+    )
+    torch.manual_seed(0)
+    hf = GPTJForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
+@pytest.fixture(scope="module")
+def neox_pair():
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    cfg = get_config("neox-tiny").replace(dtype="float32")
+    hf_cfg = GPTNeoXConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rotary_pct=cfg.rotary_dim / cfg.head_dim,
+        rotary_emb_base=cfg.rope_theta,
+        hidden_act="gelu",
+        use_parallel_residual=True,
+        tie_word_embeddings=False,
+        layer_norm_eps=cfg.norm_eps,
+    )
+    torch.manual_seed(0)
+    hf = GPTNeoXForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
+@pytest.fixture(scope="module")
+def falcon_pair():
+    from transformers import FalconConfig, FalconForCausalLM
+
+    cfg = get_config("falcon-tiny").replace(dtype="float32")
+    hf_cfg = FalconConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        ffn_hidden_size=cfg.ffn_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        multi_query=True,
+        parallel_attn=True,
+        new_decoder_architecture=False,
+        bias=False,
+        alibi=False,
+        rope_theta=cfg.rope_theta,
+        max_position_embeddings=cfg.max_position_embeddings,
+        tie_word_embeddings=True,
+        layer_norm_epsilon=cfg.norm_eps,
+    )
+    torch.manual_seed(0)
+    hf = FalconForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
+@pytest.fixture(scope="module")
+def mistral_pair():
+    from transformers import MistralConfig, MistralForCausalLM
+
+    # window=8 so it actually BINDS for the test's prompt+decode lengths
+    cfg = get_config("mistral-tiny").replace(dtype="float32", sliding_window=8)
+    hf_cfg = MistralConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.norm_eps,
+        sliding_window=8,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = MistralForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
+@pytest.fixture(scope="module")
+def qwen2_pair():
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    cfg = get_config("qwen2-tiny").replace(dtype="float32")
+    hf_cfg = Qwen2Config(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.norm_eps,
+        tie_word_embeddings=False,
+        use_sliding_window=False,
+    )
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
+ALL_PAIRS = [
+    "opt_pair", "llama_pair", "gptj_pair", "neox_pair",
+    "falcon_pair", "mistral_pair", "qwen2_pair",
+]
+
+
 def _hf_greedy(hf, tokens, mask, n_new, pad_id):
     out = hf.generate(
         torch.tensor(tokens, dtype=torch.long),
@@ -81,7 +212,7 @@ def _hf_greedy(hf, tokens, mask, n_new, pad_id):
     return out[:, tokens.shape[1]:].numpy()
 
 
-@pytest.mark.parametrize("pair", ["opt_pair", "llama_pair"])
+@pytest.mark.parametrize("pair", ALL_PAIRS)
 def test_prefill_logits_match_hf(pair, request):
     cfg, hf, params = request.getfixturevalue(pair)
     rng = np.random.default_rng(1)
@@ -106,7 +237,7 @@ def test_prefill_logits_match_hf(pair, request):
     np.testing.assert_allclose(np.asarray(logits), hf_logits, rtol=2e-2, atol=8e-3)
 
 
-@pytest.mark.parametrize("pair", ["opt_pair", "llama_pair"])
+@pytest.mark.parametrize("pair", ALL_PAIRS)
 def test_greedy_generation_matches_hf(pair, request):
     cfg, hf, params = request.getfixturevalue(pair)
     rng = np.random.default_rng(2)

@@ -228,3 +228,83 @@ def test_chunked_prefill_matches_full(rng, gqa):
     np.testing.assert_allclose(ck, rk, rtol=2e-4, atol=2e-4)
     assert int(cache.length) == int(ref_cache.length)
     np.testing.assert_array_equal(np.asarray(cache.mask), np.asarray(ref_cache.mask))
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window attention (mistral) — kernel vs jnp golden
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("pads", [(0, 0), (3, 7)])
+@pytest.mark.parametrize("window", [8, 24])
+def test_flash_prefill_window_matches_golden(rng, pads, window):
+    B, S, N, D = 2, 32, 4, 16
+    q, k, v = make_qkv(rng, B, S, N, N, D, jnp.float32)
+    mask = np.ones((B, S), bool)
+    for b, p in enumerate(pads):
+        mask[b, :p] = False
+    mask = jnp.asarray(mask)
+
+    ref = att.attend(q, k, v, att.causal_mask(mask, window=window))
+    out = flash_attention_prefill(
+        q, k, v, mask, block_q=16, block_k=16, window=window, interpret=True
+    )
+    m = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("window", [8, 100])
+def test_flash_cached_window_matches_jnp(rng, window):
+    """Chunk-over-cache kernel with a sliding window vs the jnp fallback mask."""
+    from lia_tpu.ops.pallas_attention import flash_attention_cached
+
+    B, C, S_max, N, D = 2, 8, 32, 4, 16
+    base = 12  # cache already holds 12 tokens; chunk rows sit at [12, 20)
+    q = jnp.asarray(rng.standard_normal((B, C, N, D)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, N, S_max, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, N, S_max, D)), jnp.float32)
+    slot_mask = np.zeros((B, S_max), bool)
+    slot_mask[:, : base + C] = True
+    slot_mask = jnp.asarray(slot_mask)
+    bases = jnp.full((B,), base, jnp.int32)
+
+    # jnp reference: causal ∧ validity ∧ window
+    q_pos = base + np.arange(C)
+    k_pos = np.arange(S_max)
+    m = (k_pos[None, :] <= q_pos[:, None]) & (k_pos[None, :] > q_pos[:, None] - window)
+    m = jnp.asarray(m[None] & np.asarray(slot_mask)[:, None, :])
+    ref = att.attend(q, kc, vc, m)
+
+    out = flash_attention_cached(
+        q, kc, vc, bases, slot_mask, block_k=16, window=window, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_window_drops_old_slots(rng):
+    """decode_attn_ctx(window=W): the query at position `length` must attend
+    exactly the last W positions (itself + W-1 newest cache slots)."""
+    B, S_max, N, D, W = 2, 32, 4, 16, 8
+    length = 20
+    kc = jnp.asarray(rng.standard_normal((B, N, S_max, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, N, S_max, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((B, N, 1, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, N, 1, D)), jnp.float32)
+    slot_mask = np.zeros((B, S_max), bool)
+    slot_mask[:, :length] = True
+
+    ctx = att.decode_attn_ctx(jnp.asarray(slot_mask), jnp.int32(length), window=W)
+    out = att.attend_decode_fresh(
+        q, kf, vf, kc[None], vc[None], jnp.int32(0), ctx
+    )
+
+    # golden: write the fresh token at slot `length`, attend slots (length-W, length]
+    kc2 = kc.at[:, :, length, :].set(kf[:, :, 0, :])
+    vc2 = vc.at[:, :, length, :].set(vf[:, :, 0, :])
+    keep = np.zeros((B, 1, S_max), bool)
+    keep[:, :, length - W + 1 : length + 1] = True
+    ref = att.attend(q, kc2, vc2, jnp.asarray(keep))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
