@@ -62,12 +62,17 @@ def load_engine(
         runtime = runtime.replace(prefill_policy=-1, decode_policy=-1, hbm_percentage=-1)
         runtime = resolve_auto_policies(cfg, runtime, batch, in_len, out_len)
 
+    static8 = weight_dtype == "static-int8"
     if checkpoint:
         from lia_tpu.ops.quant import quantize_params
         from lia_tpu.utils.checkpoint import load_hf_checkpoint
 
         params = load_hf_checkpoint(cfg, checkpoint)
-        if quant.enabled:
+        if static8:
+            from lia_tpu.ops.smoothquant import static_int8_quantize
+
+            params, _ = static_int8_quantize(cfg, params, _default_calib(cfg))
+        elif quant.enabled:
             params = quantize_params(cfg, params, quant)
     elif gptq_checkpoint:
         import os
@@ -84,7 +89,25 @@ def load_engine(
     elif dummy:
         from lia_tpu.utils.checkpoint import init_dummy_params
 
-        params = init_dummy_params(cfg, seed=seed, quant=quant if quant.enabled else None)
+        if static8:
+            from lia_tpu.ops.smoothquant import static_int8_quantize
+
+            params, _ = static_int8_quantize(
+                cfg, init_dummy_params(cfg, seed=seed), _default_calib(cfg)
+            )
+        else:
+            params = init_dummy_params(
+                cfg, seed=seed, quant=quant if quant.enabled else None
+            )
     else:
         raise ValueError("provide checkpoint=, gptq_checkpoint=, or dummy=True")
     return InferenceEngine(cfg, params, runtime)
+
+
+def _default_calib(cfg):
+    """Synthetic calibration prompts for quantization flows without a dataset."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    return [list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=64))
+            for _ in range(4)]

@@ -292,7 +292,11 @@ def embed(
     cfg: ModelConfig, params: Params, tokens: jnp.ndarray, positions: jnp.ndarray
 ) -> jnp.ndarray:
     """Token + (learned position) embedding. positions: [B, S] logical positions."""
-    x = jnp.take(params["embed_tokens"], tokens, axis=0)
+    # mode="clip": jnp.take's jit default fills OOB rows with NaN, and a pad id
+    # outside the vocab (e.g. GPT-J's 50256 against a truncated test vocab) would
+    # poison valid rows through attention (0-weight × NaN V = NaN). Clamped pad
+    # embeddings are masked out of attention anyway.
+    x = jnp.take(params["embed_tokens"], tokens, axis=0, mode="clip")
     if "proj_in" in params:
         x = linear(x, params["proj_in"])
     if cfg.learned_pos:
@@ -300,7 +304,7 @@ def embed(
         # row `pos_offset - 1` (HF uses cumsum(mask)-1 → -1+2 = 1 for pads, which is
         # masked out of attention anyway). (lia/modeling_opt.py:357-378)
         pos = jnp.maximum(positions, -1) + cfg.pos_offset
-        x = x + jnp.take(params["embed_positions"], pos, axis=0)
+        x = x + jnp.take(params["embed_positions"], pos, axis=0, mode="clip")
     return x.astype(jnp.dtype(cfg.dtype))
 
 

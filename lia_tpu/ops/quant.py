@@ -32,7 +32,7 @@ import numpy as np
 
 from lia_tpu.config import ModelConfig, QuantConfig
 
-QUANT_FORMATS = ("woq_int8", "woq_int4", "woq_int4z")
+QUANT_FORMATS = ("woq_int8", "woq_int4", "woq_int4z", "static_int8")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -42,6 +42,15 @@ class QuantizedWeight:
     ``woq_int4z`` is the ASYMMETRIC int4 form (GPTQ-native): ``q`` holds raw
     nibble codes in [0, 15] (global half-split packed) and ``z`` per-group
     zero-points, ``w = (code - z) * s``. Symmetric formats leave ``z`` None.
+
+    ``static_int8`` is the W8A8 form (static activation quantization): ``q`` int8
+    per-OUT-CHANNEL symmetric weights (``s`` [..., 1, N]); ``z`` holds the STATIC
+    per-tensor activation scale (calibrated, [...] one scalar per stacked layer).
+    The matmul quantizes x with ``z``, runs an int8×int8→int32 ``dot_general``
+    (MXU int8 mode — 2× bf16 peak on v5e), and rescales by ``z * s`` — the TPU
+    analog of the reference's static-INT8 linear
+    (intel_extension_for_pytorch/quantization/_smooth_quant.py observers +
+    qlinear; its 2× AMX-int8 peak maps to the MXU's 2× int8 peak).
     """
 
     __slots__ = ("q", "s", "fmt", "z")
@@ -128,6 +137,23 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
     return QuantizedWeight(q, s, "woq_int8")
 
 
+def quantize_weight_static(w: np.ndarray, act_amax: np.ndarray) -> "QuantizedWeight":
+    """W8A8 static quantization of ``[..., K, N]`` (stacked lead dims OK).
+
+    Weights: symmetric per-out-channel int8 (one scale per N column).
+    ``act_amax``: per-layer |activation| maximum over the calibration set —
+    shape [...] matching the lead dims (scalar for 2-D weights). Stored as the
+    static activation scale ``z = act_amax / 127``.
+    """
+    w = np.asarray(w, np.float32)
+    *lead, K, N = w.shape
+    s = np.maximum(np.abs(w).max(axis=-2, keepdims=True) / 127.0, 1e-8)  # [...,1,N]
+    q = np.rint(w / s).clip(-128, 127).astype(np.int8)
+    act_scale = np.maximum(np.asarray(act_amax, np.float32) / 127.0, 1e-8)
+    act_scale = np.broadcast_to(act_scale, tuple(lead)).copy()  # [...] per layer
+    return QuantizedWeight(q, s.astype(np.float32), "static_int8", act_scale)
+
+
 def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
     """Quantize every decoder-layer matmul weight (stacked [L, in, out]).
 
@@ -142,6 +168,40 @@ def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
         for k, v in grp.items():
             if k.startswith("w") and np.ndim(v) == 3:
                 new_grp[k] = quantize_weight(np.asarray(v), qc)
+            else:
+                new_grp[k] = v
+        new_layers[grp_name] = new_grp
+    out["layers"] = new_layers
+    return out
+
+
+def quantize_params_static(
+    cfg: ModelConfig, params: Dict[str, Any], act_scales: Dict[str, np.ndarray]
+):
+    """Static-INT8 (W8A8) quantization of every decoder-layer linear.
+
+    ``act_scales``: per-channel |activation| maxima from
+    :func:`lia_tpu.ops.smoothquant.collect_act_scales` — reduced here to one
+    static per-tensor scale per (layer, linear). The reference analog is the
+    observer-calibrated static qconfig flow
+    (intel_extension_for_pytorch/quantization/_smooth_quant.py).
+    """
+    key_to_obs = {
+        ("attn", "wq"): "qkv", ("attn", "wk"): "qkv", ("attn", "wv"): "qkv",
+        ("attn", "wo"): "wo_in",
+        ("mlp", "w1"): "mlp_in", ("mlp", "wg"): "mlp_in",
+        ("mlp", "w2"): "w2_in",
+    }
+    out = dict(params)
+    layers = params["layers"]
+    new_layers: Dict[str, Any] = {}
+    for grp_name, grp in layers.items():
+        new_grp: Dict[str, Any] = {}
+        for k, v in grp.items():
+            obs = key_to_obs.get((grp_name, k))
+            if obs is not None and k.startswith("w") and np.ndim(v) == 3:
+                amax = np.asarray(act_scales[obs], np.float32).max(axis=-1)  # [L]
+                new_grp[k] = quantize_weight_static(np.asarray(v), amax)
             else:
                 new_grp[k] = v
         new_layers[grp_name] = new_grp
@@ -209,6 +269,20 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
     dequantized in-register before the MXU, so HBM traffic is the quantized
     bytes. Fallback is the XLA ``convert → scale → dot`` form.
     """
+    if rec.fmt == "static_int8":
+        # W8A8: static per-tensor act quant → int8×int8→int32 MXU dot → rescale.
+        # XLA lowers the int8 dot to the MXU's double-rate int8 mode natively;
+        # the quantize/rescale elementwise ops fuse around it.
+        s_x = rec.z  # static activation scale (scalar after scan slicing)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+        ).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, rec.q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * (s_x * rec.s[..., 0, :])
+
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2d = x.reshape(-1, K)

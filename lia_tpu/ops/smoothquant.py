@@ -33,55 +33,95 @@ def collect_act_scales(
     prompts: Sequence[Sequence[int]],
     pad_id: int = 1,
 ) -> Dict[str, np.ndarray]:
-    """Per-channel |activation| maxima at each layer's LN1/LN2 outputs.
+    """Per-channel |activation| maxima at every linear's input.
 
-    Returns {"qkv": [L, H], "mlp_in": [L, H]} (fp32).
+    Returns (fp32): ``qkv`` [L, H] (LN1 out), ``mlp_in`` [L, H] (MLP-input norm
+    out), ``wo_in`` [L, N·D] (attention context), ``w2_in`` [L, F] (post-
+    activation MLP intermediate). The reference analog is the per-module minmax
+    observer pass of the static-INT8 qconfig flow (quantization/_smooth_quant.py).
     """
     from lia_tpu.engine.engine import pack_prompts
 
     tokens, mask = pack_prompts(prompts, pad_id)
     device_params = jax.device_put(params)
 
+    valid = jnp.asarray(mask)[:, :, None]
+
+    def chan_max(a):
+        # pad positions carry arbitrary values (OOB-embed fill, garbage attention
+        # rows) — they must not set activation scales
+        return jnp.max(jnp.where(valid, jnp.abs(a.astype(jnp.float32)), 0.0), axis=(0, 1))
+
     @jax.jit
     def run_full(p, tokens, mask):
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
         x = T.embed(cfg, p, tokens, positions)
-        ctx = att.prefill_attn_ctx(mask)
+        ctx = att.prefill_attn_ctx(mask, cfg.sliding_window)
         B, S = tokens.shape
         cache = kvc.init_cache(cfg, B, S, jnp.dtype(cfg.dtype))
         start = cache.length
+
+        def mlp_observed(lp, a2):
+            """T.mlp with a tap on the w2 input (post-activation intermediate)."""
+            m = lp["mlp"]
+            from lia_tpu.config import Activation
+
+            if cfg.activation == Activation.SILU:
+                gate = jax.nn.silu(T.linear(a2, m["wg"], None).astype(jnp.float32))
+                up = T.linear(a2, m["w1"], None).astype(jnp.float32)
+                inter = (gate * up).astype(a2.dtype)
+                return T.linear(inter, m["w2"], m.get("b2")), chan_max(inter)
+            inter = T.activation_fn(cfg, T.linear(a2, m["w1"], m.get("b1")))
+            return T.linear(inter, m["w2"], m.get("b2")), chan_max(inter)
 
         def body(carry, inputs):
             h, ck, cv = carry
             lp, idx = inputs
             residual = h
             a1 = T.norm(cfg, lp["ln1"], h) if cfg.pre_norm else h
-            m1 = jnp.max(jnp.abs(a1.astype(jnp.float32)), axis=(0, 1))
+            m1 = chan_max(a1)
             q, k, v = T.qkv_project(cfg, lp, a1, positions)
             kl = kvc.index_layer_kv(ck, idx)
             vl = kvc.index_layer_kv(cv, idx)
             attn_out, kl, vl = T.attn_core_prefill(cfg, q, k, v, kl, vl, start, ctx)
             B2, S2 = attn_out.shape[:2]
-            hh = T.linear(attn_out.reshape(B2, S2, -1), lp["attn"]["wo"], lp["attn"].get("bo"))
-            xx = residual + hh
-            if not cfg.pre_norm:
-                xx = T.norm(cfg, lp["ln1"], xx)
-            a2 = T.norm(cfg, lp["ln2"], xx) if cfg.pre_norm else xx
-            m2 = jnp.max(jnp.abs(a2.astype(jnp.float32)), axis=(0, 1))
-            hh = T.mlp(cfg, lp, a2)
-            xx2 = xx + hh
-            if not cfg.pre_norm:
-                xx2 = T.norm(cfg, lp["ln2"], xx2)
-            return (xx2, kvc.set_layer_kv(ck, kl, idx), kvc.set_layer_kv(cv, vl, idx)), (m1, m2)
+            ao = attn_out.reshape(B2, S2, -1)
+            mo = chan_max(ao)
+            hh = T.linear(ao, lp["attn"]["wo"], lp["attn"].get("bo"))
+            if cfg.parallel_residual:
+                # single-stream families: mlp input is ln1 out (shared) or ln2(x)
+                a2 = a1 if cfg.parallel_shared_norm else T.norm(cfg, lp["ln2"], residual)
+                m2 = chan_max(a2)
+                mm, md = mlp_observed(lp, a2)
+                xx2 = residual + hh + mm
+            else:
+                xx = residual + hh
+                if not cfg.pre_norm:
+                    xx = T.norm(cfg, lp["ln1"], xx)
+                a2 = T.norm(cfg, lp["ln2"], xx) if cfg.pre_norm else xx
+                m2 = chan_max(a2)
+                mm, md = mlp_observed(lp, a2)
+                xx2 = xx + mm
+                if not cfg.pre_norm:
+                    xx2 = T.norm(cfg, lp["ln2"], xx2)
+            return (
+                (xx2, kvc.set_layer_kv(ck, kl, idx), kvc.set_layer_kv(cv, vl, idx)),
+                (m1, m2, mo, md),
+            )
 
-        (_, _, _), (m1s, m2s) = jax.lax.scan(
+        (_, _, _), (m1s, m2s, mos, mds) = jax.lax.scan(
             body, (x, cache.k, cache.v),
             (p["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
         )
-        return m1s, m2s
+        return m1s, m2s, mos, mds
 
-    m1s, m2s = run_full(device_params, jnp.asarray(tokens), jnp.asarray(mask))
-    return {"qkv": np.asarray(m1s), "mlp_in": np.asarray(m2s)}
+    m1s, m2s, mos, mds = run_full(device_params, jnp.asarray(tokens), jnp.asarray(mask))
+    return {
+        "qkv": np.asarray(m1s),
+        "mlp_in": np.asarray(m2s),
+        "wo_in": np.asarray(mos),
+        "w2_in": np.asarray(mds),
+    }
 
 
 def autotune_alpha(
@@ -160,6 +200,39 @@ def smoothquant_quantize(
     return quantize_params(cfg, folded, qc), float(alpha)
 
 
+def static_int8_quantize(
+    cfg: ModelConfig,
+    params,
+    prompts: Sequence[Sequence[int]],
+    alpha: float | str | None = 0.5,
+    pad_id: int | None = None,
+):
+    """One-stop static-INT8 (W8A8) flow: [smoothquant fold →] calibrate → quantize.
+
+    The full reference recipe (quantization/__init__.py: SmoothQuant observers →
+    static qconfig → convert): migration first balances activation outliers so
+    the STATIC per-tensor activation scales bind tightly, then every decoder
+    linear becomes an int8×int8 MXU matmul (:func:`lia_tpu.ops.quant.
+    quantize_params_static`). ``alpha=None`` skips migration; ``"auto"``
+    autotunes it (KL criterion, weight-only proxy).
+    """
+    from lia_tpu.config import QuantConfig
+    from lia_tpu.ops.quant import quantize_params_static
+
+    pad = cfg.pad_token_id if pad_id is None else pad_id
+    if alpha is not None:
+        if alpha == "auto":
+            qc = QuantConfig(weight_dtype="int8", group_size=-1)
+            alpha, _ = autotune_alpha(cfg, params, prompts, qc, pad_id=pad)
+        act = collect_act_scales(cfg, params, prompts, pad_id=pad)
+        params = apply_smoothquant(cfg, params, act, alpha=float(alpha))
+    # re-calibrate on the (folded) model — these maxima set the static act scales
+    act = collect_act_scales(cfg, params, prompts, pad_id=pad)
+    return quantize_params_static(cfg, params, act), (
+        float(alpha) if alpha is not None else None
+    )
+
+
 def apply_smoothquant(
     cfg: ModelConfig, params, act_scales: Dict[str, np.ndarray], alpha: float = 0.5
 ):
@@ -178,10 +251,17 @@ def apply_smoothquant(
     def group_of(wk):
         return layers["attn"] if wk in ("wq", "wk", "wv") else layers["mlp"]
 
-    for ln_key, w_keys, amax in (
-        ("ln1", ("wq", "wk", "wv"), act_scales["qkv"]),
-        ("ln2", tuple(k for k in ("w1", "wg") if k in layers["mlp"]), act_scales["mlp_in"]),
-    ):
+    mlp_in_keys = tuple(k for k in ("w1", "wg") if k in layers["mlp"])
+    if cfg.parallel_shared_norm:
+        # gpt-j/falcon: one shared LN feeds qkv AND the MLP — fold jointly so a
+        # single migration scale serves every consumer of ln1's output
+        folds = (("ln1", ("wq", "wk", "wv") + mlp_in_keys, act_scales["qkv"]),)
+    else:
+        folds = (
+            ("ln1", ("wq", "wk", "wv"), act_scales["qkv"]),
+            ("ln2", mlp_in_keys, act_scales["mlp_in"]),
+        )
+    for ln_key, w_keys, amax in folds:
         ws = [np.asarray(group_of(k)[k], np.float32) for k in w_keys]
         wmax = np.maximum.reduce([np.abs(w).max(axis=2) for w in ws])  # [L, H]
         a = np.maximum(np.asarray(amax, np.float32), 1e-5)

@@ -76,7 +76,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-overlap", action="store_true", help="serialize transfers")
     p.add_argument("--no-pallas", action="store_true", help="disable Pallas kernels")
     # --- quantization (reference run.py:109-166) ---
-    p.add_argument("--weight-dtype", default="none", choices=["none", "int8", "int4"])
+    p.add_argument("--weight-dtype", default="none",
+                   choices=["none", "int8", "int4", "static-int8"])
     p.add_argument("--group-size", type=int, default=-1)
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
     p.add_argument("--smoothquant", default=None, metavar="ALPHA",
@@ -95,18 +96,33 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def _smoothquant_flow(cfg, params, runtime, alpha_arg):
-    """Calibrate on synthetic prompts, (auto)tune alpha, fold, quantize."""
+def _calib_prompts(cfg):
     import numpy as _np
 
+    rng = _np.random.default_rng(0)
+    return [list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=64))
+            for _ in range(4)]
+
+
+def _smoothquant_flow(cfg, params, runtime, alpha_arg):
+    """Calibrate on synthetic prompts, (auto)tune alpha, fold, quantize."""
     from lia_tpu.ops.smoothquant import smoothquant_quantize
 
-    rng = _np.random.default_rng(0)
-    calib = [list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=64))
-             for _ in range(4)]
     alpha = "auto" if alpha_arg == "auto" else float(alpha_arg)
-    params, used = smoothquant_quantize(cfg, params, calib, runtime.quant, alpha=alpha)
+    params, used = smoothquant_quantize(
+        cfg, params, _calib_prompts(cfg), runtime.quant, alpha=alpha
+    )
     print(f"[lia-tpu] smoothquant folded with alpha={used}")
+    return params
+
+
+def _static_int8_flow(cfg, params, alpha_arg):
+    """W8A8: smoothquant fold + static activation calibration + int8 weights."""
+    from lia_tpu.ops.smoothquant import static_int8_quantize
+
+    alpha = 0.5 if alpha_arg is None else ("auto" if alpha_arg == "auto" else float(alpha_arg))
+    params, used = static_int8_quantize(cfg, params, _calib_prompts(cfg), alpha=alpha)
+    print(f"[lia-tpu] static-int8 (W8A8) calibrated; smoothquant alpha={used}")
     return params
 
 
@@ -152,18 +168,24 @@ def main(argv=None) -> int:
     print(f"[lia-tpu] model={cfg.name} params≈{cfg.num_params/1e9:.2f}B dtype={cfg.dtype}")
     t0 = time.perf_counter()
     sq = args.smoothquant if runtime.quant.enabled else None
+    static8 = args.weight_dtype == "static-int8"
     if args.quantized_checkpoint:
         from lia_tpu.utils.checkpoint import load_params
 
         params = load_params(args.quantized_checkpoint)
     elif args.checkpoint:
         params = load_hf_checkpoint(cfg, args.checkpoint)
-        if sq is not None:
+        if static8:
+            params = _static_int8_flow(cfg, params, sq)
+        elif sq is not None:
             params = _smoothquant_flow(cfg, params, runtime, sq)
         elif runtime.quant.enabled:
             from lia_tpu.ops.quant import quantize_params
 
             params = quantize_params(cfg, params, runtime.quant)
+    elif static8:
+        # static-int8 calibrates activations on fp weights first
+        params = _static_int8_flow(cfg, init_dummy_params(cfg), sq)
     elif sq is not None:
         # SmoothQuant needs fp weights to calibrate/fold before quantizing
         params = _smoothquant_flow(cfg, init_dummy_params(cfg), runtime, sq)
