@@ -5,14 +5,27 @@ Reference equivalent: csrc/cpu/aten/kernels/WoqTppKrnl.cpp (dequant intrinsics
 the AMX path that loads 4/8-bit weights, dequantizes in-register, and feeds BF16
 tiles to the tile engine.
 
-TPU design: the kernel DMAs int8 (or nibble-packed int4) weight tiles HBM→VMEM,
-dequantizes them in-register (VPU: convert + scale multiply), and feeds the MXU —
-HBM traffic is the quantized bytes, which is the whole point of WOQ on a
-bandwidth-bound decode. Accumulation is fp32 in VMEM scratch across the K grid
-dimension (standard revisiting-output pattern).
+TPU design (round-2 rework): the kernel DMAs int8 (or nibble-packed int4) weight
+tiles HBM→VMEM and feeds the MXU with the *unscaled* codes converted straight to
+bf16 (int8 codes are exact in bf16). Scales are **deferred to the [bm, bn] output
+tile per group**::
 
-Constraints: group boundaries must align with K tiles (``g % bk == 0`` or ``bk % g
-== 0`` with whole groups inside a tile — enforced by the wrapper's tile choice).
+    y[m, n] = Σ_g  s[g, n] · Σ_{k∈g} x[m, k] · q[k, n]
+
+so the per-element VPU work drops from convert+scale+round (the round-1 kernels
+ran at ~270 GB/s, dequant-bound) to a single convert (~550 GB/s, measured 2.04×
+on fc1 M=16 — experiments/bench_model_kernels.py). Zero-points fold into a
+rank-1 output correction instead of a per-element subtract::
+
+    x @ ((q - z_g) · s_g) = (x @ q_g - (Σ_{k∈g} x[m,k]) ⊗ z_g) · s_g
+
+Accumulation is fp32 in VMEM scratch across the K grid dimension.
+
+Mosaic legality: grouped scale blocks are [gpt, bn] and need gpt ≥ 8 (sublane
+tile) unless gpt == ng (full dim). The wrappers therefore pick K tiles of
+8 groups (bk = 8·g) and fall back to bk = K (gpt = ng) when 8 ∤ ng. The round-1
+grouped int8 path shipped gpt=4 blocks — Mosaic-illegal on real TPUs; interpret
+-mode tests can't catch this class (CLAUDE.md invariant).
 """
 
 from __future__ import annotations
@@ -29,8 +42,27 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _woq_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int):
-    """One (i, j, k) grid cell: acc += x[i,k] @ dequant(q[k,j]) — INT8 path."""
+def _pick_bk(K: int, g: int, block_k: int) -> tuple[int, int]:
+    """K-tile size honoring group alignment + Mosaic's 8-sublane scale blocks.
+
+    Returns (bk, gpt). Per-channel (g == K): plain block_k cap. Grouped: tiles
+    of whole groups with gpt % 8 == 0, else the whole K axis (gpt == ng, legal
+    as a full-dim block).
+    """
+    if g >= K:
+        bk = min(block_k, K)
+        if K % bk:
+            bk = K
+        return bk, 1
+    ng = K // g
+    gpt = max(8, -(-min(block_k, K) // g) // 8 * 8)
+    if ng % gpt or gpt > ng:
+        return K, ng  # full-K tile: scale block covers all ng groups
+    return gpt * g, gpt
+
+
+def _woq_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, gpt: int):
+    """One (i, j, k) grid cell — INT8, deferred per-group scales."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -39,15 +71,16 @@ def _woq_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int):
 
     x = x_ref[:]  # [bm, bk]
     qt = q_ref[:]  # [bk, bn] int8
-    s = s_ref[:]  # [gpt, bn] scales for the groups covered by this K tile
-    gpt = s.shape[0]
-    qf = qt.astype(jnp.float32)
-    bk, bn = qf.shape
-    w = qf.reshape(gpt, bk // gpt, bn) * s[:, None, :]
-    w = w.reshape(bk, bn).astype(x.dtype)
-    acc_ref[:] += jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    s = s_ref[:]  # [gpt, bn] f32
+    bk = qt.shape[0]
+    g = bk // gpt
+    for gi in range(gpt):
+        w = qt[gi * g:(gi + 1) * g, :].astype(x.dtype)  # exact: |code| <= 127
+        part = jax.lax.dot_general(
+            x[:, gi * g:(gi + 1) * g], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += part * s[gi:gi + 1, :]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -55,15 +88,14 @@ def _woq_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int):
 
 
 def _woq4_kernel(
-    xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref, *, n_k: int
+    xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref, *, n_k: int, gpt: int
 ):
-    """INT4 (global half-split) grid cell: TWO plain matmuls, zero relayouts.
+    """INT4 (global half-split) grid cell: 2·gpt plain matmuls, zero relayouts.
 
     Byte r of the packed weight holds original rows (r, K/2 + r), so the low
     nibbles form a contiguous [bkh, bn] weight tile for x columns [k*bkh, ...)
-    and the high nibbles one for columns [K/2 + k*bkh, ...). The round-1
-    per-group half-split needed a concat + 3D reshape per tile — Mosaic
-    relayouts that made int4 2.2× SLOWER than int8 despite half the bytes.
+    and the high nibbles one for columns [K/2 + k*bkh, ...). Per-element work is
+    mask/shift/sub in int32 + one bf16 convert; scales ride on the output tile.
     Reference analog: WoqTppKrnl.cpp:132-536 amortizes dequant to near-free.
     """
     k = pl.program_id(2)
@@ -75,22 +107,24 @@ def _woq4_kernel(
     q32 = pltpu.bitcast(q_ref[:], jnp.int8).astype(jnp.int32)  # [bkh, bn]
     slo = slo_ref[:]  # [gpt, bn]
     shi = shi_ref[:]
-    gpt = slo.shape[0]
-    bkh, bn = q32.shape
+    bkh = q32.shape[0]
+    g = bkh // gpt
     x = xlo_ref[:]  # [bm, bkh]
-    lo = ((q32 & 0xF) - 8).astype(jnp.float32)
-    wlo = (lo.reshape(gpt, bkh // gpt, bn) * slo[:, None, :]).reshape(bkh, bn)
-    acc_ref[:] += jax.lax.dot_general(
-        x, wlo.astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     xh = xhi_ref[:]
-    hi = (((q32 >> 4) & 0xF) - 8).astype(jnp.float32)
-    whi = (hi.reshape(gpt, bkh // gpt, bn) * shi[:, None, :]).reshape(bkh, bn)
-    acc_ref[:] += jax.lax.dot_general(
-        xh, whi.astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    lo = ((q32 & 0xF) - 8).astype(x.dtype)
+    hi = (((q32 >> 4) & 0xF) - 8).astype(x.dtype)
+    for gi in range(gpt):
+        sl = slice(gi * g, (gi + 1) * g)
+        part = jax.lax.dot_general(
+            x[:, sl], lo[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += part * slo[gi:gi + 1, :]
+        part = jax.lax.dot_general(
+            xh[:, sl], hi[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += part * shi[gi:gi + 1, :]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -99,14 +133,14 @@ def _woq4_kernel(
 
 def _woq4z_kernel(
     xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, zlo_ref, zhi_ref, o_ref, acc_ref,
-    *, n_k: int
+    *, n_k: int, gpt: int
 ):
-    """Asymmetric INT4 (zero-point) variant: w = (code - z) * s.
+    """Asymmetric INT4 (zero-point) variant: w = (code - z) · s.
 
     GPTQ-native — ingested checkpoints keep their per-group zero-points instead
     of being lossily re-quantized to symmetric (reference zp-aware kernels:
-    WoqTppKrnl.cpp:886-1069 dequant_n_grouped). One extra VPU subtract per
-    element over the symmetric path.
+    WoqTppKrnl.cpp:886-1069 dequant_n_grouped). The zero-point folds into a
+    rank-1 output correction (Σ_k∈g x) ⊗ z_g — no per-element subtract at all.
     """
     k = pl.program_id(2)
 
@@ -117,26 +151,43 @@ def _woq4z_kernel(
     q32 = pltpu.bitcast(q_ref[:], jnp.int8).astype(jnp.int32)  # [bkh, bn]
     slo, shi = slo_ref[:], shi_ref[:]  # [gpt, bn]
     zlo, zhi = zlo_ref[:], zhi_ref[:]
-    gpt = slo.shape[0]
-    bkh, bn = q32.shape
+    bkh = q32.shape[0]
+    g = bkh // gpt
     x = xlo_ref[:]
-    lo = (q32 & 0xF).astype(jnp.float32).reshape(gpt, bkh // gpt, bn)
-    wlo = ((lo - zlo[:, None, :]) * slo[:, None, :]).reshape(bkh, bn)
-    acc_ref[:] += jax.lax.dot_general(
-        x, wlo.astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     xh = xhi_ref[:]
-    hi = ((q32 >> 4) & 0xF).astype(jnp.float32).reshape(gpt, bkh // gpt, bn)
-    whi = ((hi - zhi[:, None, :]) * shi[:, None, :]).reshape(bkh, bn)
-    acc_ref[:] += jax.lax.dot_general(
-        xh, whi.astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    lo = (q32 & 0xF).astype(x.dtype)
+    hi = ((q32 >> 4) & 0xF).astype(x.dtype)
+    for gi in range(gpt):
+        sl = slice(gi * g, (gi + 1) * g)
+        xg = x[:, sl]
+        part = jax.lax.dot_general(
+            xg, lo[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rowsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # [bm, 1]
+        acc_ref[:] += (part - rowsum * zlo[gi:gi + 1, :]) * slo[gi:gi + 1, :]
+        xg = xh[:, sl]
+        part = jax.lax.dot_general(
+            xg, hi[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rowsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[:] += (part - rowsum * zhi[gi:gi + 1, :]) * shi[gi:gi + 1, :]
 
     @pl.when(k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _int4_tiles(K: int, g: int, ng: int, block_k: int):
+    """Half-split K tiling: packed rows [0, K/2) in whole-group tiles with a
+    Mosaic-legal scale block ((gpt, bn) with gpt % 8 == 0 or gpt == ng//2)."""
+    Kh = K // 2
+    if g >= K:
+        return Kh, 1  # single global scale row
+    assert Kh % g == 0, f"group {g} must divide K/2={Kh}"
+    bkh, gpt = _pick_bk(Kh, g, block_k)
+    return bkh, gpt
 
 
 @functools.partial(
@@ -166,37 +217,39 @@ def woq4z_matmul(
     bm = min(block_m, M)
     bn = min(block_n, N)
     Kh = K // 2
-    assert g == K or Kh % g == 0, f"group {g} must divide K/2={Kh}"
-    bkh = min(block_k, Kh)
-    if g != K:
-        bkh = g * max(1, bkh // g)
+    bkh, gpt = _int4_tiles(K, g, ng, block_k)
     assert Kh % bkh == 0, (K, bkh)
-    gpt = max(1, bkh // g)
     n_k = Kh // bkh
 
-    def s_lo_index(i, j, k):
+    # scales/zps split into low/high-nibble halves: blocks index each half's own
+    # array, so the (gpt, bn) block is always whole-group-aligned and, in the
+    # bkh == Kh fallback, exactly the full first dim (Mosaic-legal everywhere)
+    ngh = max(1, ng // 2)
+    s_lo, s_hi = (s, s) if ng == 1 else (s[:ngh], s[ngh:])
+    z_lo, z_hi = (z, z) if ng == 1 else (z[:ngh], z[ngh:])
+
+    def s_idx(i, j, k):
         return (0, j) if ng == 1 else (k, j)
 
-    def s_hi_index(i, j, k):
-        return (0, j) if ng == 1 else (k + n_k, j)
-
     return pl.pallas_call(
-        functools.partial(_woq4z_kernel, n_k=n_k),
+        functools.partial(_woq4z_kernel, n_k=n_k, gpt=gpt),
         grid=(M // bm, N // bn, n_k),
         in_specs=[
             pl.BlockSpec((bm, bkh), lambda i, j, k: (i, k)),
             pl.BlockSpec((bm, bkh), lambda i, j, k: (i, k + n_k)),
             pl.BlockSpec((bkh, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((gpt, bn), s_lo_index),
-            pl.BlockSpec((gpt, bn), s_hi_index),
-            pl.BlockSpec((gpt, bn), s_lo_index),
-            pl.BlockSpec((gpt, bn), s_hi_index),
+            pl.BlockSpec((gpt, bn), s_idx),
+            pl.BlockSpec((gpt, bn), s_idx),
+            pl.BlockSpec((gpt, bn), s_idx),
+            pl.BlockSpec((gpt, bn), s_idx),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=interpret,
-    )(x, x, q, s, s, z, z)
+    )(x, x, q, s_lo, s_hi, z_lo, z_hi)
+
+
 def woq_matmul(
     x: jnp.ndarray,  # [M, K] bf16/f32
     q: jnp.ndarray,  # [K, N] int8  |  [K//2, N] packed uint8 (int4)
@@ -222,55 +275,44 @@ def woq_matmul(
 
     if int4:
         # global half-split: the K grid walks PACKED rows [0, K/2); each tile
-        # feeds two matmuls (x cols [k·bkh, …) and [K/2 + k·bkh, …))
+        # feeds two matmul groups (x cols [k·bkh, …) and [K/2 + k·bkh, …))
         Kh = K // 2
-        assert g == K or Kh % g == 0, f"group {g} must divide K/2={Kh}"
-        bkh = min(block_k, Kh)
-        if g != K:
-            bkh = g * max(1, bkh // g)  # whole groups per half tile
+        bkh, gpt = _int4_tiles(K, g, ng, block_k)
         assert Kh % bkh == 0, (K, bkh)
-        gpt = max(1, bkh // g)
         n_k = Kh // bkh
-        ng_half = max(1, ng // 2)
 
-        def s_lo_index(i, j, k):
+        ngh = max(1, ng // 2)
+        s_lo, s_hi = (s, s) if ng == 1 else (s[:ngh], s[ngh:])
+
+        def s_idx(i, j, k):
             return (0, j) if ng == 1 else (k, j)
 
-        def s_hi_index(i, j, k):
-            return (0, j) if ng == 1 else (k + n_k, j)
-
         return pl.pallas_call(
-            functools.partial(_woq4_kernel, n_k=n_k),
+            functools.partial(_woq4_kernel, n_k=n_k, gpt=gpt),
             grid=(M // bm, N // bn, n_k),
             in_specs=[
                 pl.BlockSpec((bm, bkh), lambda i, j, k: (i, k)),
                 pl.BlockSpec((bm, bkh), lambda i, j, k: (i, k + n_k)),
                 pl.BlockSpec((bkh, bn), lambda i, j, k: (k, j)),
-                pl.BlockSpec((gpt, bn), s_lo_index),
-                pl.BlockSpec((gpt, bn), s_hi_index),
+                pl.BlockSpec((gpt, bn), s_idx),
+                pl.BlockSpec((gpt, bn), s_idx),
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
             out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
             interpret=interpret,
-        )(x, x, q, s, s)
+        )(x, x, q, s_lo, s_hi)
 
-    bk = min(block_k, K)
-    if g >= bk:
-        bk = min(bk, g)
-        assert g % bk == 0, f"group {g} must be a multiple of K tile {bk}"
-    else:
-        bk = (bk // g) * g  # whole groups per tile
+    bk, gpt = _pick_bk(K, g, block_k)
     assert M % bm == 0 and N % bn == 0 and K % bk == 0, (M, N, K, bm, bn, bk)
-    gpt = max(1, bk // g)  # groups per K tile
     n_k = K // bk
 
-    # scale block: the gpt groups covered by K tile k start at block (k*bk)//g
+    # scale block: the gpt groups covered by K tile k start at group row k*gpt
     def s_index(i, j, k):
-        return ((k * bk) // g // gpt, j)
+        return (0, j) if ng == 1 else (k, j)
 
     return pl.pallas_call(
-        functools.partial(_woq_kernel, n_k=n_k),
+        functools.partial(_woq_kernel, n_k=n_k, gpt=gpt),
         grid=(M // bm, N // bn, n_k),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
