@@ -64,13 +64,39 @@ def main():
         rec = QuantizedWeight(w8, s1, "woq_int8")
 
         def fb(carry, out):
-            sl = out[:, :K]
+            reps = -(-K // out.shape[1])
+            sl = jnp.tile(out, (1, reps))[:, :K] if reps > 1 else out[:, :K]
             r = jax.lax.rsqrt(jnp.mean(sl * sl) + 1e-6)
             return (sl * r).astype(carry.dtype)
 
         gbs = (K * N) / 1e9
         t = time_fn(f"qmm {name}", lambda xx, rr: quantized_matmul(xx, rr), fb, x, rec)
         print(f"   -> {gbs/t:7.1f} GB/s (int8 bytes)", flush=True)
+
+    # lm_head with vocab padded to a 128-multiple (Pallas-viable)
+    K, N = 4096, 50432
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.05, jnp.bfloat16)
+    w8 = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    s1 = jnp.asarray(rng.random((1, N)) * 0.01 + 1e-3, jnp.float32)
+    rec = QuantizedWeight(w8, s1, "woq_int8")
+
+    def fb2(carry, out):
+        r = jax.lax.rsqrt(jnp.mean(out[:, :K] ** 2) + 1e-6)
+        return (out[:, :K] * r).astype(carry.dtype)
+
+    t = time_fn("qmm lm_head PADDED 4096x50432",
+                lambda xx, rr: quantized_matmul(xx, rr), fb2, x, rec)
+    print(f"   -> {K*N/1e9/t:7.1f} GB/s (int8 bytes)", flush=True)
+
+    # fused-qkv shape: one [4096, 12288] vs three [4096, 4096]
+    K, N = 4096, 12288
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.05, jnp.bfloat16)
+    w8 = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    s1 = jnp.asarray(rng.random((1, N)) * 0.01 + 1e-3, jnp.float32)
+    rec = QuantizedWeight(w8, s1, "woq_int8")
+    t = time_fn("qmm fused-qkv 4096x12288",
+                lambda xx, rr: quantized_matmul(xx, rr), fb2, x, rec)
+    print(f"   -> {K*N/1e9/t:7.1f} GB/s (int8 bytes)", flush=True)
 
 
 if __name__ == "__main__":

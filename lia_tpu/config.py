@@ -157,6 +157,7 @@ class RuntimeConfig:
     num_minibatch: int = 1
     stream_weights: bool = False  # force host-resident weights + per-layer streaming
     overlap: bool = True  # --no-overlap kill-switch analog (serialize transfers)
+    fuse_projections: bool = True  # concat q/k/v + gate/up weights (ops/fuse.py)
     use_pallas: bool = True  # use Pallas kernels (False => pure-XLA fallback)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model) mesh axes
     mesh_axis_names: Tuple[str, ...] = ("data", "model")

@@ -85,6 +85,10 @@ class InferenceEngine:
         self.runtime = runtime
         self._compiled: Dict[Any, Any] = {}
         self.scheduler = None
+        if runtime.fuse_projections:
+            from lia_tpu.ops.fuse import fuse_projections
+
+            params_host = fuse_projections(cfg, params_host)
         needs_scheduler = (
             runtime.hbm_percentage < 100
             or runtime.stream_weights

@@ -88,6 +88,11 @@ class ContinuousBatcher:
         self.max_len = max_len
         self.mesh = mesh
         self.sched = None
+        if mesh is None and (runtime is None or runtime.fuse_projections):
+            # fused projections are not column-shardable; single-device only
+            from lia_tpu.ops.fuse import fuse_projections
+
+            params_host = fuse_projections(cfg, params_host)
         needs_scheduler = runtime is not None and (
             runtime.hbm_percentage < 100
             or runtime.stream_weights

@@ -91,9 +91,18 @@ def qkv_project(
     """
     B, S, _ = x.shape
     a = lp["attn"]
-    q = linear(x, a["wq"], a.get("bq")).reshape(B, S, cfg.num_heads, cfg.head_dim)
-    k = linear(x, a["wk"], a.get("bk")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-    v = linear(x, a["wv"], a.get("bv")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    if "wqkv" in a:
+        # fused projection (ops/fuse.py): one [H, qd+2*kd] matmul, sliced apart
+        qd = cfg.num_heads * cfg.head_dim
+        kd = cfg.num_kv_heads * cfg.head_dim
+        y = linear(x, a["wqkv"], a.get("bqkv"))
+        q = y[..., :qd].reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = y[..., qd : qd + kd].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = y[..., qd + kd :].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        q = linear(x, a["wq"], a.get("bq")).reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = linear(x, a["wk"], a.get("bk")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(x, a["wv"], a.get("bv")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     if cfg.rope:
         q = apply_rope(q, positions, cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
         k = apply_rope(k, positions, cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
@@ -104,8 +113,13 @@ def qkv_project(
 def mlp(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
     m = lp["mlp"]
     if cfg.activation == Activation.SILU:  # SwiGLU (llama)
-        gate = jax.nn.silu(linear(x, m["wg"], None).astype(jnp.float32))
-        up = linear(x, m["w1"], None).astype(jnp.float32)
+        if "wg1" in m:  # fused gate|up (ops/fuse.py)
+            y = linear(x, m["wg1"], None).astype(jnp.float32)
+            gate = jax.nn.silu(y[..., : cfg.ffn_size])
+            up = y[..., cfg.ffn_size :]
+        else:
+            gate = jax.nn.silu(linear(x, m["wg"], None).astype(jnp.float32))
+            up = linear(x, m["w1"], None).astype(jnp.float32)
         return linear((gate * up).astype(x.dtype), m["w2"], m.get("b2"))
     h = activation_fn(cfg, linear(x, m["w1"], m.get("b1")))
     return linear(h, m["w2"], m.get("b2"))
@@ -202,6 +216,8 @@ def _fused_mlp_viable(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> bool:
     if not dispatch.use_pallas() or not dispatch.fused_mlp_enabled():
         return False
     m = lp["mlp"]
+    if "w1" not in m:  # fused gate|up layout (ops/fuse.py) — kernel expects split
+        return False
     if any(is_quantized(m.get(k)) for k in ("w1", "wg", "w2") if m.get(k) is not None):
         return False
     B, S, H = x.shape
