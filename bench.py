@@ -1,10 +1,9 @@
 #!/usr/bin/env python
 """Headline benchmark — prints ONE JSON line with the round's metric.
 
-Round-2 config (BASELINE.md ladder step 2): OPT-6.7B **INT8 weights + INT8 KV
-cache**, greedy, 256-in/32-out, batch 16, HBM-resident, fused on-device decode
-loop (Pallas WOQ matmul + int8-KV-native decode attention). Metric: decode
-tokens/s. (Round-1 headline was ladder step 1, OPT-1.3B bf16 b8: 1160.4 tok/s
+Round-2 config (BASELINE.md ladder step 2): OPT-6.7B **INT8 weights (dynamic
+activation quant -> int8 MXU dots) + INT8 KV cache**, greedy, 256-in/32-out,
+batch 16, HBM-resident, fused on-device decode loop. Metric: decode tokens/s. (Round-1 headline was ladder step 1, OPT-1.3B bf16 b8: 1160.4 tok/s
 this round — see RESULTS.md.)
 
 ``vs_baseline`` derivation (reference publishes no absolute LIA numbers —
@@ -53,7 +52,9 @@ def main() -> None:
     model = "opt-6.7b"
     batch, n_in, n_out = 16, 256, 32
     cfg = get_config(model)
-    quant = QuantConfig(weight_dtype="int8", group_size=128, kv_cache_dtype="int8")
+    quant = QuantConfig(
+        weight_dtype="int8", group_size=-1, kv_cache_dtype="int8", act_quant="dynamic"
+    )
     gen = GenerationConfig(max_new_tokens=n_out)
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(10, 30000, size=n_in)) for _ in range(batch)]
@@ -71,7 +72,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"decode_tokens_per_s {model} int8+int8kv b{batch} in{n_in} out{n_out}",
+                "metric": f"decode_tokens_per_s {model} int8dyn+int8kv b{batch} in{n_in} out{n_out}",
                 "value": round(best, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(best / BASELINE_TOKENS_PER_S, 3),

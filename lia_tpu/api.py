@@ -27,6 +27,7 @@ def load_engine(
     weight_dtype: str = "none",
     group_size: int = -1,
     kv_cache_dtype: str = "none",
+    act_quant: str = "none",
     prefill_policy: int = 3,
     decode_policy: int = 3,
     hbm_percentage: int = 100,
@@ -46,7 +47,10 @@ def load_engine(
     """
     cfg = get_config(model).replace(dtype=dtype)
     quant = QuantConfig(
-        weight_dtype=weight_dtype, group_size=group_size, kv_cache_dtype=kv_cache_dtype
+        weight_dtype=weight_dtype,
+        group_size=group_size,
+        kv_cache_dtype=kv_cache_dtype,
+        act_quant=act_quant,
     )
     runtime = RuntimeConfig(
         prefill_policy=prefill_policy,

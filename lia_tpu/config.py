@@ -133,6 +133,10 @@ class QuantConfig:
     group_size: int = -1  # -1 = per-channel
     sym: bool = True
     kv_cache_dtype: str = "none"  # none | int8
+    # "dynamic" (int8 only, per-channel scales): quantize activations per token
+    # at matmul time and run int8×int8 MXU dots — the reference WOQ
+    # ``lowp_mode=INT8`` analog (quantize-A path, WoqTppKrnl.cpp).
+    act_quant: str = "none"  # none | dynamic
 
     @property
     def enabled(self) -> bool:

@@ -32,7 +32,7 @@ import numpy as np
 
 from lia_tpu.config import ModelConfig, QuantConfig
 
-QUANT_FORMATS = ("woq_int8", "woq_int4", "woq_int4z", "static_int8")
+QUANT_FORMATS = ("woq_int8", "woq_int8_dyn", "woq_int4", "woq_int4z", "static_int8")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -92,6 +92,15 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
     g = K if qc.group_size <= 0 else qc.group_size
     assert K % g == 0, f"in-dim {K} not divisible by group size {g}"
     ng = K // g
+    fmt8 = "woq_int8"
+    if qc.act_quant == "dynamic":
+        if qc.weight_dtype != "int8" or ng != 1:
+            raise ValueError(
+                "act_quant='dynamic' needs int8 weights with per-channel scales "
+                "(group_size=-1): the int32 dot sums the whole K axis, so "
+                "per-group rescale is not expressible post-hoc"
+            )
+        fmt8 = "woq_int8_dyn"
 
     # native OpenMP path (liahost.cpp quantize_int8/int4) — ~30x over numpy
     from lia_tpu import native
@@ -108,7 +117,7 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
             ss.append(s_i)
         q = np.stack(qs).reshape(*lead, -1, N) if lead else qs[0]
         s = np.stack(ss).reshape(*lead, ng, N) if lead else ss[0]
-        fmt = "woq_int8" if qc.weight_dtype == "int8" else "woq_int4"
+        fmt = fmt8 if qc.weight_dtype == "int8" else "woq_int4"
         return QuantizedWeight(q, s, fmt)
 
     wg = w.reshape(*lead, ng, g, N)
@@ -134,7 +143,7 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
         bh = b.reshape(*lead, K, N)
         packed = (bh[..., : K // 2, :] & 0xF) | (bh[..., K // 2 :, :] << 4)
         return QuantizedWeight(packed, s, "woq_int4")
-    return QuantizedWeight(q, s, "woq_int8")
+    return QuantizedWeight(q, s, fmt8)
 
 
 def quantize_weight_static(w: np.ndarray, act_amax: np.ndarray) -> "QuantizedWeight":
@@ -277,6 +286,22 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) / s_x), -127, 127
         ).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, rec.q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * (s_x * rec.s[..., 0, :])
+
+    if rec.fmt == "woq_int8_dyn":
+        # Dynamic activation quantization: per-token symmetric int8 act quant →
+        # int8×int8→int32 MXU dot → rescale by (act scale × per-channel weight
+        # scale). The reference's WOQ "lowp-mode INT8" quantize-A path
+        # (WoqTppKrnl.cpp); on v5e this skips the int8→bf16 weight convert that
+        # bounds the dequant kernel (~480 GB/s → ~525 GB/s measured at decode
+        # shapes, experiments/bench_int8_dot.py) and runs the MXU at 2× rate.
+        s_x = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+        s_x = jnp.maximum(s_x, 1e-8)
+        xq = jnp.round(x.astype(jnp.float32) / s_x).astype(jnp.int8)
         y = jax.lax.dot_general(
             xq, rec.q, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,

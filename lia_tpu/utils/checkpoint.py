@@ -81,7 +81,8 @@ def init_dummy_params(
         q, sarr = native.randn_int8(Lw * K, N, g, _seed[0], scale)
         q = q.reshape(Lw, K, N)
         sarr = sarr.reshape(Lw, K // g, N)
-        return QuantizedWeight(q, sarr, "woq_int8")
+        fmt8 = "woq_int8_dyn" if quant.act_quant == "dynamic" else "woq_int8"
+        return QuantizedWeight(q, sarr, fmt8)
 
     def zeros(*shape):
         return np.zeros(shape, dt)

@@ -80,6 +80,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["none", "int8", "int4", "static-int8"])
     p.add_argument("--group-size", type=int, default=-1)
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
+    p.add_argument("--act-quant", default="none", choices=["none", "dynamic"],
+                   help="dynamic: per-token int8 act quant -> int8 MXU dots (lowp-mode analog)")
     p.add_argument("--smoothquant", default=None, metavar="ALPHA",
                    help="SmoothQuant outlier migration before WOQ: 'auto' runs "
                         "the alpha autotune (reference _autotune.py), or pass "
@@ -144,6 +146,7 @@ def main(argv=None) -> int:
             weight_dtype=args.weight_dtype,
             group_size=args.group_size,
             kv_cache_dtype=args.kv_cache_dtype,
+            act_quant=args.act_quant,
         ),
     )
     if -1 in (args.prefill_policy, args.decoding_policy, args.hbm_percentage):

@@ -148,3 +148,42 @@ def test_quantized_kv_checkpoint_roundtrip(tmp_path):
     loaded = load_params(path)
     np.testing.assert_array_equal(np.asarray(kv.q), loaded["cache"]["k"].q)
     np.testing.assert_allclose(np.asarray(kv.s), loaded["cache"]["k"].s)
+
+
+def test_dynamic_act_quant_matmul_close(rng):
+    """woq_int8_dyn: per-token act quant + int8 dot tracks the dequant reference
+    within dynamic-quant error (the reference lowp-mode INT8 analog)."""
+    from lia_tpu.ops.quant import QuantizedWeight
+
+    x = jnp.asarray(rng.standard_normal((4, 64), dtype=np.float32) * 0.3)
+    w = rng.standard_normal((64, 48), dtype=np.float32) * 0.1
+    rec = quantize_weight(w, QuantConfig(weight_dtype="int8", act_quant="dynamic"))
+    assert rec.fmt == "woq_int8_dyn"
+    y = np.asarray(quantized_matmul(x, jax_tree(rec)))
+    ref = np.asarray(x) @ w
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel
+
+
+def test_dynamic_act_quant_rejects_groups():
+    with pytest.raises(ValueError):
+        quantize_weight(
+            np.zeros((64, 16), np.float32),
+            QuantConfig(weight_dtype="int8", group_size=32, act_quant="dynamic"),
+        )
+
+
+def test_dynamic_act_quant_generates():
+    """Engine-level: dyn-int8 OPT generates and stays close to the woq_int8 path."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg = get_config("opt-125m").replace(num_layers=2, max_position_embeddings=64)
+    params = init_dummy_params(cfg, seed=0)
+    prompts = [[4, 8, 15, 16], [23, 42]]
+    gen = GenerationConfig(max_new_tokens=5)
+    outs = {}
+    for aq in ("none", "dynamic"):
+        qp = quantize_params(cfg, params, QuantConfig(weight_dtype="int8", act_quant=aq))
+        eng = InferenceEngine(cfg, qp, RuntimeConfig())
+        outs[aq] = np.asarray(eng.generate(prompts, gen).sequences)
+    assert outs["none"].shape == outs["dynamic"].shape
