@@ -38,6 +38,7 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--weight-dtype", default="none", choices=["none", "int8", "int4"])
+    p.add_argument("--act-quant", default="none", choices=["none", "dynamic"])
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
     p.add_argument("--lm-eval", action="store_true",
                    help="run lm-eval-harness tasks (requires lm_eval + --tokenizer)")
@@ -47,7 +48,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     cfg = get_config(args.model).replace(dtype=args.dtype)
-    quant = QuantConfig(weight_dtype=args.weight_dtype, kv_cache_dtype=args.kv_cache_dtype)
+    quant = QuantConfig(
+        weight_dtype=args.weight_dtype,
+        kv_cache_dtype=args.kv_cache_dtype,
+        act_quant=args.act_quant,
+    )
     if args.checkpoint:
         params = load_hf_checkpoint(cfg, args.checkpoint)
         if quant.enabled:
