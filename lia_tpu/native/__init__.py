@@ -45,6 +45,25 @@ def _load() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
+def memcpy(dst: np.ndarray, src: np.ndarray) -> bool:
+    """Multithreaded wide copy into a preallocated buffer (liahost memcpy_mt).
+
+    Both arrays must be contiguous and byte-size-equal. Returns False (no-op)
+    when the native lib is unavailable — callers fall back to numpy assignment.
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    assert dst.nbytes == src.nbytes
+    assert dst.flags["C_CONTIGUOUS"] and src.flags["C_CONTIGUOUS"]
+    lib.memcpy_mt(
+        dst.ctypes.data_as(ctypes.c_void_p),
+        src.ctypes.data_as(ctypes.c_void_p),
+        np.int64(dst.nbytes),
+    )
+    return True
+
+
 def available() -> bool:
     return _load() is not None
 

@@ -19,15 +19,46 @@ parameter subtree and hands out per-layer subtrees.
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Any, Dict, List, Optional
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
 def slice_layer(stacked: Dict[str, Any], idx: int) -> Dict[str, Any]:
     """Extract layer ``idx``'s parameter subtree from the stacked host tree."""
     return jax.tree.map(lambda a: a[idx], stacked)
+
+
+# -- packed streaming --------------------------------------------------------
+#
+# A streamed layer subtree has ~10-14 leaves (quantized codes, scales, norms,
+# biases); issuing one host→HBM transfer per leaf pays per-dispatch cost 12×
+# per layer per step. Instead the streamed layers are re-laid at startup into
+# ONE contiguous byte buffer per layer (assembled with the native
+# multithreaded memcpy — the staging-copy analog of the reference's pinned
+# weight buffers, lia/modeling_opt.py:167-227), so a layer transfer is a
+# single contiguous device_put; a tiny jitted program then bitcasts/reshapes
+# the byte buffer back into the typed leaf tree entirely on-device (HBM-rate
+# slices, no extra host traffic).
+
+
+def _unpack_packed(specs, treedef, buf: jnp.ndarray):
+    leaves = []
+    for off, shape, dtype in specs:
+        item = np.dtype(dtype).itemsize
+        n = int(np.prod(shape)) if shape else 1
+        seg = jax.lax.slice(buf, (off,), (off + n * item,))
+        if item == 1:
+            arr = jax.lax.bitcast_convert_type(seg, jnp.dtype(dtype))
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                seg.reshape(-1, item), jnp.dtype(dtype)
+            )
+        leaves.append(arr.reshape(shape))
+    return jax.tree.unflatten(treedef, leaves)
 
 
 class TieredWeightManager:
@@ -40,6 +71,7 @@ class TieredWeightManager:
         hbm_percentage: int = 100,
         overlap: bool = True,
         device: Optional[jax.Device] = None,
+        packed: bool = True,
     ):
         self.layers_host = layers_host
         self.num_layers = num_layers
@@ -52,12 +84,43 @@ class TieredWeightManager:
             self.resident = jax.device_put(prefix, self.device)
         else:
             self.resident = None
+        self._packed: Optional[np.ndarray] = None
+        if packed and self.n_resident < num_layers:
+            self._build_packed()
         self._pool = cf.ThreadPoolExecutor(max_workers=1) if overlap else None
         self._inflight: Dict[int, cf.Future] = {}
 
     # -- streaming -----------------------------------------------------------
 
+    def _build_packed(self) -> None:
+        from lia_tpu import native
+
+        leaves0, treedef = jax.tree.flatten(
+            slice_layer(self.layers_host, self.n_resident)
+        )
+        specs: List[Tuple[int, tuple, Any]] = []
+        off = 0
+        for lf in leaves0:
+            a = np.asarray(lf)
+            specs.append((off, a.shape, a.dtype))
+            off += a.nbytes
+        n_streamed = self.num_layers - self.n_resident
+        self._packed = np.empty((n_streamed, off), np.uint8)
+        for j in range(n_streamed):
+            leaves = jax.tree.flatten(
+                slice_layer(self.layers_host, self.n_resident + j)
+            )[0]
+            for (o, _, _), lf in zip(specs, leaves):
+                src = np.ascontiguousarray(np.asarray(lf)).reshape(-1).view(np.uint8)
+                dst = self._packed[j, o : o + src.size]
+                if not native.memcpy(dst, src):
+                    dst[:] = src
+        self._unpack = jax.jit(partial(_unpack_packed, specs, treedef))
+
     def _put(self, idx: int):
+        if self._packed is not None and idx >= self.n_resident:
+            buf = jax.device_put(self._packed[idx - self.n_resident], self.device)
+            return self._unpack(buf)
         return jax.device_put(slice_layer(self.layers_host, idx), self.device)
 
     def prefetch(self, idx: int) -> None:

@@ -73,3 +73,31 @@ def test_prefetch_pipeline_returns_same_weights():
         np.asarray(l1["mlp"]["w1"]), np.asarray(params["layers"]["mlp"]["w1"][1])
     )
     wm.close()
+
+
+def test_packed_streaming_bit_exact():
+    """Packed byte-buffer streaming must reproduce every leaf bit-for-bit
+    (bf16/f32/int8 bitcasts, QuantizedWeight nodes, biases)."""
+    import jax
+    import numpy as np
+
+    from lia_tpu.config import QuantConfig
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.ops.quant import quantize_params
+    from lia_tpu.runtime.weight_manager import TieredWeightManager, slice_layer
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    cfg = get_config("opt-125m").replace(num_layers=4)
+    params = quantize_params(
+        cfg, init_dummy_params(cfg, seed=7), QuantConfig(weight_dtype="int8", group_size=32)
+    )
+    layers = params["layers"]
+    for packed in (False, True):
+        wm = TieredWeightManager(layers, 4, hbm_percentage=25, packed=packed)
+        assert (wm._packed is not None) == packed
+        for idx in (1, 3):
+            got = wm.get_layer(idx)
+            want = slice_layer(layers, idx)
+            for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        wm.close()
