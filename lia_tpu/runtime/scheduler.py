@@ -520,9 +520,18 @@ class StreamingScheduler:
             else None
         )
         if n_str:
-            st = kvc.init_cache(cfg.replace(num_layers=n_str), B, max_len, dt, quantized=qkv)
             if self.kv_host:
-                st = jax.device_put(st, self.cpu)
+                # allocate the host cache ON the host: materializing the zeros
+                # on TPU first would transiently claim HBM the resident prefix
+                # already owns (observed OOM at 40% residency on OPT-30B)
+                with jax.default_device(self.cpu):
+                    st = kvc.init_cache(
+                        cfg.replace(num_layers=n_str), B, max_len, dt, quantized=qkv
+                    )
+            else:
+                st = kvc.init_cache(
+                    cfg.replace(num_layers=n_str), B, max_len, dt, quantized=qkv
+                )
         else:
             st = None
         return res, st

@@ -12,8 +12,13 @@ from lia_tpu.utils.checkpoint import init_dummy_params
 
 @pytest.fixture(scope="module")
 def model():
+    # scale=0.12 keeps greedy top-2 logit gaps ≥0.03 across these suites' prompts:
+    # paged and slab attention are *different programs* (bitwise-different by
+    # design), so token-equality asserts need decisive argmax margins — at
+    # scale 0.02 gaps shrank to ~5e-4 and load-dependent rounding flipped tokens
+    # intermittently (greedy sequences amplify one flip into a different tail).
     cfg = get_config("opt-tiny").replace(dtype="float32")
-    params = init_dummy_params(cfg, seed=21, scale=0.02)
+    params = init_dummy_params(cfg, seed=21, scale=0.12)
     return cfg, params
 
 
@@ -82,7 +87,7 @@ def test_serving_on_tp_mesh():
     from lia_tpu.parallel.mesh import make_mesh
 
     cfg = get_config("opt-tiny").replace(vocab_size=512, dtype="float32")
-    params = init_dummy_params(cfg, seed=22, scale=0.02)
+    params = init_dummy_params(cfg, seed=22, scale=0.12)  # decisive argmax margins (see model())
     gen = GenerationConfig(max_new_tokens=5)
     prompts = [[5, 9, 23, 41], [100, 7, 3], [12, 13]]
     ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen)
