@@ -137,6 +137,13 @@ class ContinuousBatcher:
             self.block_table = np.zeros((max_batch, self.max_pages), np.int32)
             self.kv_lengths = np.zeros(max_batch, np.int32)
             self.cache = None
+            # XLA:CPU with forced multi-virtual-device + thread oversubscription
+            # intermittently corrupts a chain of in-flight pool updates when the
+            # host drops its only reference to the intermediate pools (observed
+            # only on the 8-virtual-device test backend; keeping references or
+            # serializing the chain is provably stable, and single-device TPU
+            # dispatch is unaffected). Serialize the pool chain on CPU.
+            self._sync_pools = jax.default_backend() == "cpu"
         elif self.sched is None:
             self.cache = kvc.init_cache(cfg, max_batch, max_len, jnp.dtype(cfg.dtype), quantized=kv_quantized)
             # ragged state: per-slot lengths
@@ -290,6 +297,8 @@ class ContinuousBatcher:
                     self.k_pool, self.v_pool, seg_k, seg_v,
                     jnp.asarray(row), jnp.asarray(len(req.prompt), jnp.int32),
                 )
+                if self._sync_pools:
+                    jax.block_until_ready((self.k_pool, self.v_pool))
                 self.kv_lengths[slot] = len(req.prompt)
             elif self.sched is not None:
                 logits, seg_state = self.sched.prefill_pass(tokens, mask, self.max_len)
@@ -359,6 +368,8 @@ class ContinuousBatcher:
                 jnp.asarray(self.kv_lengths, jnp.int32),
                 jnp.asarray(self.active),
             )
+            if self._sync_pools:
+                jax.block_until_ready((self.k_pool, self.v_pool))
             self.kv_lengths[self.active] += 1
         elif self.sched is not None:
             logits, self.state = self.sched.decode_pass_ragged(

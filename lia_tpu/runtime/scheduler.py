@@ -436,8 +436,9 @@ class StreamingScheduler:
                     lp = self.wm.get_layer(idx)
                     q, k, v = qkv_f(lp, x, positions)
                     li = idx - n_res
-                    kl = jax.device_put(cache.k[li], tpu)  # stream KV in (H2D)
-                    vl = jax.device_put(cache.v[li], tpu)
+                    # stream KV in (H2D); index_layer_kv handles QuantizedKV planes
+                    kl = jax.device_put(kvc.index_layer_kv(cache.k, li), tpu)
+                    vl = jax.device_put(kvc.index_layer_kv(cache.v, li), tpu)
                     ln = jax.device_put(cache.length, tpu)
                     attn_out = attn_f(q, k, v, kl, vl, ln, ctx)
                     k_h, v_h = jax.device_put((k, v), self.cpu)

@@ -37,27 +37,23 @@ def slice_layer(stacked: Dict[str, Any], idx: int) -> Dict[str, Any]:
 # A streamed layer subtree has ~10-14 leaves (quantized codes, scales, norms,
 # biases); issuing one host→HBM transfer per leaf pays per-dispatch cost 12×
 # per layer per step. Instead the streamed layers are re-laid at startup into
-# ONE contiguous byte buffer per layer (assembled with the native
+# one contiguous 1-D buffer PER DTYPE per layer (assembled with the native
 # multithreaded memcpy — the staging-copy analog of the reference's pinned
-# weight buffers, lia/modeling_opt.py:167-227), so a layer transfer is a
-# single contiguous device_put; a tiny jitted program then bitcasts/reshapes
-# the byte buffer back into the typed leaf tree entirely on-device (HBM-rate
-# slices, no extra host traffic).
+# weight buffers, lia/modeling_opt.py:167-227), so a layer transfer is 2-3
+# contiguous device_puts; a tiny jitted program then slices/reshapes the
+# buffers back into the leaf tree entirely on-device. Per-dtype (not a single
+# byte blob) because TPU tiled layouts pad a [-1, itemsize] bitcast
+# intermediate's minor dim to 128 lanes — a 32× HBM blow-up at compile time —
+# while 1-D same-dtype slices relayout at HBM rate with no padding.
 
 
-def _unpack_packed(specs, treedef, buf: jnp.ndarray):
+def _unpack_packed(specs, treedef, *bufs: jnp.ndarray):
     leaves = []
-    for off, shape, dtype in specs:
-        item = np.dtype(dtype).itemsize
+    for buf_idx, off, shape in specs:
+        buf = bufs[buf_idx]
         n = int(np.prod(shape)) if shape else 1
-        seg = jax.lax.slice(buf, (off,), (off + n * item,))
-        if item == 1:
-            arr = jax.lax.bitcast_convert_type(seg, jnp.dtype(dtype))
-        else:
-            arr = jax.lax.bitcast_convert_type(
-                seg.reshape(-1, item), jnp.dtype(dtype)
-            )
-        leaves.append(arr.reshape(shape))
+        seg = jax.lax.slice(buf, (off,), (off + n,))
+        leaves.append(seg.reshape(shape))
     return jax.tree.unflatten(treedef, leaves)
 
 
@@ -98,29 +94,38 @@ class TieredWeightManager:
         leaves0, treedef = jax.tree.flatten(
             slice_layer(self.layers_host, self.n_resident)
         )
-        specs: List[Tuple[int, tuple, Any]] = []
-        off = 0
+        dtypes: List[Any] = []
+        sizes: Dict[int, int] = {}
+        specs: List[Tuple[int, int, tuple]] = []  # (buffer idx, elem offset, shape)
         for lf in leaves0:
             a = np.asarray(lf)
-            specs.append((off, a.shape, a.dtype))
-            off += a.nbytes
+            if a.dtype not in dtypes:
+                dtypes.append(a.dtype)
+            bi = dtypes.index(a.dtype)
+            specs.append((bi, sizes.get(bi, 0), a.shape))
+            sizes[bi] = sizes.get(bi, 0) + a.size
         n_streamed = self.num_layers - self.n_resident
-        self._packed = np.empty((n_streamed, off), np.uint8)
+        self._packed = [
+            np.empty((n_streamed, sizes[bi]), dtypes[bi]) for bi in range(len(dtypes))
+        ]
         for j in range(n_streamed):
             leaves = jax.tree.flatten(
                 slice_layer(self.layers_host, self.n_resident + j)
             )[0]
-            for (o, _, _), lf in zip(specs, leaves):
-                src = np.ascontiguousarray(np.asarray(lf)).reshape(-1).view(np.uint8)
-                dst = self._packed[j, o : o + src.size]
-                if not native.memcpy(dst, src):
+            for (bi, o, _), lf in zip(specs, leaves):
+                src = np.ascontiguousarray(np.asarray(lf)).reshape(-1)
+                dst = self._packed[bi][j, o : o + src.size]
+                if not native.memcpy(dst.view(np.uint8), src.view(np.uint8)):
                     dst[:] = src
         self._unpack = jax.jit(partial(_unpack_packed, specs, treedef))
 
     def _put(self, idx: int):
         if self._packed is not None and idx >= self.n_resident:
-            buf = jax.device_put(self._packed[idx - self.n_resident], self.device)
-            return self._unpack(buf)
+            bufs = [
+                jax.device_put(p[idx - self.n_resident], self.device)
+                for p in self._packed
+            ]
+            return self._unpack(*bufs)
         return jax.device_put(slice_layer(self.layers_host, idx), self.device)
 
     def prefetch(self, idx: int) -> None:
