@@ -142,3 +142,45 @@ def sp_shardings(mesh: Mesh, axis: str = "seq"):
         NamedSharding(mesh, P(None, None, axis, None)),
         NamedSharding(mesh, P(None, axis)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-level sequence-parallel prefill
+# ---------------------------------------------------------------------------
+
+
+def sp_prefill(cfg, params, tokens, input_mask, mesh: Mesh, axis: str = "seq"):
+    """Full-model prefill with the prompt sharded along ``mesh[axis]``.
+
+    Long-context entry point (additive over the reference, which bounds prompts
+    by ``text_max_length``): every per-token op (embed, norms, projections,
+    RoPE, MLP) is position-local and simply runs on S-shards under GSPMD; the
+    one cross-position op — attention — goes through :func:`ring_attention`.
+
+    Returns ``(last_token_logits [B, V], KVCache)`` where the cache holds the
+    prompt's K/V stacked per layer ([L, B, N_kv, S, D], S still sharded on
+    ``axis``); ``jax.device_put`` it to the decode sharding of your choice
+    (replicated, TP heads, …) before stepping.
+    """
+    import jax.numpy as jnp
+
+    from lia_tpu.models import transformer as T
+    from lia_tpu.ops import kv_cache as kvc
+
+    positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1
+    x = T.embed(cfg, params, tokens, positions)
+
+    def body(h, lp):
+        residual = h
+        q, k, v = T.attn_in(cfg, lp, h, positions)
+        attn_out = ring_attention(q, k, v, input_mask, mesh, axis=axis)
+        h = T.attn_post_mlp(cfg, lp, residual, attn_out)
+        return h, (k, v)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, params["layers"])
+    S = tokens.shape[1]
+    cache = kvc.KVCache(
+        k=k_new, v=v_new, length=jnp.asarray(S, jnp.int32), mask=input_mask
+    )
+    logits = T.lm_head(cfg, params, x[:, -1:, :])[:, 0, :]
+    return logits, cache

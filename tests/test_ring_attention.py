@@ -104,3 +104,42 @@ def test_ring_rejects_indivisible():
     k = jnp.zeros((1, 2, 12, 8))
     with pytest.raises(ValueError):
         ring_attention(q, k, k, jnp.ones((1, 12), bool), mesh)
+
+
+@pytest.mark.parametrize("model", ["opt-tiny", "llama-tiny"])
+def test_sp_prefill_matches_prefill(model):
+    """Model-level SP prefill (S sharded on "seq") == single-device prefill:
+    last-token logits and the prompt KV cache."""
+    from lia_tpu.models import transformer as T
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.ops import kv_cache as kvc
+    from lia_tpu.parallel.ring_attention import sp_prefill
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    cfg = get_config(model).replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=7, scale=0.1)
+    B, S = 2, 32
+    r = np.random.default_rng(3)
+    tokens = jnp.asarray(r.integers(3, cfg.vocab_size, size=(B, S)), jnp.int32)
+    pads = np.array([0, 9])
+    input_mask = jnp.asarray(np.arange(S)[None, :] >= pads[:, None])
+    tokens = jnp.where(input_mask, tokens, 1)
+
+    mesh = make_mesh((4,), ("seq",))
+    logits_sp, cache_sp = jax.jit(
+        lambda p, t, m: sp_prefill(cfg, p, t, m, mesh)
+    )(params, tokens, input_mask)
+
+    cache0 = kvc.init_cache(cfg, B, S, jnp.float32)
+    logits_ref, cache_ref = T.prefill(cfg, params, tokens, input_mask, cache0)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_sp), np.asarray(logits_ref), atol=3e-5
+    )
+    real = np.asarray(input_mask)[None, :, None, :, None]  # [1,B,1,S,1]
+    np.testing.assert_allclose(
+        np.asarray(cache_sp.k) * real, np.asarray(cache_ref.k) * real, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_sp.v) * real, np.asarray(cache_ref.v) * real, atol=3e-5
+    )
