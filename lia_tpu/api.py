@@ -28,6 +28,8 @@ def load_engine(
     group_size: int = -1,
     kv_cache_dtype: str = "none",
     act_quant: str = "none",
+    gptq: bool = False,
+    gptq_actorder: bool = False,
     prefill_policy: int = 3,
     decode_policy: int = 3,
     hbm_percentage: int = 100,
@@ -67,6 +69,19 @@ def load_engine(
         runtime = resolve_auto_policies(cfg, runtime, batch, in_len, out_len)
 
     static8 = weight_dtype == "static-int8"
+
+    def _gptq(fp_params):
+        # native GPTQ (ipex.quantization.gptq analog): Hessian-guided
+        # quantization against synthetic calibration prompts
+        from lia_tpu.ops.gptq import gptq_quantize_params
+
+        bits = 8 if weight_dtype == "int8" else 4
+        return gptq_quantize_params(
+            cfg, fp_params, _default_calib(cfg), bits=bits,
+            group_size=group_size if group_size > 0 else 128,
+            actorder=gptq_actorder,
+        )
+
     if checkpoint:
         from lia_tpu.ops.quant import quantize_params
         from lia_tpu.utils.checkpoint import load_hf_checkpoint
@@ -76,6 +91,8 @@ def load_engine(
             from lia_tpu.ops.smoothquant import static_int8_quantize
 
             params, _ = static_int8_quantize(cfg, params, _default_calib(cfg))
+        elif gptq:
+            params = _gptq(params)
         elif quant.enabled:
             params = quantize_params(cfg, params, quant)
     elif gptq_checkpoint:
@@ -99,6 +116,8 @@ def load_engine(
             params, _ = static_int8_quantize(
                 cfg, init_dummy_params(cfg, seed=seed), _default_calib(cfg)
             )
+        elif gptq:
+            params = _gptq(init_dummy_params(cfg, seed=seed))
         else:
             params = init_dummy_params(
                 cfg, seed=seed, quant=quant if quant.enabled else None

@@ -42,6 +42,11 @@ def collect_act_scales(
     """
     from lia_tpu.engine.engine import pack_prompts
 
+    if cfg.num_experts:
+        raise NotImplementedError(
+            "SmoothQuant calibration taps the dense MLP path; MoE experts use "
+            "RTN WOQ (quantize_params) for now"
+        )
     tokens, mask = pack_prompts(prompts, pad_id)
     device_params = jax.device_put(params)
 

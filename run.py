@@ -82,6 +82,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
     p.add_argument("--act-quant", default="none", choices=["none", "dynamic"],
                    help="dynamic: per-token int8 act quant -> int8 MXU dots (lowp-mode analog)")
+    p.add_argument("--gptq", action="store_true",
+                   help="GPTQ-quantize at load: Hessian-guided error-compensated "
+                        "rounding on calibration prompts (reference "
+                        "ipex.quantization.gptq + utils/run_gptq.py); bit-width "
+                        "follows --weight-dtype (int4/int8)")
+    p.add_argument("--gptq-actorder", action="store_true",
+                   help="GPTQ act-order (desc Hessian diagonal) with static groups")
     p.add_argument("--smoothquant", default=None, metavar="ALPHA",
                    help="SmoothQuant outlier migration before WOQ: 'auto' runs "
                         "the alpha autotune (reference _autotune.py), or pass "
@@ -115,6 +122,19 @@ def _smoothquant_flow(cfg, params, runtime, alpha_arg):
         cfg, params, _calib_prompts(cfg), runtime.quant, alpha=alpha
     )
     print(f"[lia-tpu] smoothquant folded with alpha={used}")
+    return params
+
+
+def _gptq_flow(cfg, params, runtime, actorder):
+    """Native GPTQ on fp weights (ipex.quantization.gptq analog)."""
+    from lia_tpu.ops.gptq import gptq_quantize_params
+
+    bits = 8 if runtime.quant.weight_dtype == "int8" else 4
+    g = runtime.quant.group_size if runtime.quant.group_size > 0 else 128
+    params = gptq_quantize_params(
+        cfg, params, _calib_prompts(cfg), bits=bits, group_size=g, actorder=actorder
+    )
+    print(f"[lia-tpu] gptq quantized (bits={bits}, group={g}, actorder={actorder})")
     return params
 
 
@@ -180,6 +200,8 @@ def main(argv=None) -> int:
         params = load_hf_checkpoint(cfg, args.checkpoint)
         if static8:
             params = _static_int8_flow(cfg, params, sq)
+        elif args.gptq:
+            params = _gptq_flow(cfg, params, runtime, args.gptq_actorder)
         elif sq is not None:
             params = _smoothquant_flow(cfg, params, runtime, sq)
         elif runtime.quant.enabled:
@@ -189,6 +211,8 @@ def main(argv=None) -> int:
     elif static8:
         # static-int8 calibrates activations on fp weights first
         params = _static_int8_flow(cfg, init_dummy_params(cfg), sq)
+    elif args.gptq:
+        params = _gptq_flow(cfg, init_dummy_params(cfg), runtime, args.gptq_actorder)
     elif sq is not None:
         # SmoothQuant needs fp weights to calibrate/fold before quantizing
         params = _smoothquant_flow(cfg, init_dummy_params(cfg), runtime, sq)
