@@ -99,6 +99,9 @@ class ModelConfig:
     rope_interleaved: bool = False  # gpt-j/neox "rotate_every_two" pairing
     # (even/odd lanes) instead of llama's half-split pairing
     sliding_window: Optional[int] = None  # mistral: attend only the last W positions
+    # --- mixture-of-experts (mixtral) ---
+    num_experts: int = 0  # 0 = dense MLP; >0 = block-sparse MoE (Mixtral)
+    num_experts_per_tok: int = 2  # top-k routing
 
     @property
     def embed_dim(self) -> int:
@@ -116,6 +119,8 @@ class ModelConfig:
         qd = self.num_heads * self.head_dim
         attn = h * qd + 2 * h * kvd + qd * h
         mlp = 2 * h * f if self.activation != Activation.SILU else 3 * h * f
+        if self.num_experts:
+            mlp = mlp * self.num_experts + h * self.num_experts  # experts + router
         embed = v * self.embed_dim + (
             0 if self.rope else (self.max_position_embeddings + self.pos_offset) * h
         )

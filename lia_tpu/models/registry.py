@@ -177,6 +177,13 @@ REGISTRY = {
     "llama-3-8b": _llama("llama-3-8b", 4096, 14336, 32, 32, 8, 128256),
     "llama-3-70b": _llama("llama-3-70b", 8192, 28672, 80, 64, 8, 128256),
     # --- Mistral (llama layout + sliding-window attention) ---
+    # mixtral: llama-layout attention + block-sparse MoE MLP (8 experts, top-2);
+    # reference support: csrc/cpu/aten/MoE.cpp fused ops + optimize.py:572-574
+    # + examples model_class/mixtral.py
+    "mixtral-8x7b": _llama(
+        "mixtral-8x7b", 4096, 14336, 32, 32, 8, 32000,
+        max_pos=32768, theta=1e6, num_experts=8, num_experts_per_tok=2,
+    ),
     "mistral-7b": _llama(
         "mistral-7b", 4096, 14336, 32, 32, 8, 32000,
         max_pos=32768, theta=10000.0, sliding_window=4096,
@@ -202,6 +209,10 @@ REGISTRY = {
     "qwen2-tiny": _llama(
         "qwen2-tiny", 64, 128, 2, 4, 2, 503,
         max_pos=128, theta=10000.0, attn_bias=True, o_bias=False,
+    ),
+    "mixtral-tiny": _llama(
+        "mixtral-tiny", 64, 128, 2, 4, 2, 503,
+        max_pos=128, theta=10000.0, num_experts=4, num_experts_per_tok=2,
     ),
     "gptj-tiny": _gptj("gptj-tiny", 64, 256, 2, 4, 503, rotary_dim=8, max_pos=128),
     "neox-tiny": _gpt_neox("neox-tiny", 64, 256, 2, 4, 503, rotary_pct=0.5, max_pos=128),

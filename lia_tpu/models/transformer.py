@@ -110,8 +110,55 @@ def qkv_project(
     return q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
 
+def moe_mlp(cfg: ModelConfig, m: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Mixture-of-experts SwiGLU block (Mixtral ``block_sparse_moe``).
+
+    TPU-first redesign of the reference's fused MoE ops
+    (csrc/cpu/aten/MoE.cpp ``mixtral_moe*`` — per-expert token-index gather
+    lists, i.e. data-dependent shapes XLA cannot compile): here every token's
+    FFN output is a dense batched-expert einsum weighted by a [T, E] combine
+    matrix that is zero outside the router's top-k — static shapes, exact
+    routing (no capacity drops). Decode (T = B) is weight-bandwidth-bound, so
+    computing all experts costs nothing extra; prefill pays E/k× MLP FLOPs for
+    compile stability. Expert weights are stacked [E, K, N] (quantized leaves
+    dequantize on the way into the dot); TP shards the F axis, EP the E axis
+    (parallel/sharding.py).
+    """
+    from lia_tpu.ops.quant import is_quantized, dequantize
+
+    B, S, H = x.shape
+    T = B * S
+    xt = x.reshape(T, H)
+    router_logits = linear(xt, m["router"]).astype(jnp.float32)
+    probs = jax.nn.softmax(router_logits, axis=-1)  # [T, E]
+    topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    topw = topw / jnp.maximum(jnp.sum(topw, -1, keepdims=True), 1e-9)  # renorm (HF)
+    comb = jnp.sum(
+        jax.nn.one_hot(topi, cfg.num_experts, dtype=jnp.float32) * topw[..., None],
+        axis=1,
+    )  # [T, E] — zero outside top-k
+
+    def ew(w):
+        return dequantize(w, x.dtype) if is_quantized(w) else w
+
+    gate = jnp.einsum(
+        "th,ehf->etf", xt, ew(m["wg"]), preferred_element_type=jnp.float32
+    )
+    up = jnp.einsum(
+        "th,ehf->etf", xt, ew(m["w1"]), preferred_element_type=jnp.float32
+    )
+    inter = (jax.nn.silu(gate) * up).astype(x.dtype)
+    y = jnp.einsum(
+        "etf,efh->eth", inter, ew(m["w2"]), preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum("te,eth->th", comb, y)
+    return out.astype(x.dtype).reshape(B, S, H)
+
+
 def mlp(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
     m = lp["mlp"]
+    if cfg.num_experts:
+        return moe_mlp(cfg, m, x)
     if cfg.activation == Activation.SILU:  # SwiGLU (llama)
         if "wg1" in m:  # fused gate|up (ops/fuse.py)
             y = linear(x, m["wg1"], None).astype(jnp.float32)

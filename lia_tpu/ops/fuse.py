@@ -121,7 +121,8 @@ def fuse_projections(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]
                 a["bqkv"] = bqkv
             layers["attn"] = a
     m = dict(layers["mlp"])
-    if cfg.activation == Activation.SILU and "wg" in m and "w1" in m:
+    # MoE experts route through batched einsums, not linear() — leave unfused
+    if cfg.num_experts == 0 and cfg.activation == Activation.SILU and "wg" in m and "w1" in m:
         try:
             wg1 = _cat_weights([m["wg"], m["w1"]])
         except _Unfusable:

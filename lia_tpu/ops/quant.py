@@ -175,7 +175,9 @@ def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
     for grp_name, grp in layers.items():
         new_grp: Dict[str, Any] = {}
         for k, v in grp.items():
-            if k.startswith("w") and np.ndim(v) == 3:
+            # [L, K, N] dense linears and [L, E, K, N] stacked MoE experts;
+            # the fp router ("router", [L, H, E]) stays high-precision
+            if k.startswith("w") and np.ndim(v) in (3, 4):
                 new_grp[k] = quantize_weight(np.asarray(v), qc)
             else:
                 new_grp[k] = v

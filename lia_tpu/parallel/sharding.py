@@ -30,7 +30,9 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def param_pspecs(cfg: ModelConfig, params: Dict[str, Any], tp: int = 1) -> Dict[str, Any]:
+def param_pspecs(
+    cfg: ModelConfig, params: Dict[str, Any], tp: int = 1, ep_axis: str | None = None
+) -> Dict[str, Any]:
     """PartitionSpec pytree matching ``params``' structure (stacked [L, ...] layers).
 
     :class:`~lia_tpu.ops.quant.QuantizedWeight` leaves get a QuantizedWeight spec
@@ -38,6 +40,11 @@ def param_pspecs(cfg: ModelConfig, params: Dict[str, Any], tp: int = 1) -> Dict[
     matching group spec), so TP serving composes with WOQ weights — the analog of
     the reference sharding quantized op-contexts (tensor_parallel.py:266-414 over
     WeightOnlyQuantizedLinear modules).
+
+    ``ep_axis`` names a mesh axis to shard the MoE expert dimension over
+    (expert parallelism — additive over the reference, whose Mixtral runs
+    single-device, SURVEY §2.5); GSPMD turns the batched-expert einsums into
+    per-shard partial FFNs combined by an all-reduce over the expert axis.
     """
     M = "model"
 
@@ -47,18 +54,18 @@ def param_pspecs(cfg: ModelConfig, params: Dict[str, Any], tp: int = 1) -> Dict[
 
         if not is_quantized(w):
             return base
-        # q [L, K_packed, N] shards like the fp weight (int4 half-split packing
+        # q [..., K_packed, N] shards like the fp weight (int4 half-split packing
         # is per-group along K, so a whole-groups row split keeps packing local;
         # the sum over K rows is permutation-invariant so GSPMD's propagation
         # through the dequant concat stays correct).
-        row_split = base[1] == M  # wo/w2: K on "model"
+        row_split = base[-2] == M  # wo/w2: K on "model"
         ng = w.s.shape[-2]
         if row_split and ng % max(tp, 1) != 0:
             # scale groups don't tile the TP axis (incl. per-channel ng=1):
             # replicate scales; GSPMD reshards through the dequant reshape
-            s_spec = P(None, None, None)
+            s_spec = P(*([None] * len(base)))
         else:
-            s_spec = base  # s [L, ng, N] splits the same axis (groups ride K)
+            s_spec = base  # s [..., ng, N] splits the same axis (groups ride K)
         z_spec = None if w.z is None else s_spec
         return QuantizedWeight(base, s_spec, w.fmt, z_spec)
 
@@ -76,12 +83,17 @@ def param_pspecs(cfg: ModelConfig, params: Dict[str, Any], tp: int = 1) -> Dict[
         return out
 
     def mlp_spec(mlp: Dict[str, Any]) -> Dict[str, Any]:
+        moe = "router" in mlp
         out = {}
         for k, v in mlp.items():
-            if k in ("w1", "wg"):
-                out[k] = wspec(v, P(None, None, M))
+            if k == "router":
+                out[k] = P(None, None, None)  # [L, H, E] fp — replicated
+            elif k in ("w1", "wg"):
+                # MoE experts [L, E, H, F]: EP shards E on ep_axis, TP the F/H
+                # matmul axes — the per-expert FFN keeps the dense col/row split
+                out[k] = wspec(v, P(None, ep_axis, None, M) if moe else P(None, None, M))
             elif k == "w2":
-                out[k] = wspec(v, P(None, M, None))
+                out[k] = wspec(v, P(None, ep_axis, M, None) if moe else P(None, M, None))
             elif k == "b1":
                 out[k] = P(None, M)
             else:  # b2
@@ -112,11 +124,15 @@ def param_pspecs(cfg: ModelConfig, params: Dict[str, Any], tp: int = 1) -> Dict[
     return specs
 
 
-def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
+def param_shardings(
+    cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh, ep_axis: str | None = None
+):
     tp = dict(mesh.shape).get("model", 1)
+    if ep_axis is None and cfg.num_experts and "expert" in mesh.shape:
+        ep_axis = "expert"
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec),
-        param_pspecs(cfg, params, tp=tp),
+        param_pspecs(cfg, params, tp=tp, ep_axis=ep_axis),
         is_leaf=lambda x: isinstance(x, P),
     )
 

@@ -62,25 +62,27 @@ def init_dummy_params(
         return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(dt)
 
     def wq(*shape):
-        """Stacked [L, K, N] layer weight — quantized directly when requested."""
+        """Stacked [*lead, K, N] layer weight — quantized directly when requested
+        (lead is [L] for dense layers, [L, E] for stacked experts)."""
         if quant is None or not quant.enabled:
             return w(*shape)
         from lia_tpu import native
         from lia_tpu.ops.quant import QuantizedWeight
 
-        Lw, K, N = shape
+        *lead, K, N = shape
+        nl = int(np.prod(lead))
         g = K if quant.group_size <= 0 else quant.group_size
         _seed[0] += 1
-        # one native fill over the stacked [L*K, N] buffer: groups tile evenly
-        # (L*K/g == L*ng), so no per-layer loop and no stack copy
+        # one native fill over the stacked [prod(lead)*K, N] buffer: groups tile
+        # evenly (nl*K/g == nl*ng), so no per-layer loop and no stack copy
         if quant.weight_dtype == "int4":
-            q, sarr = native.randn_int4(Lw * K, N, g, _seed[0], scale)
-            q = q.reshape(Lw, K // 2, N)
-            sarr = sarr.reshape(Lw, K // g, N)
+            q, sarr = native.randn_int4(nl * K, N, g, _seed[0], scale)
+            q = q.reshape(*lead, K // 2, N)
+            sarr = sarr.reshape(*lead, K // g, N)
             return QuantizedWeight(q, sarr, "woq_int4")
-        q, sarr = native.randn_int8(Lw * K, N, g, _seed[0], scale)
-        q = q.reshape(Lw, K, N)
-        sarr = sarr.reshape(Lw, K // g, N)
+        q, sarr = native.randn_int8(nl * K, N, g, _seed[0], scale)
+        q = q.reshape(*lead, K, N)
+        sarr = sarr.reshape(*lead, K // g, N)
         fmt8 = "woq_int8_dyn" if quant.act_quant == "dynamic" else "woq_int8"
         return QuantizedWeight(q, sarr, fmt8)
 
@@ -101,8 +103,17 @@ def init_dummy_params(
         attn.update(bq=zeros(L, QD), bk=zeros(L, KD), bv=zeros(L, KD))
     if cfg.o_bias if cfg.o_bias is not None else cfg.attn_bias:  # qwen2: qkv bias, no bo
         attn["bo"] = zeros(L, H)
-    if cfg.activation == Activation.SILU:
-        mlp: Params = {"wg": wq(L, H, F), "w1": wq(L, H, F), "w2": wq(L, F, H)}
+    if cfg.num_experts:
+        # mixtral block-sparse MoE: router fp + experts stacked [L, E, K, N]
+        Ex = cfg.num_experts
+        mlp: Params = {
+            "router": w(L, H, Ex),
+            "wg": wq(L, Ex, H, F),
+            "w1": wq(L, Ex, H, F),
+            "w2": wq(L, Ex, F, H),
+        }
+    elif cfg.activation == Activation.SILU:
+        mlp = {"wg": wq(L, H, F), "w1": wq(L, H, F), "w2": wq(L, F, H)}
     else:
         mlp = {"w1": wq(L, H, F), "w2": wq(L, F, H)}
         if cfg.mlp_bias:
@@ -229,15 +240,34 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         attn["bv"] = stack(lp + "self_attn.v_proj.bias")
     if cfg.o_bias if cfg.o_bias is not None else cfg.attn_bias:
         attn["bo"] = stack(lp + "self_attn.o_proj.bias")
+    if cfg.num_experts:
+        # mixtral block-sparse MoE (HF modeling_mixtral): gate.weight [E, H] →
+        # router [H, E]; experts.M.{w1=gate, w3=up, w2=down} stacked over [L, E]
+        ep = lp + "block_sparse_moe.experts.{}."
+
+        def estack(suffix):
+            return np.stack([
+                np.stack([wT(ep.format(i, e) + suffix) for e in range(cfg.num_experts)])
+                for i in range(L)
+            ])
+
+        mlp: Params = {
+            "router": stack(lp + "block_sparse_moe.gate.weight", True),
+            "wg": estack("w1.weight"),
+            "w1": estack("w3.weight"),
+            "w2": estack("w2.weight"),
+        }
+    else:
+        mlp = {
+            "wg": stack(lp + "mlp.gate_proj.weight", True),
+            "w1": stack(lp + "mlp.up_proj.weight", True),
+            "w2": stack(lp + "mlp.down_proj.weight", True),
+        }
     params["layers"] = {
         "ln1": {"scale": stack(lp + "input_layernorm.weight")},
         "attn": attn,
         "ln2": {"scale": stack(lp + "post_attention_layernorm.weight")},
-        "mlp": {
-            "wg": stack(lp + "mlp.gate_proj.weight", True),
-            "w1": stack(lp + "mlp.up_proj.weight", True),
-            "w2": stack(lp + "mlp.down_proj.weight", True),
-        },
+        "mlp": mlp,
     }
     return params
 

@@ -194,9 +194,36 @@ def qwen2_pair():
     return cfg, hf, params
 
 
+@pytest.fixture(scope="module")
+def mixtral_pair():
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = get_config("mixtral-tiny").replace(dtype="float32")
+    hf_cfg = MixtralConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.norm_eps,
+        num_local_experts=cfg.num_experts,
+        num_experts_per_tok=cfg.num_experts_per_tok,
+        sliding_window=None,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = MixtralForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
 ALL_PAIRS = [
     "opt_pair", "llama_pair", "gptj_pair", "neox_pair",
-    "falcon_pair", "mistral_pair", "qwen2_pair",
+    "falcon_pair", "mistral_pair", "qwen2_pair", "mixtral_pair",
 ]
 
 

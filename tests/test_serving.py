@@ -186,3 +186,20 @@ def test_chunked_admission_matches_and_interleaves(model):
     by_id = {r.req_id: r.output for r in cb.run()}
     for i, j in zip(ids, ids_ref):
         assert by_id[i] == ref_by_id[j], f"request {i} (chunked admission)"
+
+
+def test_serving_moe_matches_static_engine():
+    """Continuous batching over a block-sparse MoE model (mixtral-tiny)."""
+    cfg = get_config("mixtral-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=23, scale=0.12)
+    gen = GenerationConfig(max_new_tokens=5)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [50, 60]]
+
+    eng = InferenceEngine(cfg, params)
+    ref = [list(eng.generate([p], gen).sequences[0]) for p in prompts]
+
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen)
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r for r in cb.run()}
+    for i, r in zip(ids, ref):
+        assert by_id[i].output == r

@@ -101,6 +101,55 @@ def test_dp_tp_mesh(cfg):
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
 
 
+def test_moe_ep_tp_matches_single_device():
+    """Mixtral-style MoE on a (data=2, expert=2, model=2) mesh: experts sharded
+    over the expert axis (EP — additive over the reference, whose Mixtral is
+    single-device, SURVEY §2.5) and the per-expert FFN col/row-split on model."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from lia_tpu.config import Activation, Norm
+
+    cfg = ModelConfig(
+        name="moe-test", vocab_size=512, hidden_size=128, ffn_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=8, head_dim=16,
+        max_position_embeddings=64, dtype="float32",
+        activation=Activation.SILU, norm=Norm.RMSNORM, rope=True,
+        learned_pos=False, attn_bias=False, mlp_bias=False,
+        num_experts=4, num_experts_per_tok=2,
+    )
+    params_host = init_dummy_params(cfg, seed=7, scale=0.02)
+    B, S, NEW = 2, 16, 2
+    tokens = np.random.default_rng(2).integers(3, 500, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), bool)
+
+    cache1 = kvc.init_cache(cfg, B, S + NEW, jnp.float32)
+    p1 = jax.device_put(params_host)
+    ref_logits, ref_cache = jax.jit(partial(T.prefill, cfg))(
+        p1, jnp.asarray(tokens), jnp.asarray(mask), cache1
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2, 2), ("data", "expert", "model"))
+    sh = shd.param_shardings(cfg, params_host, mesh)  # ep_axis auto-detected
+    moe_sh = sh["layers"]["mlp"]
+    assert moe_sh["wg"].spec == P(None, "expert", None, "model")
+    assert moe_sh["w2"].spec == P(None, "expert", "model", None)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params_host, sh)
+    cache = jax.device_put(
+        kvc.init_cache(cfg, B, S + NEW, jnp.float32), shd.cache_shardings(mesh)
+    )
+    ds = shd.data_sharding(mesh)
+    logits, cache = jax.jit(partial(T.prefill, cfg))(
+        params, jax.device_put(jnp.asarray(tokens), ds),
+        jax.device_put(jnp.asarray(mask), ds), cache,
+    )
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
+
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+    pos = jnp.full((B, 1), S, jnp.int32)
+    d_logits, _ = jax.jit(partial(T.decode_step, cfg))(params, tok, pos, cache)
+    r_logits, _ = jax.jit(partial(T.decode_step, cfg))(p1, tok, pos, ref_cache)
+    np.testing.assert_allclose(np.asarray(d_logits), np.asarray(r_logits), rtol=2e-4, atol=2e-4)
+
+
 def test_graft_dryrun_runs():
     import importlib.util, pathlib
 
