@@ -126,7 +126,7 @@ def attend_prefill(
     from lia_tpu.ops import dispatch
 
     S = q.shape[1]
-    if dispatch.use_pallas():
+    if dispatch.use_pallas() and dispatch.gqa_kernel_ok(q.shape[2], k.shape[1], q.shape[3]):
         bq = dispatch.pick_block(S, 256, minimum=16)
         bk = dispatch.pick_block(S, 512, minimum=16)
         if bq is not None and bk is not None:
@@ -157,7 +157,7 @@ def attend_prefill_cached(
         v_cache = dequantize_kv(v_cache, q.dtype)
     B, C = q.shape[:2]
     S_max = k_cache.shape[2]
-    if dispatch.use_pallas():
+    if dispatch.use_pallas() and dispatch.gqa_kernel_ok(q.shape[2], k_cache.shape[1], q.shape[3]):
         bk = dispatch.pick_block(S_max, 512, minimum=64)
         if bk is not None:
             from lia_tpu.ops.pallas_attention import flash_attention_cached
@@ -190,7 +190,7 @@ def attend_decode(
         k_cache = dequantize_kv(k_cache, q.dtype)
         v_cache = dequantize_kv(v_cache, q.dtype)
     S_max = k_cache.shape[2]
-    if dispatch.use_pallas():
+    if dispatch.use_pallas() and dispatch.gqa_kernel_ok(q.shape[2], k_cache.shape[1], q.shape[3]):
         bk = dispatch.pick_block(S_max, 512, minimum=64)
         if bk is not None:
             from lia_tpu.ops.pallas_attention import decode_attention
@@ -224,7 +224,12 @@ def attend_decode_fresh(
 
     quantized = is_quantized_kv(k_cache_full)
     S_max = k_cache_full.q.shape[3] if quantized else k_cache_full.shape[3]
-    if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
+    Nkv = k_cache_full.q.shape[2] if quantized else k_cache_full.shape[2]
+    if (
+        dispatch.use_pallas()
+        and dispatch.stacked_kernel_enabled()
+        and dispatch.gqa_kernel_ok(q.shape[2], Nkv, q.shape[3])
+    ):
         bk = dispatch.pick_block(S_max, 512, minimum=64)
         if bk is not None:
             if quantized:
@@ -280,7 +285,11 @@ def attend_decode_stacked(
 
     if not is_quantized_kv(k_cache_full):
         S_max = k_cache_full.shape[3]
-        if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
+        if (
+            dispatch.use_pallas()
+            and dispatch.stacked_kernel_enabled()
+            and dispatch.gqa_kernel_ok(q.shape[2], k_cache_full.shape[2], q.shape[3])
+        ):
             bk = dispatch.pick_block(S_max, 512, minimum=64)
             if bk is not None:
                 from lia_tpu.ops.pallas_attention import decode_attention_stacked

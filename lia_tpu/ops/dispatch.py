@@ -103,6 +103,14 @@ def fused_mlp_enabled() -> bool:
     return False
 
 
+def gqa_kernel_ok(num_heads: int, num_kv_heads: int, head_dim: int) -> bool:
+    """GQA-grouped attention kernels reshape [*, G*D] ↔ [*·G, D] in-register;
+    Mosaic only supports that relayout when the lane dim stays 128-aligned.
+    MHA (G == 1) reshapes are no-ops, so any D works. Small-D GQA configs
+    (tiny test models) take the jnp path instead."""
+    return num_heads == num_kv_heads or head_dim % 128 == 0
+
+
 def pick_block(n: int, target: int, minimum: int = 8) -> Optional[int]:
     """Largest divisor of ``n`` that is ≤ target and a multiple of ``minimum``."""
     b = min(target, n)

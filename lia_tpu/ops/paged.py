@@ -138,7 +138,11 @@ def paged_attention(
     via scalar-prefetch index maps; fallback is the XLA gather + jnp path."""
     from lia_tpu.ops import dispatch
 
-    if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
+    if (
+        dispatch.use_pallas()
+        and dispatch.stacked_kernel_enabled()
+        and dispatch.gqa_kernel_ok(q.shape[2], cache.k.shape[2], q.shape[3])
+    ):
         D = q.shape[-1]
         bs = cache.block_size
         if D % 8 == 0 and (bs % 8 == 0 or bs >= 8):
@@ -223,7 +227,11 @@ def attend_decode_paged(
     """Dispatched paged decode attention with fresh-token merge."""
     from lia_tpu.ops import dispatch
 
-    if dispatch.use_pallas() and dispatch.stacked_kernel_enabled():
+    if (
+        dispatch.use_pallas()
+        and dispatch.stacked_kernel_enabled()
+        and dispatch.gqa_kernel_ok(q.shape[2], k_pool.shape[2], q.shape[3])
+    ):
         return paged_decode_attention(
             q, k_pool, v_pool, layer_idx, block_table, lengths,
             k_fresh=k_fresh, v_fresh=v_fresh,

@@ -11,7 +11,11 @@
 set -e
 cd "$(dirname "$0")/.."
 B=${B:-64}
-HBM=${HBM:-40}
+# HBM budget on a 16 GB v5e: resident int8 layers (~0.64 GB each) + bf16
+# embed/lm_head (~1.4 GB) + the streaming double-buffer (~1.3 GB) + activations.
+# 40% (19 layers, ~15 GB total) OOMs during the async prefill chain; 30%
+# (14 layers, ~12 GB) leaves headroom for XLA temps + relay staging.
+HBM=${HBM:-30}
 NM=${NM:-4}
 python run.py --benchmark -m opt-30b --dummy-weights --weight-dtype int8 \
   --kv-cache-dtype int8 --batch-size "$B" --input-tokens 32 --max-new-tokens 4 \
