@@ -31,12 +31,20 @@ def main():
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(10, 30000, size=n_in)) for _ in range(batch)]
 
+    import os
+
     variants = [
         ("int8-dyn", QuantConfig(weight_dtype="int8", group_size=-1,
                                  kv_cache_dtype="int8", act_quant="dynamic")),
         ("int8", QuantConfig(weight_dtype="int8", group_size=-1, kv_cache_dtype="int8")),
         ("int4-g128", QuantConfig(weight_dtype="int4", group_size=128)),
+        ("int4-dyn-g128", QuantConfig(weight_dtype="int4", group_size=128,
+                                      kv_cache_dtype="int8", act_quant="dynamic")),
     ]
+    only = os.environ.get("VARIANTS")
+    if only:
+        keep = set(only.split(","))
+        variants = [v for v in variants if v[0] in keep]
     for name, quant in variants:
         params = init_dummy_params(cfg, quant=quant)
         engine = InferenceEngine(cfg, params, RuntimeConfig(quant=quant))

@@ -32,7 +32,9 @@ import numpy as np
 
 from lia_tpu.config import ModelConfig, QuantConfig
 
-QUANT_FORMATS = ("woq_int8", "woq_int8_dyn", "woq_int4", "woq_int4z", "static_int8")
+QUANT_FORMATS = (
+    "woq_int8", "woq_int8_dyn", "woq_int4", "woq_int4_dyn", "woq_int4z", "static_int8"
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -93,14 +95,22 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
     assert K % g == 0, f"in-dim {K} not divisible by group size {g}"
     ng = K // g
     fmt8 = "woq_int8"
+    fmt4 = "woq_int4"
     if qc.act_quant == "dynamic":
-        if qc.weight_dtype != "int8" or ng != 1:
-            raise ValueError(
-                "act_quant='dynamic' needs int8 weights with per-channel scales "
-                "(group_size=-1): the int32 dot sums the whole K axis, so "
-                "per-group rescale is not expressible post-hoc"
-            )
-        fmt8 = "woq_int8_dyn"
+        if qc.weight_dtype == "int8":
+            if ng != 1:
+                raise ValueError(
+                    "act_quant='dynamic' with int8 needs per-channel scales "
+                    "(group_size=-1): the int32 dot sums the whole K axis, so "
+                    "per-group rescale is not expressible post-hoc"
+                )
+            fmt8 = "woq_int8_dyn"
+        elif qc.weight_dtype == "int4":
+            # W4A8: per-group batched int8 dots handle grouped scales (the
+            # half-split packing keeps each half's groups whole)
+            fmt4 = "woq_int4_dyn"
+        else:
+            raise ValueError("act_quant='dynamic' needs int8 or int4 weights")
 
     # native OpenMP path (liahost.cpp quantize_int8/int4) — ~30x over numpy
     from lia_tpu import native
@@ -117,7 +127,7 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
             ss.append(s_i)
         q = np.stack(qs).reshape(*lead, -1, N) if lead else qs[0]
         s = np.stack(ss).reshape(*lead, ng, N) if lead else ss[0]
-        fmt = fmt8 if qc.weight_dtype == "int8" else "woq_int4"
+        fmt = fmt8 if qc.weight_dtype == "int8" else fmt4
         return QuantizedWeight(q, s, fmt)
 
     wg = w.reshape(*lead, ng, g, N)
@@ -142,7 +152,7 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
         b = (q + 8).astype(np.uint8)
         bh = b.reshape(*lead, K, N)
         packed = (bh[..., : K // 2, :] & 0xF) | (bh[..., K // 2 :, :] << 4)
-        return QuantizedWeight(packed, s, "woq_int4")
+        return QuantizedWeight(packed, s, fmt4)
     return QuantizedWeight(q, s, fmt8)
 
 
@@ -228,9 +238,9 @@ def quantize_params_static(
 def dequantize(rec: "QuantizedWeight", dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the fp weight [..., K, N] (golden path / XLA pre-fusion form)."""
     q, s = rec.q, rec.s
-    if rec.fmt in ("woq_int4", "woq_int4z"):
+    if rec.fmt in ("woq_int4", "woq_int4_dyn", "woq_int4z"):
         # global half-split packing: byte r holds rows (r, K/2 + r)
-        bias = 8 if rec.fmt == "woq_int4" else 0  # int4z keeps raw codes
+        bias = 0 if rec.fmt == "woq_int4z" else 8  # int4z keeps raw codes
         lo = (q & 0xF).astype(jnp.int32) - bias
         hi = ((q >> 4) & 0xF).astype(jnp.int32) - bias
         qi = jnp.concatenate([lo, hi], axis=-2)
@@ -309,6 +319,53 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
             preferred_element_type=jnp.int32,
         )
         return y.astype(jnp.float32) * (s_x * rec.s[..., 0, :])
+
+    if rec.fmt == "woq_int4_dyn" and rec.q.ndim == 2:
+        # W4A8: per-token int8 act quant → nibble codes unpacked IN INT8 (and/
+        # shift/sub only — no int→float convert, which is what bounds the int4
+        # dequant kernel at ~200 GB/s) → per-group batched int8×int8→int32 MXU
+        # dots → rescale by (act scale × per-group weight scale). The global
+        # half-split packing keeps each half's groups whole, so the lo/hi
+        # halves run as two batched dots over [ng/2, g, N] with no relayout.
+        lead = x.shape[:-1]
+        K = x.shape[-1]
+        Kh = K // 2
+        N = rec.q.shape[-1]
+        ng = rec.s.shape[-2]
+        x2 = x.reshape(-1, K)
+        M = x2.shape[0]
+        s_x = jnp.max(jnp.abs(x2).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+        s_x = jnp.maximum(s_x, 1e-8)
+        xq = jnp.round(x2.astype(jnp.float32) / s_x).astype(jnp.int8)
+        pu = rec.q.astype(jnp.uint8)
+        lo = (pu & 0xF).astype(jnp.int8) - jnp.int8(8)  # rows [0, K/2)
+        hi = (pu >> 4).astype(jnp.int8) - jnp.int8(8)  # rows [K/2, K)
+        if ng == 1:
+            y = jax.lax.dot_general(
+                xq[:, :Kh], lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + jax.lax.dot_general(
+                xq[:, Kh:], hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = y.astype(jnp.float32) * (s_x * rec.s[0])
+        else:
+            g = K // ng
+            ngh = ng // 2
+            out = jnp.zeros((M, N), jnp.float32)
+            for half, codes in ((0, lo), (1, hi)):
+                xg = xq[:, half * Kh : (half + 1) * Kh].reshape(M, ngh, g)
+                yg = jax.lax.dot_general(
+                    xg.transpose(1, 0, 2), codes.reshape(ngh, g, N),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )  # [ngh, M, N]
+                out = out + jnp.einsum(
+                    "gmn,gn->mn", yg.astype(jnp.float32),
+                    rec.s[half * ngh : (half + 1) * ngh],
+                )
+            out = out * s_x
+        return out.reshape(*lead, N)
 
     lead = x.shape[:-1]
     K = x.shape[-1]

@@ -79,7 +79,8 @@ def init_dummy_params(
             q, sarr = native.randn_int4(nl * K, N, g, _seed[0], scale)
             q = q.reshape(*lead, K // 2, N)
             sarr = sarr.reshape(*lead, K // g, N)
-            return QuantizedWeight(q, sarr, "woq_int4")
+            fmt4 = "woq_int4_dyn" if quant.act_quant == "dynamic" else "woq_int4"
+            return QuantizedWeight(q, sarr, fmt4)
         q, sarr = native.randn_int8(nl * K, N, g, _seed[0], scale)
         q = q.reshape(*lead, K, N)
         sarr = sarr.reshape(*lead, K // g, N)

@@ -37,9 +37,13 @@ def main(argv=None) -> int:
     p.add_argument("--self-test", action="store_true", help="synthesize a probe set from the model")
     p.add_argument("--limit", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--weight-dtype", default="none", choices=["none", "int8", "int4"])
+    p.add_argument("--weight-dtype", default="none",
+                   choices=["none", "int8", "int4", "static-int8"])
+    p.add_argument("--group-size", type=int, default=-1)
     p.add_argument("--act-quant", default="none", choices=["none", "dynamic"])
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
+    p.add_argument("--gptq", action="store_true",
+                   help="GPTQ-quantize at load (Hessian-guided; needs fp weights)")
     p.add_argument("--lm-eval", action="store_true",
                    help="run lm-eval-harness tasks (requires lm_eval + --tokenizer)")
     p.add_argument("--tasks", default="lambada_openai",
@@ -50,15 +54,38 @@ def main(argv=None) -> int:
     cfg = get_config(args.model).replace(dtype=args.dtype)
     quant = QuantConfig(
         weight_dtype=args.weight_dtype,
+        group_size=args.group_size,
         kv_cache_dtype=args.kv_cache_dtype,
         act_quant=args.act_quant,
     )
-    if args.checkpoint:
-        params = load_hf_checkpoint(cfg, args.checkpoint)
+
+    def _calib():
+        rng = np.random.default_rng(0)
+        return [list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=64))
+                for _ in range(4)]
+
+    def _quantize_fp(params):
+        if args.weight_dtype == "static-int8":
+            from lia_tpu.ops.smoothquant import static_int8_quantize
+
+            return static_int8_quantize(cfg, params, _calib())[0]
+        if args.gptq:
+            from lia_tpu.ops.gptq import gptq_quantize_params
+
+            bits = 8 if args.weight_dtype == "int8" else 4
+            g = args.group_size if args.group_size > 0 else 128
+            return gptq_quantize_params(cfg, params, _calib(), bits=bits, group_size=g)
         if quant.enabled:
             from lia_tpu.ops.quant import quantize_params
 
-            params = quantize_params(cfg, params, quant)
+            return quantize_params(cfg, params, quant)
+        return params
+
+    needs_fp = args.gptq or args.weight_dtype == "static-int8"
+    if args.checkpoint:
+        params = _quantize_fp(load_hf_checkpoint(cfg, args.checkpoint))
+    elif needs_fp:
+        params = _quantize_fp(init_dummy_params(cfg))
     else:
         params = init_dummy_params(cfg, quant=quant if quant.enabled else None)
     engine = InferenceEngine(cfg, params, RuntimeConfig(quant=quant))

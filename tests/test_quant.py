@@ -187,3 +187,48 @@ def test_dynamic_act_quant_generates():
         eng = InferenceEngine(cfg, qp, RuntimeConfig())
         outs[aq] = np.asarray(eng.generate(prompts, gen).sequences)
     assert outs["none"].shape == outs["dynamic"].shape
+
+
+@pytest.mark.parametrize("gs", [-1, 32])
+def test_w4a8_dynamic_matmul_close(rng, gs):
+    """woq_int4_dyn (W4A8): nibble codes → int8 MXU dots with per-group batched
+    rescale; must track fp within combined int4-weight + int8-act error and
+    agree tightly with the explicit dequant-int4 × quant-act emulation."""
+    from lia_tpu.ops.quant import dequantize
+
+    x = jnp.asarray(rng.standard_normal((4, 128), dtype=np.float32) * 0.3)
+    w = rng.standard_normal((128, 48), dtype=np.float32) * 0.1
+    rec = quantize_weight(
+        w, QuantConfig(weight_dtype="int4", group_size=gs, act_quant="dynamic")
+    )
+    assert rec.fmt == "woq_int4_dyn"
+    y = np.asarray(quantized_matmul(x, jax_tree(rec)))
+    ref = np.asarray(x) @ w
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 0.12, rel
+
+    # exact emulation: quantize acts per token, dot against dequantized codes
+    xf = np.asarray(x, np.float64)
+    s_x = np.maximum(np.abs(xf).max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    xq = np.rint(xf / s_x)
+    wdq = np.asarray(dequantize(jax_tree(rec), jnp.float32), np.float64)
+    expect = (xq @ wdq) * s_x
+    np.testing.assert_allclose(y, expect, rtol=2e-5, atol=2e-5)
+
+
+def test_w4a8_generates_and_tracks_int4():
+    """Engine-level: int4-dyn generates; fused decode path compiles."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg = get_config("llama-tiny")
+    params = init_dummy_params(cfg, seed=0)
+    prompts = [[4, 8, 15, 16], [23, 42]]
+    gen = GenerationConfig(max_new_tokens=5)
+    outs = {}
+    for aq in ("none", "dynamic"):
+        qp = quantize_params(
+            cfg, params, QuantConfig(weight_dtype="int4", group_size=16, act_quant=aq)
+        )
+        eng = InferenceEngine(cfg, qp, RuntimeConfig())
+        outs[aq] = np.asarray(eng.generate(prompts, gen, fused=True).sequences)
+    assert outs["none"].shape == outs["dynamic"].shape
