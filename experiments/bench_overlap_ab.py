@@ -34,8 +34,13 @@ from lia_tpu.utils.checkpoint import init_dummy_params
 
 
 def main():
-    model = "opt-6.7b"
-    batch, n_in, n_out = 16, 64, 6
+    import os
+
+    model = os.environ.get("MODEL", "opt-6.7b")
+    batch = int(os.environ.get("B", 16))
+    n_in = int(os.environ.get("IN", 64))
+    n_out = int(os.environ.get("OUT", 6))
+    hbm = int(os.environ.get("HBM", 50))
     cfg = get_config(model)
     quant = QuantConfig(weight_dtype="int8", group_size=-1, kv_cache_dtype="int8",
                         act_quant="dynamic")
@@ -44,9 +49,12 @@ def main():
     prompts = [list(rng.integers(10, 30000, size=n_in)) for _ in range(batch)]
     params = init_dummy_params(cfg, quant=quant)
 
+    modes = {"on": (True,), "off": (False,), "both": (True, False)}[
+        os.environ.get("MODES", "both")
+    ]
     results = {}
-    for overlap in (True, False):
-        rt = RuntimeConfig(quant=quant, hbm_percentage=50, prefill_policy=0,
+    for overlap in modes:
+        rt = RuntimeConfig(quant=quant, hbm_percentage=hbm, prefill_policy=0,
                            decode_policy=0, overlap=overlap, num_minibatch=2)
         engine = InferenceEngine(cfg, params, rt)
         engine.generate(prompts, gen)  # compile + warm
@@ -59,15 +67,16 @@ def main():
             "first_token_s": round(lat["first_token_latency_s"], 2),
             "decode_s_per_step": round(lat["avg_2nd_token_latency_s"], 2),
         }
-        engine.scheduler.close() if engine.scheduler else None
-        del engine
         print(json.dumps({("overlap" if overlap else "serial"): results[
             "overlap_on" if overlap else "overlap_off"]}), flush=True)
+        if engine.scheduler is not None:
+            engine.scheduler.wm.close()
+        del engine
 
     # raw transfer floor: time the streamed layers' device_puts alone
     from lia_tpu.runtime.weight_manager import TieredWeightManager
 
-    wm = TieredWeightManager(params["layers"], cfg.num_layers, hbm_percentage=50,
+    wm = TieredWeightManager(params["layers"], cfg.num_layers, hbm_percentage=hbm,
                              overlap=False)
     n_res = wm.n_resident
     t0 = time.perf_counter()

@@ -166,6 +166,12 @@ class RuntimeConfig:
     num_minibatch: int = 1
     stream_weights: bool = False  # force host-resident weights + per-layer streaming
     overlap: bool = True  # --no-overlap kill-switch analog (serialize transfers)
+    # Max streamed layers whose dispatch may run ahead of execution. Each
+    # enqueued layer pins its output buffers (q/k/v/attn_out at full batch)
+    # from dispatch until execution, so an unthrottled loop over 30+ streamed
+    # layers OOMs HBM whenever transfers are slower than dispatch. 2 ==
+    # double-buffering: layer i executes while i+1's transfer streams.
+    max_inflight_layers: int = 2
     fuse_projections: bool = True  # concat q/k/v + gate/up weights (ops/fuse.py)
     use_pallas: bool = True  # use Pallas kernels (False => pure-XLA fallback)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model) mesh axes

@@ -25,6 +25,7 @@ JAX's async dispatch discipline:
 
 from __future__ import annotations
 
+import collections
 import time
 from functools import partial
 from typing import Any, Dict, Optional
@@ -341,6 +342,22 @@ class StreamingScheduler:
         nm = max(1, self.runtime.num_minibatch) if phase == "prefill" else 1
         overlap = self.runtime.overlap
 
+        # Throttle dispatch run-ahead. PJRT allocates an executable's output
+        # buffers at enqueue, so with overlap on, a loop that never blocks
+        # pins every streamed layer's q/k/v/attn_out at once — at OPT-30B
+        # b=64 that ran HBM out of memory long before execution caught up.
+        # A window of max_inflight_layers keeps transfer/compute overlap
+        # (double-buffering) with bounded live memory.
+        _pending: collections.deque = collections.deque()
+
+        def _sync(tok):
+            if not overlap:
+                jax.block_until_ready(tok)
+                return
+            _pending.append(tok)
+            if len(_pending) > max(1, self.runtime.max_inflight_layers):
+                jax.block_until_ready(_pending.popleft())
+
         if plan.all_host:
             # policy 1: whole layers on the host; activations hop once per segment
             layer_f = self._host_layer_fn(phase)
@@ -389,8 +406,7 @@ class StreamingScheduler:
                         attn_out = jax.device_put(attn_out, jax.devices()[0])
                         parts.append(post_f(lp, x[b0 : b0 + mb], attn_out))
                     x = jnp.concatenate(parts, axis=0)
-                if not overlap:
-                    jax.block_until_ready(x)
+                _sync(x)
             return x, cache
 
         if plan.kv == "host":
@@ -426,8 +442,7 @@ class StreamingScheduler:
                             )
                             parts.append(post_f(lp, x[b0 : b0 + mb], attn_out))
                         x = jnp.concatenate(parts, axis=0)
-                    if not overlap:
-                        jax.block_until_ready(x)
+                    _sync(x)
             else:
                 attn_f = self._tpu_decode_attn_kvin_fn()
                 tpu = jax.devices()[0]
@@ -444,8 +459,7 @@ class StreamingScheduler:
                     k_h, v_h = jax.device_put((k, v), self.cpu)
                     cache = upd_f(cache, k_h, v_h, jnp.int32(li))
                     x = post_f(lp, x, attn_out)
-                    if not overlap:
-                        jax.block_until_ready(x)
+                    _sync(x)
             return x, cache
 
         # plan: streamed weights, TPU attention, HBM KV (policy-3 tail)
@@ -477,8 +491,7 @@ class StreamingScheduler:
                     )
                     parts.append(xx)
                 x = jnp.concatenate(parts, axis=0)
-            if not overlap:
-                jax.block_until_ready(x)
+            _sync(x)
         return x, cache
 
     def _mb_layer_fn(self, phase: str):

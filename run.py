@@ -74,6 +74,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--stream-weights", action="store_true",
                    help="host-resident weights streamed per layer (pin-weight/CXL analog)")
     p.add_argument("--no-overlap", action="store_true", help="serialize transfers")
+    p.add_argument("--max-inflight-layers", type=int, default=2,
+                   help="streamed layers whose dispatch may run ahead of "
+                        "execution (bounds pinned intermediate HBM)")
     p.add_argument("--no-pallas", action="store_true", help="disable Pallas kernels")
     # --- quantization (reference run.py:109-166) ---
     p.add_argument("--weight-dtype", default="none",
@@ -161,6 +164,7 @@ def main(argv=None) -> int:
         num_minibatch=args.num_minibatch,
         stream_weights=args.stream_weights,
         overlap=not args.no_overlap,
+        max_inflight_layers=args.max_inflight_layers,
         use_pallas=not args.no_pallas,
         quant=QuantConfig(
             weight_dtype=args.weight_dtype,
