@@ -240,18 +240,33 @@ def test_opt175b_tp_program_lowers_abstractly():
     assert compiled is not None
 
 
-@pytest.mark.parametrize("wdtype,gsize", [("int8", -1), ("int8", 64), ("int4", 64)])
-def test_tp_with_quantized_weights(cfg, wdtype, gsize):
+@pytest.mark.parametrize(
+    "wdtype,gsize,aq",
+    [
+        ("int8", -1, "none"),
+        ("int8", 64, "none"),
+        ("int4", 64, "none"),
+        ("int8", -1, "dynamic"),
+        ("int4", 64, "dynamic"),
+    ],
+)
+def test_tp_with_quantized_weights(cfg, wdtype, gsize, aq):
     """TP sharding composes with WOQ weights: QuantizedWeight leaves get q/s
     pspecs (ADVICE round-1 medium: shard_params crashed on the pytree node
-    mismatch) and the sharded forward matches the single-device one."""
+    mismatch) and the sharded forward matches the single-device one.
+
+    Dynamic-act formats quantize activations per token over the *local* K
+    shard in row-parallel layers, so sharded numerics legitimately differ
+    from single-device within int8-act error — those variants use a loose
+    tolerance that still catches structural breakage (wrong scale specs)."""
     from lia_tpu.config import QuantConfig
     from lia_tpu.ops.quant import quantize_params
 
     params_host = quantize_params(
         cfg, init_dummy_params(cfg, seed=5, scale=0.02),
-        QuantConfig(weight_dtype=wdtype, group_size=gsize),
+        QuantConfig(weight_dtype=wdtype, group_size=gsize, act_quant=aq),
     )
+    tol = dict(rtol=2e-4, atol=2e-4) if aq == "none" else dict(rtol=5e-2, atol=5e-2)
     B, S = 2, 16
     tokens = np.random.default_rng(2).integers(3, 500, (B, S)).astype(np.int32)
     mask = np.ones((B, S), bool)
@@ -272,14 +287,10 @@ def test_tp_with_quantized_weights(cfg, wdtype, gsize):
         params, jax.device_put(jnp.asarray(tokens), ds),
         jax.device_put(jnp.asarray(mask), ds), cache,
     )
-    np.testing.assert_allclose(
-        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
-    )
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), **tol)
 
     tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
     pos = jnp.full((B, 1), S, jnp.int32)
     d_logits, _ = jax.jit(partial(T.decode_step, cfg))(params, tok, pos, cache)
     r_logits, _ = jax.jit(partial(T.decode_step, cfg))(p1, tok, pos, ref_cache)
-    np.testing.assert_allclose(
-        np.asarray(d_logits), np.asarray(r_logits), rtol=2e-4, atol=2e-4
-    )
+    np.testing.assert_allclose(np.asarray(d_logits), np.asarray(r_logits), **tol)
