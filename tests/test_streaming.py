@@ -48,6 +48,19 @@ def test_minibatch_prefill_matches(setup):
     np.testing.assert_array_equal(res.sequences, ref.sequences)
 
 
+@pytest.mark.parametrize("window", [1, 3])
+def test_inflight_window_matches(setup, window):
+    """The dispatch-run-ahead throttle (max_inflight_layers) must only pace
+    execution, never change results — window 1 (fully serialized-ish) and a
+    wide window generate identically to the resident reference."""
+    cfg, params, gen, prompts, ref = setup
+    rt = RuntimeConfig(
+        hbm_percentage=25, stream_weights=True, max_inflight_layers=window
+    )
+    res = InferenceEngine(cfg, params, rt).generate(prompts, gen)
+    np.testing.assert_array_equal(res.sequences, ref.sequences)
+
+
 def test_weight_manager_reports_residency():
     cfg = get_config("opt-tiny")
     params = init_dummy_params(cfg)
