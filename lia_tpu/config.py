@@ -142,6 +142,10 @@ class QuantConfig:
     # at matmul time and run int8×int8 MXU dots — the reference WOQ
     # ``lowp_mode=INT8`` analog (quantize-A path, WoqTppKrnl.cpp).
     act_quant: str = "none"  # none | dynamic
+    # Quantize the (untied) lm_head with the same format — the vocab projection
+    # is the largest single per-step HBM read after the decoder stack (Llama-3's
+    # 128k vocab: 1.05 GB bf16). Reference WOQ converts lm_head like any Linear.
+    quant_lm_head: bool = True
 
     @property
     def enabled(self) -> bool:

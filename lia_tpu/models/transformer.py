@@ -384,12 +384,25 @@ def _lm_head(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "proj_out" in params:
         x = linear(x, params["proj_out"])
     if "lm_head" in params:
+        from lia_tpu.ops.quant import is_quantized, quantized_matmul
+
         w = params["lm_head"]
-    else:  # tied embeddings
+        if is_quantized(w):
+            # WOQ lm_head (reference WOQ converts lm_head like any Linear);
+            # the vocab projection is the single largest per-step HBM read
+            # after the decoder stack, so it quantizes with the layers.
+            y = quantized_matmul(x, w)
+        else:
+            y = jax.lax.dot_general(
+                x, w, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:  # tied embeddings — the fp table also feeds the token gather
         w = params["embed_tokens"].T
-    y = jax.lax.dot_general(
-        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        y = jax.lax.dot_general(
+            x, w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if "lm_head_bias" in params:  # gpt-j ships a bias on lm_head
         y = y + params["lm_head_bias"].astype(jnp.float32)
     return y

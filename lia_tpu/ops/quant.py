@@ -174,10 +174,11 @@ def quantize_weight_static(w: np.ndarray, act_amax: np.ndarray) -> "QuantizedWei
 
 
 def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
-    """Quantize every decoder-layer matmul weight (stacked [L, in, out]).
+    """Quantize every decoder-layer matmul weight (stacked [L, in, out]) plus,
+    when ``qc.quant_lm_head`` (default), the untied lm_head.
 
-    Embeddings, norms, biases, and the lm_head stay high-precision — same scope as
-    the reference WOQ flow (it quantizes the linear layers only).
+    Embeddings, norms, and biases stay high-precision — same scope as the
+    reference WOQ flow (it converts Linear modules, lm_head included).
     """
     out = dict(params)
     layers = params["layers"]
@@ -193,6 +194,11 @@ def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
                 new_grp[k] = v
         new_layers[grp_name] = new_grp
     out["layers"] = new_layers
+    if qc.quant_lm_head and "lm_head" in out and np.ndim(out["lm_head"]) == 2:
+        K = np.shape(out["lm_head"])[0]
+        g = qc.group_size if qc.group_size > 0 else K
+        if K % g == 0:
+            out["lm_head"] = quantize_weight(np.asarray(out["lm_head"]), qc)
     return out
 
 

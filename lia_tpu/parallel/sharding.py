@@ -120,7 +120,7 @@ def param_pspecs(
     if "final_norm" in params:
         specs["final_norm"] = {k: P(None) for k in params["final_norm"]}
     if "lm_head" in params:
-        specs["lm_head"] = P(None, M)
+        specs["lm_head"] = wspec(params["lm_head"], P(None, M))  # vocab split
     return specs
 
 

@@ -232,3 +232,37 @@ def test_w4a8_generates_and_tracks_int4():
         eng = InferenceEngine(cfg, qp, RuntimeConfig())
         outs[aq] = np.asarray(eng.generate(prompts, gen, fused=True).sequences)
     assert outs["none"].shape == outs["dynamic"].shape
+
+
+def test_quant_lm_head_logits_close():
+    """quant_lm_head=True (default) quantizes the untied lm_head; logits track
+    the fp-lm_head model within per-channel-int8 error, and the opt-out flag
+    leaves the head untouched."""
+    from lia_tpu.config import RuntimeConfig
+    from lia_tpu.models import transformer as T
+    from lia_tpu.ops.quant import is_quantized
+
+    cfg = get_config("llama-tiny")  # untied lm_head
+    params = init_dummy_params(cfg, seed=3, scale=0.02)
+    assert "lm_head" in params
+    qc_on = QuantConfig(weight_dtype="int8", group_size=-1)
+    qc_off = QuantConfig(weight_dtype="int8", group_size=-1, quant_lm_head=False)
+    qp_on = quantize_params(cfg, params, qc_on)
+    qp_off = quantize_params(cfg, params, qc_off)
+    assert is_quantized(qp_on["lm_head"]) and not is_quantized(qp_off["lm_head"])
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 1, cfg.hidden_size)) * 0.1,
+        jnp.float32,
+    )
+    y_on = np.asarray(T.lm_head(cfg, qp_on, x))
+    y_off = np.asarray(T.lm_head(cfg, qp_off, x))
+    rel = np.abs(y_on - y_off).max() / max(np.abs(y_off).max(), 1e-9)
+    assert rel < 0.02, rel
+
+    # end-to-end: generates (fused) with the quantized head
+    gen = GenerationConfig(max_new_tokens=4)
+    res = InferenceEngine(cfg, qp_on, RuntimeConfig()).generate(
+        [[4, 8, 15], [16, 23]], gen, fused=True
+    )
+    assert np.asarray(res.sequences).shape[1] >= 4
