@@ -164,7 +164,13 @@ class InferenceEngine:
         gen: GenerationConfig = GenerationConfig(),
         fused: bool = False,
         seed: int = 0,
+        on_token=None,
     ) -> GenerationResult:
+        """``on_token``, if given, is called with the ``[B]`` int token array as
+        each step completes (the reference's TextStreamer / --streaming analog).
+        Streaming is a stepwise-loop feature: the fused on-device scan and the
+        tiered scheduler produce tokens in bulk, so callers wanting live tokens
+        use the default stepwise path."""
         cfg = self.cfg
         if gen.num_beams > 1:
             raise ValueError("use generate_beam() for num_beams > 1")
@@ -191,6 +197,8 @@ class InferenceEngine:
         first = sampling.sample(logits, sub, gen)
         first.block_until_ready()
         lat.record(time.perf_counter() - t0)
+        if on_token is not None:
+            on_token(np.asarray(first))
 
         positions = jnp.asarray(mask.sum(1), jnp.int32)  # logical pos of next token
         finished = (
@@ -225,6 +233,8 @@ class InferenceEngine:
             lat.record(time.perf_counter() - t0)
             positions = positions + 1
             out.append(np.asarray(tok))
+            if on_token is not None:
+                on_token(out[-1])
             if gen.eos_token_id is not None and bool(finished.all()):
                 break
         return GenerationResult(np.stack(out, axis=1), lat)

@@ -189,17 +189,21 @@ def smoothquant_quantize(
     qc,
     alpha: float | str = "auto",
     pad_id: int | None = None,
+    alphas: Sequence[float] | None = None,
 ):
     """One-stop SmoothQuant flow: calibrate → (autotune) → fold → quantize.
 
-    ``alpha="auto"`` runs :func:`autotune_alpha`; a float uses it directly.
+    ``alpha="auto"`` runs :func:`autotune_alpha` over ``alphas`` (or its
+    default sweep — the reference's --alpha-min/--alpha-max/--alpha-step
+    autotune grid, quantization/_autotune.py); a float uses it directly.
     Mirrors the reference recipe pipeline (quantization/_smooth_quant.py +
     run_quantization.py --alpha auto knobs).
     """
     from lia_tpu.ops.quant import quantize_params
 
     if alpha == "auto":
-        alpha, _ = autotune_alpha(cfg, params, prompts, qc, pad_id=pad_id)
+        kw = {} if alphas is None else {"alphas": tuple(alphas)}
+        alpha, _ = autotune_alpha(cfg, params, prompts, qc, pad_id=pad_id, **kw)
     act = collect_act_scales(cfg, params, prompts, pad_id=pad_id or cfg.pad_token_id)
     folded = apply_smoothquant(cfg, params, act, alpha=float(alpha))
     return quantize_params(cfg, folded, qc), float(alpha)

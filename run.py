@@ -96,6 +96,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="SmoothQuant outlier migration before WOQ: 'auto' runs "
                         "the alpha autotune (reference _autotune.py), or pass "
                         "a float alpha")
+    p.add_argument("--alpha-min", type=float, default=0.3,
+                   help="smoothquant autotune sweep start (reference --alpha-min)")
+    p.add_argument("--alpha-max", type=float, default=0.8,
+                   help="smoothquant autotune sweep end (reference --alpha-max)")
+    p.add_argument("--alpha-step", type=float, default=0.1,
+                   help="smoothquant autotune sweep step (reference --alpha-step)")
+    p.add_argument("--calib-iters", type=int, default=4,
+                   help="calibration prompts for quantization flows "
+                        "(reference --calib-iters)")
     p.add_argument("--save-quantized", default=None, metavar="PATH",
                    help="persist the (quantized) param tree after load "
                         "(reference: run.py best_model.pt, :59-61,463-470)")
@@ -105,48 +114,64 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true", help="emit a jax trace to /tmp/lia_trace")
     p.add_argument("--prompt", default=None, help="text prompt (requires --tokenizer)")
     p.add_argument("--tokenizer", default=None, help="local tokenizer directory")
+    p.add_argument("--streaming", action="store_true",
+                   help="print sequence 0's tokens as they decode (stepwise "
+                        "loop; TextStreamer analog)")
+    p.add_argument("--output-dir", default=None, metavar="DIR",
+                   help="also write the summary JSON to DIR/summary.json")
     return p
 
 
-def _calib_prompts(cfg):
+def _calib_prompts(cfg, n=4):
     import numpy as _np
 
     rng = _np.random.default_rng(0)
     return [list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=64))
-            for _ in range(4)]
+            for _ in range(n)]
 
 
-def _smoothquant_flow(cfg, params, runtime, alpha_arg):
+def _alpha_sweep(args):
+    import numpy as _np
+
+    return [round(float(a), 4) for a in
+            _np.arange(args.alpha_min, args.alpha_max + 1e-9, args.alpha_step)]
+
+
+def _smoothquant_flow(cfg, params, runtime, alpha_arg, args):
     """Calibrate on synthetic prompts, (auto)tune alpha, fold, quantize."""
     from lia_tpu.ops.smoothquant import smoothquant_quantize
 
     alpha = "auto" if alpha_arg == "auto" else float(alpha_arg)
     params, used = smoothquant_quantize(
-        cfg, params, _calib_prompts(cfg), runtime.quant, alpha=alpha
+        cfg, params, _calib_prompts(cfg, args.calib_iters), runtime.quant,
+        alpha=alpha, alphas=_alpha_sweep(args),
     )
     print(f"[lia-tpu] smoothquant folded with alpha={used}")
     return params
 
 
-def _gptq_flow(cfg, params, runtime, actorder):
+def _gptq_flow(cfg, params, runtime, actorder, args):
     """Native GPTQ on fp weights (ipex.quantization.gptq analog)."""
     from lia_tpu.ops.gptq import gptq_quantize_params
 
     bits = 8 if runtime.quant.weight_dtype == "int8" else 4
     g = runtime.quant.group_size if runtime.quant.group_size > 0 else 128
     params = gptq_quantize_params(
-        cfg, params, _calib_prompts(cfg), bits=bits, group_size=g, actorder=actorder
+        cfg, params, _calib_prompts(cfg, args.calib_iters),
+        bits=bits, group_size=g, actorder=actorder,
     )
     print(f"[lia-tpu] gptq quantized (bits={bits}, group={g}, actorder={actorder})")
     return params
 
 
-def _static_int8_flow(cfg, params, alpha_arg):
+def _static_int8_flow(cfg, params, alpha_arg, args):
     """W8A8: smoothquant fold + static activation calibration + int8 weights."""
     from lia_tpu.ops.smoothquant import static_int8_quantize
 
     alpha = 0.5 if alpha_arg is None else ("auto" if alpha_arg == "auto" else float(alpha_arg))
-    params, used = static_int8_quantize(cfg, params, _calib_prompts(cfg), alpha=alpha)
+    params, used = static_int8_quantize(
+        cfg, params, _calib_prompts(cfg, args.calib_iters), alpha=alpha
+    )
     print(f"[lia-tpu] static-int8 (W8A8) calibrated; smoothquant alpha={used}")
     return params
 
@@ -203,23 +228,23 @@ def main(argv=None) -> int:
     elif args.checkpoint:
         params = load_hf_checkpoint(cfg, args.checkpoint)
         if static8:
-            params = _static_int8_flow(cfg, params, sq)
+            params = _static_int8_flow(cfg, params, sq, args)
         elif args.gptq:
-            params = _gptq_flow(cfg, params, runtime, args.gptq_actorder)
+            params = _gptq_flow(cfg, params, runtime, args.gptq_actorder, args)
         elif sq is not None:
-            params = _smoothquant_flow(cfg, params, runtime, sq)
+            params = _smoothquant_flow(cfg, params, runtime, sq, args)
         elif runtime.quant.enabled:
             from lia_tpu.ops.quant import quantize_params
 
             params = quantize_params(cfg, params, runtime.quant)
     elif static8:
         # static-int8 calibrates activations on fp weights first
-        params = _static_int8_flow(cfg, init_dummy_params(cfg), sq)
+        params = _static_int8_flow(cfg, init_dummy_params(cfg), sq, args)
     elif args.gptq:
-        params = _gptq_flow(cfg, init_dummy_params(cfg), runtime, args.gptq_actorder)
+        params = _gptq_flow(cfg, init_dummy_params(cfg), runtime, args.gptq_actorder, args)
     elif sq is not None:
         # SmoothQuant needs fp weights to calibrate/fold before quantizing
-        params = _smoothquant_flow(cfg, init_dummy_params(cfg), runtime, sq)
+        params = _smoothquant_flow(cfg, init_dummy_params(cfg), runtime, sq, args)
     else:
         # dummy weights synthesize directly in quantized form when requested
         params = init_dummy_params(cfg, quant=runtime.quant if runtime.quant.enabled else None)
@@ -248,7 +273,16 @@ def main(argv=None) -> int:
             for _ in range(args.batch_size)
         ]
 
-    ctx = None
+    on_token = None
+    if args.streaming:
+        if args.fused_decode:
+            raise SystemExit("--streaming needs the stepwise loop (drop --fused-decode)")
+
+        def on_token(toks, _tok=tokenizer):
+            t = int(toks[0])
+            print(_tok.decode([t]) if _tok is not None else f" {t}",
+                  end="", flush=True)
+
     if args.profile:
         import jax
 
@@ -256,7 +290,9 @@ def main(argv=None) -> int:
     results = []
     for it in range(args.num_warmup + args.num_iter):
         t0 = time.perf_counter()
-        res = engine.generate(prompts, gen, fused=args.fused_decode)
+        res = engine.generate(prompts, gen, fused=args.fused_decode, on_token=on_token)
+        if on_token is not None:
+            print(flush=True)
         dt = time.perf_counter() - t0
         tag = "warmup" if it < args.num_warmup else "iter"
         print(f"[{tag} {it}] {dt:.3f}s  ({res.sequences.size / dt:.1f} tok/s)")
@@ -274,7 +310,14 @@ def main(argv=None) -> int:
         best = max(results, key=lambda r: r.summary()["total_tokens_per_s"])
         s = best.summary()
         print(format_summary(s))
-        print(json.dumps({"model": cfg.name, **{k: round(v, 6) for k, v in s.items()}}))
+        line = {"model": cfg.name, **{k: round(v, 6) for k, v in s.items()}}
+        print(json.dumps(line))
+        if args.output_dir:
+            _os.makedirs(args.output_dir, exist_ok=True)
+            out = _os.path.join(args.output_dir, "summary.json")
+            with open(out, "w") as f:
+                json.dump(line, f, indent=1)
+            print(f"[lia-tpu] summary written to {out}")
     return 0
 
 
