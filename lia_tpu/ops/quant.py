@@ -326,7 +326,14 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
         )
         return y.astype(jnp.float32) * (s_x * rec.s[..., 0, :])
 
-    if rec.fmt == "woq_int4_dyn" and rec.q.ndim == 2:
+    if (
+        rec.fmt == "woq_int4_dyn"
+        and rec.q.ndim == 2
+        and (rec.s.shape[-2] == 1 or rec.s.shape[-2] % 2 == 0)
+    ):
+        # (odd group counts > 1 can't split across the packed halves — they
+        # take the dequantize fallback below; quantize_weight's half-split
+        # packing makes ng even for any g that tiles K/2, the practical configs)
         # W4A8: per-token int8 act quant → nibble codes unpacked IN INT8 (and/
         # shift/sub only — no int→float convert, which is what bounds the int4
         # dequant kernel at ~200 GB/s) → per-group batched int8×int8→int32 MXU
