@@ -30,6 +30,7 @@ def load_engine(
     act_quant: str = "none",
     gptq: bool = False,
     gptq_actorder: bool = False,
+    smoothquant: Optional[float | str] = None,  # alpha, or "auto" to autotune
     prefill_policy: int = 3,
     decode_policy: int = 3,
     hbm_percentage: int = 100,
@@ -93,6 +94,12 @@ def load_engine(
             params, _ = static_int8_quantize(cfg, params, _default_calib(cfg))
         elif gptq:
             params = _gptq(params)
+        elif smoothquant is not None and quant.enabled:
+            from lia_tpu.ops.smoothquant import smoothquant_quantize
+
+            params, _ = smoothquant_quantize(
+                cfg, params, _default_calib(cfg), quant, alpha=smoothquant
+            )
         elif quant.enabled:
             params = quantize_params(cfg, params, quant)
     elif gptq_checkpoint:
@@ -118,6 +125,13 @@ def load_engine(
             )
         elif gptq:
             params = _gptq(init_dummy_params(cfg, seed=seed))
+        elif smoothquant is not None and quant.enabled:
+            from lia_tpu.ops.smoothquant import smoothquant_quantize
+
+            params, _ = smoothquant_quantize(
+                cfg, init_dummy_params(cfg, seed=seed), _default_calib(cfg),
+                quant, alpha=smoothquant,
+            )
         else:
             params = init_dummy_params(
                 cfg, seed=seed, quant=quant if quant.enabled else None
