@@ -16,6 +16,7 @@ from lia_tpu.config import (
     RuntimeConfig,
 )
 from lia_tpu.api import load_engine
+from lia_tpu import modules  # public fused-op API (ipex.llm.modules analog)
 from lia_tpu.engine.engine import GenerationResult, InferenceEngine, pack_prompts
 from lia_tpu.engine.serving import ContinuousBatcher
 from lia_tpu.models.registry import REGISTRY, get_config
@@ -33,6 +34,7 @@ __all__ = [
     "RuntimeConfig",
     "get_config",
     "load_engine",
+    "modules",
     "ContinuousBatcher",
     "pack_prompts",
 ]
