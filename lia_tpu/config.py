@@ -99,6 +99,9 @@ class ModelConfig:
     rope_interleaved: bool = False  # gpt-j/neox "rotate_every_two" pairing
     # (even/odd lanes) instead of llama's half-split pairing
     sliding_window: Optional[int] = None  # mistral: attend only the last W positions
+    alibi: bool = False  # bloom/mpt: additive key-positional attention bias
+    # (slopes per head) instead of positional embeddings
+    embed_layernorm: bool = False  # bloom: LayerNorm right after the token embed
     # --- mixture-of-experts (mixtral) ---
     num_experts: int = 0  # 0 = dense MLP; >0 = block-sparse MoE (Mixtral)
     num_experts_per_tok: int = 2  # top-k routing

@@ -158,6 +158,35 @@ def _falcon(name, h, ffn, l, heads, vocab, max_pos=2048, **kw) -> ModelConfig:
     )
 
 
+def _bloom(name, h, ffn, l, heads, vocab=250880, max_pos=2048, **kw) -> ModelConfig:
+    """Bloom (HF modeling_bloom): ALiBi attention bias instead of positional
+    embeddings, LayerNorm after the token embed, gelu-tanh MLP, per-head fused
+    QKV, tied embeddings (reference model class: utils/model_class/bloom.py)."""
+    return ModelConfig(
+        name=name,
+        family="bloom",
+        vocab_size=vocab,
+        hidden_size=h,
+        ffn_size=ffn,
+        num_layers=l,
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=h // heads,
+        max_position_embeddings=max_pos,
+        activation=Activation.GELU_NEW,  # BloomGelu == tanh-approx gelu
+        norm=Norm.LAYERNORM,
+        learned_pos=False,
+        rope=False,
+        alibi=True,
+        embed_layernorm=True,
+        tie_embeddings=True,
+        attn_bias=True,
+        mlp_bias=True,
+        pad_token_id=3,
+        **kw,
+    )
+
+
 REGISTRY = {
     # --- OPT family (facebook/opt-*) ---
     "opt-125m": _opt("opt-125m", 768, 3072, 12, 12),
@@ -199,6 +228,10 @@ REGISTRY = {
     "gpt-neox-20b": _gpt_neox("gpt-neox-20b", 6144, 24576, 44, 64, 50432),
     "pythia-6.9b": _gpt_neox("pythia-6.9b", 4096, 16384, 32, 32, 50432),
     "falcon-7b": _falcon("falcon-7b", 4544, 18176, 32, 71, 65024),
+    # --- Bloom (ALiBi family; reference model_class/bloom.py) ---
+    "bloom-560m": _bloom("bloom-560m", 1024, 4096, 24, 16),
+    "bloom-1b7": _bloom("bloom-1b7", 2048, 8192, 24, 16),
+    "bloom-7b1": _bloom("bloom-7b1", 4096, 16384, 30, 32),
     # --- tiny configs for tests (analog of tests/cpu/hf_configs/) ---
     "opt-tiny": _opt("opt-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
     "llama-tiny": _llama("llama-tiny", 64, 128, 2, 4, 2, 503, max_pos=128, theta=10000.0),
@@ -217,12 +250,14 @@ REGISTRY = {
     "gptj-tiny": _gptj("gptj-tiny", 64, 256, 2, 4, 503, rotary_dim=8, max_pos=128),
     "neox-tiny": _gpt_neox("neox-tiny", 64, 256, 2, 4, 503, rotary_pct=0.5, max_pos=128),
     "falcon-tiny": _falcon("falcon-tiny", 64, 256, 2, 4, 503, max_pos=128),
+    "bloom-tiny": _bloom("bloom-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
 }
 
 
 def get_config(name: str) -> ModelConfig:
     key = name.lower()
-    for org in ("facebook/", "meta-llama/", "eleutherai/", "tiiuae/", "mistralai/", "qwen/"):
+    for org in ("facebook/", "meta-llama/", "eleutherai/", "tiiuae/", "mistralai/",
+                "qwen/", "bigscience/"):
         key = key.replace(org, "")
     key = key.replace("_", "-")
     # common HF suffixes/aliases: mistral-7b-v0.1 → mistral-7b, qwen2-7b-instruct → qwen2-7b

@@ -362,6 +362,8 @@ def embed(
     x = jnp.take(params["embed_tokens"], tokens, axis=0, mode="clip")
     if "proj_in" in params:
         x = linear(x, params["proj_in"])
+    if cfg.embed_layernorm:  # bloom: word_embeddings_layernorm
+        x = norm(cfg, params["embed_norm"], x)
     if cfg.learned_pos:
         # OPT offset-2 quirk: learned table row = position + 2; pad slots clamp to
         # row `pos_offset - 1` (HF uses cumsum(mask)-1 → -1+2 = 1 for pads, which is
@@ -423,7 +425,11 @@ def run_prefill_layers(
     """Embed + all decoder layers; returns (hidden [B, S, H], updated cache)."""
     positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1  # pad-aware
     x = embed(cfg, params, tokens, positions)
-    ctx = att.prefill_attn_ctx(input_mask, cfg.sliding_window)
+    bias = None
+    if cfg.alibi:
+        key_pos = jnp.maximum(positions, 0) * input_mask  # pads → 0 (masked out)
+        bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), key_pos)
+    ctx = att.prefill_attn_ctx(input_mask, cfg.sliding_window, bias=bias)
     start = cache.length
 
     def body(h, per_layer):
@@ -478,6 +484,11 @@ def prefill_chunk(
     positions = prev_real[:, None] + jnp.cumsum(chunk_mask.astype(jnp.int32), axis=1) - 1
     x = embed(cfg, params, tokens, positions)
     slot_mask = jax.lax.dynamic_update_slice(cache.mask, chunk_mask, (0, base))
+    bias = None
+    if cfg.alibi:
+        # logical position per cache slot (pads → 0, masked out of attention)
+        slot_pos = (jnp.cumsum(slot_mask.astype(jnp.int32), axis=1) - 1) * slot_mask
+        bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), slot_pos)
 
     def body(h, per_layer):
         lp, kl, vl = per_layer
@@ -485,7 +496,7 @@ def prefill_chunk(
         q, k, v = attn_in(cfg, lp, h, positions)
         kl, vl = kvc.update_layer(kl, vl, k, v, base)
         attn_out = att.attend_prefill_cached(
-            q, kl, vl, base, slot_mask, cfg.sliding_window
+            q, kl, vl, base, slot_mask, cfg.sliding_window, bias=bias
         )
         h = attn_post_mlp(cfg, lp, residual, attn_out)
         return h, (kl, vl)
@@ -559,6 +570,26 @@ def decode_layers_scan(
     return x, ck, cv
 
 
+def _alibi_decode_bias(cfg: ModelConfig, cache: kvc.KVCache, positions: jnp.ndarray):
+    """Key-positional ALiBi bias over cache slots for one decode step, with the
+    fresh token's slot (at ``cache.length``) pre-filled with its logical
+    position — the fresh-merge attention paths read it from there. ``positions``
+    is [B, 1] int32. Returns [B, N, S_max] or None for non-ALiBi models."""
+    if not cfg.alibi:
+        return None
+    slot_pos = (jnp.cumsum(cache.mask.astype(jnp.int32), axis=1) - 1) * cache.mask
+    pos = positions.astype(jnp.int32)
+    if getattr(cache.length, "ndim", 0) == 1:  # ragged: per-sequence fresh slot
+        slot_pos = jax.vmap(
+            lambda row, p, val: jax.lax.dynamic_update_slice(row, val, (p,))
+        )(slot_pos, cache.length, pos)
+    else:
+        slot_pos = jax.lax.dynamic_update_slice(
+            slot_pos, pos, (jnp.zeros((), jnp.int32), cache.length)
+        )
+    return att.alibi_bias(att.alibi_slopes(cfg.num_heads), slot_pos)
+
+
 def decode_step(
     cfg: ModelConfig,
     params: Params,
@@ -569,7 +600,10 @@ def decode_step(
     """One greedy/sampling decode step; returns (logits [B, V], updated cache)."""
     x = embed(cfg, params, tokens, positions)
     # ctx covers PAST tokens only; the fresh token is merged inside attention
-    ctx = att.decode_attn_ctx(cache.mask, cache.length, cfg.sliding_window)
+    ctx = att.decode_attn_ctx(
+        cache.mask, cache.length, cfg.sliding_window,
+        bias=_alibi_decode_bias(cfg, cache, positions),
+    )
     start = cache.length
 
     x, k_new, v_new = decode_layers_scan(
@@ -601,7 +635,10 @@ def decode_step_ragged(
     # ctx covers PAST tokens only; the fresh token is merged inside attention.
     # Inactive slots compute garbage attention (their outputs are discarded and
     # their mask/length never advance) — same as the previous per-layer path.
-    ctx = att.decode_attn_ctx(cache.mask, cache.length, cfg.sliding_window)
+    ctx = att.decode_attn_ctx(
+        cache.mask, cache.length, cfg.sliding_window,
+        bias=_alibi_decode_bias(cfg, cache, logical_pos[:, None]),
+    )
     start = cache.length  # [B] → ragged writes inside write_token_all
 
     x, k_new, v_new = decode_layers_scan(

@@ -31,8 +31,15 @@ def attend(
     v: jnp.ndarray,  # [B, N_kv, Skv, D]
     mask: jnp.ndarray,  # [B, Sq, Skv] bool — True = attend
     scale: float | None = None,
+    bias: jnp.ndarray | None = None,  # [B, N, Skv] key-positional (ALiBi)
 ) -> jnp.ndarray:
-    """General masked attention, fp32 softmax. Returns [B, Sq, N, D]."""
+    """General masked attention, fp32 softmax. Returns [B, Sq, N, D].
+
+    ``bias`` is a per-(head, key) additive logit term. ALiBi's relative form
+    ``-slope·(q_pos - k_pos)`` reduces to the key-only ``slope·k_pos`` because
+    the per-row shift ``-slope·q_pos`` cancels in the softmax — the same trick
+    HF Bloom's build_alibi_tensor uses.
+    """
     B, Sq, N, D = q.shape
     Nkv = k.shape[1]
     G = N // Nkv
@@ -43,6 +50,9 @@ def attend(
     vf = v.astype(jnp.float32)
     # scores: [B, Nkv, G, Sq, Skv]
     scores = jnp.einsum("bqhgd,bhkd->bhgqk", qg, kf)
+    if bias is not None:
+        Skv = k.shape[2]
+        scores = scores + bias.reshape(B, Nkv, G, 1, Skv).astype(jnp.float32)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, vf)
@@ -83,6 +93,7 @@ class PrefillAttn(NamedTuple):
     input_mask: jnp.ndarray  # [B, S] bool
     mask: jnp.ndarray  # [B, S, S] causal ∧ padding (∧ window)
     window: int | None = None  # static sliding-window width (mistral) or None
+    bias: jnp.ndarray | None = None  # [B, N, S] key-positional bias (ALiBi)
 
 
 class DecodeAttn(NamedTuple):
@@ -91,14 +102,43 @@ class DecodeAttn(NamedTuple):
     slot_mask: jnp.ndarray  # [B, S_max] bool, incl. the current token's slot
     length: jnp.ndarray  # scalar int32, incl. the current token
     mask: jnp.ndarray  # [B, 1, S_max]
+    bias: jnp.ndarray | None = None  # [B, N, S_max] key-positional bias (ALiBi);
+    # fresh-merge callers must pre-fill the fresh token's slot value
 
 
-def prefill_attn_ctx(input_mask: jnp.ndarray, window: int | None = None) -> PrefillAttn:
-    return PrefillAttn(input_mask, causal_mask(input_mask, window), window)
+def alibi_slopes(n_heads: int) -> jnp.ndarray:
+    """Per-head ALiBi slopes (closed form from the ALiBi paper, matching HF's
+    build_alibi_tensor: powers of 2^(-8/n), with odd-tail interpolation for
+    non-power-of-two head counts)."""
+    import math
+
+    p = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(p) - 3)))
+    slopes = [base ** (i + 1) for i in range(p)]
+    if p < n_heads:
+        base2 = 2.0 ** (-(2.0 ** -(math.log2(2 * p) - 3)))
+        slopes += [base2 ** (i + 1) for i in range(1, 2 * (n_heads - p), 2)]
+    return jnp.asarray(slopes, jnp.float32)
+
+
+def alibi_bias(slopes: jnp.ndarray, key_pos: jnp.ndarray) -> jnp.ndarray:
+    """Key-positional ALiBi bias [B, N, S] from logical key positions [B, S]."""
+    return slopes[None, :, None] * key_pos.astype(jnp.float32)[:, None, :]
+
+
+def prefill_attn_ctx(
+    input_mask: jnp.ndarray,
+    window: int | None = None,
+    bias: jnp.ndarray | None = None,
+) -> PrefillAttn:
+    return PrefillAttn(input_mask, causal_mask(input_mask, window), window, bias)
 
 
 def decode_attn_ctx(
-    slot_mask: jnp.ndarray, length: jnp.ndarray, window: int | None = None
+    slot_mask: jnp.ndarray,
+    length: jnp.ndarray,
+    window: int | None = None,
+    bias: jnp.ndarray | None = None,
 ) -> DecodeAttn:
     """Build a decode attention context over the cache's valid slots.
 
@@ -116,7 +156,7 @@ def decode_attn_ctx(
         pos = jax.lax.broadcasted_iota(jnp.int32, (B, S_max), 1)
         lengths = jnp.broadcast_to(length, (B,))[:, None]
         slot_mask = slot_mask & (pos > lengths - window)
-    return DecodeAttn(slot_mask, length, decode_mask(slot_mask, length))
+    return DecodeAttn(slot_mask, length, decode_mask(slot_mask, length), bias)
 
 
 def attend_prefill(
@@ -126,7 +166,11 @@ def attend_prefill(
     from lia_tpu.ops import dispatch
 
     S = q.shape[1]
-    if dispatch.use_pallas() and dispatch.gqa_kernel_ok(q.shape[2], k.shape[1], q.shape[3]):
+    if (
+        ctx.bias is None  # additive-bias models (ALiBi) take the jnp path
+        and dispatch.use_pallas()
+        and dispatch.gqa_kernel_ok(q.shape[2], k.shape[1], q.shape[3])
+    ):
         bq = dispatch.pick_block(S, 256, minimum=16)
         bk = dispatch.pick_block(S, 512, minimum=16)
         if bq is not None and bk is not None:
@@ -136,7 +180,7 @@ def attend_prefill(
                 q, k, v, ctx.input_mask, block_q=bq, block_k=bk,
                 window=ctx.window, interpret=dispatch.interpret_mode(),
             )
-    return attend(q, k, v, ctx.mask)
+    return attend(q, k, v, ctx.mask, bias=ctx.bias)
 
 
 def attend_prefill_cached(
@@ -146,6 +190,7 @@ def attend_prefill_cached(
     base,  # scalar or [B] — cache length before the chunk
     slot_mask: jnp.ndarray,  # [B, S_max] validity incl. chunk rows
     window: int | None = None,  # sliding-window attention (mistral)
+    bias: jnp.ndarray | None = None,  # [B, N, S_max] key-positional (ALiBi)
 ) -> jnp.ndarray:
     """Chunk-over-cache causal attention (chunked prefill). Pallas on TPU;
     jnp golden fallback elsewhere / for quantized caches."""
@@ -157,7 +202,11 @@ def attend_prefill_cached(
         v_cache = dequantize_kv(v_cache, q.dtype)
     B, C = q.shape[:2]
     S_max = k_cache.shape[2]
-    if dispatch.use_pallas() and dispatch.gqa_kernel_ok(q.shape[2], k_cache.shape[1], q.shape[3]):
+    if (
+        bias is None
+        and dispatch.use_pallas()
+        and dispatch.gqa_kernel_ok(q.shape[2], k_cache.shape[1], q.shape[3])
+    ):
         bk = dispatch.pick_block(S_max, 512, minimum=64)
         if bk is not None:
             from lia_tpu.ops.pallas_attention import flash_attention_cached
@@ -172,7 +221,7 @@ def attend_prefill_cached(
     mask = (k_pos <= q_pos[:, :, None]) & slot_mask[:, None, :]
     if window is not None:
         mask &= k_pos > q_pos[:, :, None] - window
-    return attend(q, k_cache, v_cache, mask)
+    return attend(q, k_cache, v_cache, mask, bias=bias)
 
 
 def attend_decode(
@@ -190,7 +239,11 @@ def attend_decode(
         k_cache = dequantize_kv(k_cache, q.dtype)
         v_cache = dequantize_kv(v_cache, q.dtype)
     S_max = k_cache.shape[2]
-    if dispatch.use_pallas() and dispatch.gqa_kernel_ok(q.shape[2], k_cache.shape[1], q.shape[3]):
+    if (
+        ctx.bias is None
+        and dispatch.use_pallas()
+        and dispatch.gqa_kernel_ok(q.shape[2], k_cache.shape[1], q.shape[3])
+    ):
         bk = dispatch.pick_block(S_max, 512, minimum=64)
         if bk is not None:
             from lia_tpu.ops.pallas_attention import decode_attention
@@ -199,7 +252,7 @@ def attend_decode(
                 q, k_cache, v_cache, ctx.slot_mask, ctx.length, block_k=bk,
                 interpret=dispatch.interpret_mode(),
             )
-    return attend(q, k_cache, v_cache, ctx.mask)
+    return attend(q, k_cache, v_cache, ctx.mask, bias=ctx.bias)
 
 
 def attend_decode_fresh(
@@ -226,7 +279,8 @@ def attend_decode_fresh(
     S_max = k_cache_full.q.shape[3] if quantized else k_cache_full.shape[3]
     Nkv = k_cache_full.q.shape[2] if quantized else k_cache_full.shape[2]
     if (
-        dispatch.use_pallas()
+        ctx.bias is None
+        and dispatch.use_pallas()
         and dispatch.stacked_kernel_enabled()
         and dispatch.gqa_kernel_ok(q.shape[2], Nkv, q.shape[3])
     ):
@@ -267,7 +321,7 @@ def attend_decode_fresh(
         slot_mask = jax.lax.dynamic_update_slice(
             ctx.slot_mask, new_mask, (jnp.zeros((), jnp.int32), ctx.length)
         )
-    inc_ctx = decode_attn_ctx(slot_mask, ctx.length + 1)
+    inc_ctx = decode_attn_ctx(slot_mask, ctx.length + 1, bias=ctx.bias)
     return attend_decode(q, kl, vl, inc_ctx)
 
 
@@ -286,7 +340,8 @@ def attend_decode_stacked(
     if not is_quantized_kv(k_cache_full):
         S_max = k_cache_full.shape[3]
         if (
-            dispatch.use_pallas()
+            ctx.bias is None
+            and dispatch.use_pallas()
             and dispatch.stacked_kernel_enabled()
             and dispatch.gqa_kernel_ok(q.shape[2], k_cache_full.shape[2], q.shape[3])
         ):

@@ -114,6 +114,8 @@ def param_pspecs(
     }
     if "embed_positions" in params:
         specs["embed_positions"] = P(None, None)
+    if "embed_norm" in params:
+        specs["embed_norm"] = {k: P(None) for k in params["embed_norm"]}
     if "proj_in" in params:
         specs["proj_in"] = P(None, None)
         specs["proj_out"] = P(None, None)

@@ -94,7 +94,11 @@ class StreamingScheduler:
 
             positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1
             x = T.embed(cfg, top, tokens, positions)
-            return x, positions, att.prefill_attn_ctx(input_mask)
+            bias = None
+            if cfg.alibi:
+                key_pos = jnp.maximum(positions, 0) * input_mask
+                bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), key_pos)
+            return x, positions, att.prefill_attn_ctx(input_mask, bias=bias)
 
         return self._jit("embed", f)
 
@@ -105,14 +109,21 @@ class StreamingScheduler:
             from lia_tpu.ops import attention as att
 
             x = T.embed(cfg, top, tokens, positions)
+            bias = None
+            if cfg.alibi:
+                slot_pos = (jnp.cumsum(slot_mask.astype(jnp.int32), axis=1) - 1) * slot_mask
+                slot_pos = jax.lax.dynamic_update_slice(
+                    slot_pos, positions.astype(jnp.int32), (jnp.zeros((), jnp.int32), length)
+                )
+                bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), slot_pos)
             # two ctx conventions: the resident segment scan merges the fresh
             # token in-kernel (PAST-only ctx), while the streamed per-layer
             # paths write-then-attend (ctx INCLUDING the current token)
-            ctx_past = att.decode_attn_ctx(slot_mask, length)
+            ctx_past = att.decode_attn_ctx(slot_mask, length, bias=bias)
             sm = jax.lax.dynamic_update_slice(
                 slot_mask, jnp.ones((tokens.shape[0], 1), jnp.bool_), (0, length)
             )
-            return x, ctx_past, att.decode_attn_ctx(sm, length + 1)
+            return x, ctx_past, att.decode_attn_ctx(sm, length + 1, bias=bias)
 
         return self._jit("dec_embed", f)
 
@@ -618,11 +629,18 @@ class StreamingScheduler:
             from lia_tpu.ops import attention as att
 
             x = T.embed(cfg, top, tokens, logical_pos[:, None])
-            ctx_past = att.decode_attn_ctx(slot_mask, length)
+            bias = None
+            if cfg.alibi:
+                slot_pos = (jnp.cumsum(slot_mask.astype(jnp.int32), axis=1) - 1) * slot_mask
+                slot_pos = jax.vmap(
+                    lambda row, p, val: jax.lax.dynamic_update_slice(row, val, (p,))
+                )(slot_pos, length, logical_pos[:, None].astype(jnp.int32))
+                bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), slot_pos)
+            ctx_past = att.decode_attn_ctx(slot_mask, length, bias=bias)
             sm = jax.vmap(
                 lambda row, p, a: jax.lax.dynamic_update_slice(row, a[None], (p,))
             )(slot_mask, length, active)
-            return x, ctx_past, att.decode_attn_ctx(sm, length + 1)
+            return x, ctx_past, att.decode_attn_ctx(sm, length + 1, bias=bias)
 
         return self._jit("dec_embed_ragged", f)
 

@@ -124,6 +124,8 @@ def init_dummy_params(
     if not cfg.parallel_shared_norm:  # gpt-j/falcon-7b have no ln2 at all
         layers["ln2"] = norm_p()
     params: Params = {"embed_tokens": w(cfg.vocab_size, E), "layers": layers}
+    if cfg.embed_layernorm:  # bloom word_embeddings_layernorm
+        params["embed_norm"] = {"scale": np.ones((H,), dt), "bias": np.zeros((H,), dt)}
     if cfg.learned_pos:
         params["embed_positions"] = w(cfg.max_position_embeddings + cfg.pos_offset, H)
     if cfg.word_embed_proj_dim:
@@ -179,6 +181,8 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         return _params_gpt_neox(cfg, get, raw, wT, stack, dt)
     if cfg.family == "falcon":
         return _params_falcon(cfg, get, raw, wT, stack, dt)
+    if cfg.family == "bloom":
+        return _params_bloom(cfg, get, raw, stack, dt)
 
     is_opt = cfg.family == "opt"
     if is_opt:
@@ -398,6 +402,65 @@ def _params_falcon(cfg: ModelConfig, get, raw, wT, stack, dt) -> Params:
         "mlp": {
             "w1": stack(lp + "mlp.dense_h_to_4h.weight", True),
             "w2": stack(lp + "mlp.dense_4h_to_h.weight", True),
+        },
+    }
+    return params
+
+
+def _params_bloom(cfg: ModelConfig, get, raw, stack, dt) -> Params:
+    """Bloom (HF modeling_bloom): ALiBi attention (no positional embeddings),
+    LayerNorm right after the token embed (word_embeddings_layernorm), fused
+    query_key_value with PER-HEAD [q|k|v] interleaving along the out-dim,
+    gelu-tanh MLP, tied embeddings."""
+    N, D, L, H = cfg.num_heads, cfg.head_dim, cfg.num_layers, cfg.hidden_size
+
+    def split_qkv(i):
+        w = get(f"transformer.h.{i}.self_attention.query_key_value.weight")
+        b = get(f"transformer.h.{i}.self_attention.query_key_value.bias")
+        w3 = w.reshape(N, 3, D, H)  # out-dim is [head][q|k|v][dim]
+        b3 = b.reshape(N, 3, D)
+        out = []
+        for j in range(3):
+            wj = w3[:, j].reshape(N * D, H).T.astype(dt)  # [H, N*D]
+            bj = b3[:, j].reshape(N * D).astype(dt)
+            out.append((wj, bj))
+        return out
+
+    qkv = [split_qkv(i) for i in range(L)]
+    lp = "transformer.h.{}."
+    params: Params = {"embed_tokens": raw("transformer.word_embeddings.weight")}
+    params["embed_norm"] = {
+        "scale": raw("transformer.word_embeddings_layernorm.weight"),
+        "bias": raw("transformer.word_embeddings_layernorm.bias"),
+    }
+    params["final_norm"] = {
+        "scale": raw("transformer.ln_f.weight"),
+        "bias": raw("transformer.ln_f.bias"),
+    }
+    params["layers"] = {
+        "ln1": {
+            "scale": stack(lp + "input_layernorm.weight"),
+            "bias": stack(lp + "input_layernorm.bias"),
+        },
+        "attn": {
+            "wq": np.stack([q[0][0] for q in qkv]),
+            "bq": np.stack([q[0][1] for q in qkv]),
+            "wk": np.stack([q[1][0] for q in qkv]),
+            "bk": np.stack([q[1][1] for q in qkv]),
+            "wv": np.stack([q[2][0] for q in qkv]),
+            "bv": np.stack([q[2][1] for q in qkv]),
+            "wo": stack(lp + "self_attention.dense.weight", True),
+            "bo": stack(lp + "self_attention.dense.bias"),
+        },
+        "ln2": {
+            "scale": stack(lp + "post_attention_layernorm.weight"),
+            "bias": stack(lp + "post_attention_layernorm.bias"),
+        },
+        "mlp": {
+            "w1": stack(lp + "mlp.dense_h_to_4h.weight", True),
+            "b1": stack(lp + "mlp.dense_h_to_4h.bias"),
+            "w2": stack(lp + "mlp.dense_4h_to_h.weight", True),
+            "b2": stack(lp + "mlp.dense_4h_to_h.bias"),
         },
     }
     return params

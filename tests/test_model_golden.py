@@ -221,9 +221,29 @@ def mixtral_pair():
     return cfg, hf, params
 
 
+@pytest.fixture(scope="module")
+def bloom_pair():
+    from transformers import BloomConfig, BloomForCausalLM
+
+    cfg = get_config("bloom-tiny").replace(dtype="float32")
+    hf_cfg = BloomConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        n_layer=cfg.num_layers,
+        n_head=cfg.num_heads,
+        layer_norm_epsilon=cfg.norm_eps,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    hf = BloomForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
 ALL_PAIRS = [
     "opt_pair", "llama_pair", "gptj_pair", "neox_pair",
     "falcon_pair", "mistral_pair", "qwen2_pair", "mixtral_pair",
+    "bloom_pair",
 ]
 
 

@@ -114,3 +114,16 @@ def test_packed_streaming_bit_exact():
             for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         wm.close()
+
+
+def test_alibi_model_streams_identically():
+    """ALiBi (bloom) composes with tiered streaming: the scheduler's ctx
+    builders carry the key-positional bias, so streamed == resident."""
+    cfg = get_config("bloom-tiny").replace(num_layers=4, dtype="float32")
+    params = init_dummy_params(cfg, seed=11, scale=0.02)
+    gen = GenerationConfig(max_new_tokens=5, pad_token_id=3)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    ref = InferenceEngine(cfg, params).generate(prompts, gen)
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    res = InferenceEngine(cfg, params, rt).generate(prompts, gen)
+    np.testing.assert_array_equal(res.sequences, ref.sequences)
