@@ -187,6 +187,62 @@ def _bloom(name, h, ffn, l, heads, vocab=250880, max_pos=2048, **kw) -> ModelCon
     )
 
 
+def _mpt(name, h, ffn, l, heads, vocab=50368, max_pos=2048, **kw) -> ModelConfig:
+    """MPT (HF modeling_mpt, no_bias): ALiBi, fused Wqkv, exact-gelu MLP, tied
+    embeddings. Registry entries use power-of-two head counts, where MPT's
+    alibi-slope selection equals the standard form alibi_slopes implements
+    (the two differ only in the odd-tail ordering for non-pow2 heads)."""
+    return ModelConfig(
+        name=name,
+        family="mpt",
+        vocab_size=vocab,
+        hidden_size=h,
+        ffn_size=ffn,
+        num_layers=l,
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=h // heads,
+        max_position_embeddings=max_pos,
+        activation=Activation.GELU,
+        norm=Norm.LAYERNORM,
+        learned_pos=False,
+        rope=False,
+        alibi=True,
+        tie_embeddings=True,
+        attn_bias=False,
+        mlp_bias=False,
+        pad_token_id=0,
+        **kw,
+    )
+
+
+def _gptbigcode(name, h, ffn, l, heads, vocab=49152, max_pos=8192, **kw) -> ModelConfig:
+    """GPTBigCode / StarCoder (HF modeling_gpt_bigcode): multi-query attention,
+    learned absolute positions without OPT's offset, gelu-tanh, tied embeds."""
+    return ModelConfig(
+        name=name,
+        family="gptbigcode",
+        vocab_size=vocab,
+        hidden_size=h,
+        ffn_size=ffn,
+        num_layers=l,
+        num_heads=heads,
+        num_kv_heads=1,
+        head_dim=h // heads,
+        max_position_embeddings=max_pos,
+        activation=Activation.GELU_NEW,
+        norm=Norm.LAYERNORM,
+        learned_pos=True,
+        pos_offset=0,
+        rope=False,
+        tie_embeddings=True,
+        attn_bias=True,
+        mlp_bias=True,
+        pad_token_id=0,
+        **kw,
+    )
+
+
 REGISTRY = {
     # --- OPT family (facebook/opt-*) ---
     "opt-125m": _opt("opt-125m", 768, 3072, 12, 12),
@@ -232,6 +288,12 @@ REGISTRY = {
     "bloom-560m": _bloom("bloom-560m", 1024, 4096, 24, 16),
     "bloom-1b7": _bloom("bloom-1b7", 2048, 8192, 24, 16),
     "bloom-7b1": _bloom("bloom-7b1", 4096, 16384, 30, 32),
+    # --- MPT (second ALiBi family; reference model_class/mpt.py) ---
+    "mpt-7b": _mpt("mpt-7b", 4096, 16384, 32, 32),
+    "mpt-30b": _mpt("mpt-30b", 7168, 28672, 48, 64, max_pos=8192),
+    # --- GPTBigCode / StarCoder (reference model_class/gptbigcode.py) ---
+    "starcoder-15b": _gptbigcode("starcoder-15b", 6144, 24576, 40, 48),
+    "starcoderbase-1b": _gptbigcode("starcoderbase-1b", 2048, 8192, 24, 16),
     # --- tiny configs for tests (analog of tests/cpu/hf_configs/) ---
     "opt-tiny": _opt("opt-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
     "llama-tiny": _llama("llama-tiny", 64, 128, 2, 4, 2, 503, max_pos=128, theta=10000.0),
@@ -251,6 +313,8 @@ REGISTRY = {
     "neox-tiny": _gpt_neox("neox-tiny", 64, 256, 2, 4, 503, rotary_pct=0.5, max_pos=128),
     "falcon-tiny": _falcon("falcon-tiny", 64, 256, 2, 4, 503, max_pos=128),
     "bloom-tiny": _bloom("bloom-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
+    "mpt-tiny": _mpt("mpt-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
+    "gptbigcode-tiny": _gptbigcode("gptbigcode-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
 }
 
 

@@ -183,6 +183,10 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         return _params_falcon(cfg, get, raw, wT, stack, dt)
     if cfg.family == "bloom":
         return _params_bloom(cfg, get, raw, stack, dt)
+    if cfg.family == "mpt":
+        return _params_mpt(cfg, get, raw, stack, dt)
+    if cfg.family == "gptbigcode":
+        return _params_gptbigcode(cfg, get, raw, stack, dt)
 
     is_opt = cfg.family == "opt"
     if is_opt:
@@ -461,6 +465,99 @@ def _params_bloom(cfg: ModelConfig, get, raw, stack, dt) -> Params:
             "b1": stack(lp + "mlp.dense_h_to_4h.bias"),
             "w2": stack(lp + "mlp.dense_4h_to_h.weight", True),
             "b2": stack(lp + "mlp.dense_4h_to_h.bias"),
+        },
+    }
+    return params
+
+
+def _params_mpt(cfg: ModelConfig, get, raw, stack, dt) -> Params:
+    """MPT (HF modeling_mpt, no_bias=True): ALiBi attention, sequential-split
+    fused Wqkv, bias-free linears AND layernorms (zero biases synthesized so
+    the shared LayerNorm path applies), exact-gelu MLP, tied embeddings."""
+    N, D, L, H = cfg.num_heads, cfg.head_dim, cfg.num_layers, cfg.hidden_size
+
+    def split_qkv(i):
+        w = get(f"transformer.blocks.{i}.attn.Wqkv.weight")  # [3H, H] = [q;k;v]
+        return (
+            w[:H, :].T.astype(dt),
+            w[H : 2 * H, :].T.astype(dt),
+            w[2 * H :, :].T.astype(dt),
+        )
+
+    qkv = [split_qkv(i) for i in range(L)]
+    lp = "transformer.blocks.{}."
+    zerosL = np.zeros((L, H), dt)
+    params: Params = {"embed_tokens": raw("transformer.wte.weight")}
+    params["final_norm"] = {
+        "scale": raw("transformer.norm_f.weight"),
+        "bias": np.zeros((H,), dt),
+    }
+    params["layers"] = {
+        "ln1": {"scale": stack(lp + "norm_1.weight"), "bias": zerosL},
+        "attn": {
+            "wq": np.stack([q[0] for q in qkv]),
+            "wk": np.stack([q[1] for q in qkv]),
+            "wv": np.stack([q[2] for q in qkv]),
+            "wo": stack(lp + "attn.out_proj.weight", True),
+        },
+        "ln2": {"scale": stack(lp + "norm_2.weight"), "bias": zerosL},
+        "mlp": {
+            "w1": stack(lp + "ffn.up_proj.weight", True),
+            "w2": stack(lp + "ffn.down_proj.weight", True),
+        },
+    }
+    return params
+
+
+def _params_gptbigcode(cfg: ModelConfig, get, raw, stack, dt) -> Params:
+    """GPTBigCode / StarCoder (HF modeling_gpt_bigcode, multi_query=True):
+    learned absolute positions (no OPT offset), fused c_attn laid out
+    [all q heads | k | v] along the out-dim, gelu-tanh MLP, tied embeddings."""
+    N, D, L, H = cfg.num_heads, cfg.head_dim, cfg.num_layers, cfg.hidden_size
+
+    def split_qkv(i):
+        w = get(f"transformer.h.{i}.attn.c_attn.weight")  # [H + 2D, H]
+        b = get(f"transformer.h.{i}.attn.c_attn.bias")
+        return (
+            (w[:H, :].T.astype(dt), b[:H].astype(dt)),
+            (w[H : H + D, :].T.astype(dt), b[H : H + D].astype(dt)),
+            (w[H + D :, :].T.astype(dt), b[H + D :].astype(dt)),
+        )
+
+    qkv = [split_qkv(i) for i in range(L)]
+    lp = "transformer.h.{}."
+    params: Params = {
+        "embed_tokens": raw("transformer.wte.weight"),
+        "embed_positions": raw("transformer.wpe.weight"),
+    }
+    params["final_norm"] = {
+        "scale": raw("transformer.ln_f.weight"),
+        "bias": raw("transformer.ln_f.bias"),
+    }
+    params["layers"] = {
+        "ln1": {
+            "scale": stack(lp + "ln_1.weight"),
+            "bias": stack(lp + "ln_1.bias"),
+        },
+        "attn": {
+            "wq": np.stack([q[0][0] for q in qkv]),
+            "bq": np.stack([q[0][1] for q in qkv]),
+            "wk": np.stack([q[1][0] for q in qkv]),
+            "bk": np.stack([q[1][1] for q in qkv]),
+            "wv": np.stack([q[2][0] for q in qkv]),
+            "bv": np.stack([q[2][1] for q in qkv]),
+            "wo": stack(lp + "attn.c_proj.weight", True),
+            "bo": stack(lp + "attn.c_proj.bias"),
+        },
+        "ln2": {
+            "scale": stack(lp + "ln_2.weight"),
+            "bias": stack(lp + "ln_2.bias"),
+        },
+        "mlp": {
+            "w1": stack(lp + "mlp.c_fc.weight", True),
+            "b1": stack(lp + "mlp.c_fc.bias"),
+            "w2": stack(lp + "mlp.c_proj.weight", True),
+            "b2": stack(lp + "mlp.c_proj.bias"),
         },
     }
     return params

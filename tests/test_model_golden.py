@@ -240,10 +240,50 @@ def bloom_pair():
     return cfg, hf, params
 
 
+@pytest.fixture(scope="module")
+def mpt_pair():
+    from transformers import MptConfig, MptForCausalLM
+
+    cfg = get_config("mpt-tiny").replace(dtype="float32")
+    hf_cfg = MptConfig(
+        d_model=cfg.hidden_size,
+        n_heads=cfg.num_heads,
+        n_layers=cfg.num_layers,
+        vocab_size=cfg.vocab_size,
+        max_seq_len=cfg.max_position_embeddings,
+        expansion_ratio=cfg.ffn_size // cfg.hidden_size,
+    )
+    torch.manual_seed(0)
+    hf = MptForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
+@pytest.fixture(scope="module")
+def gptbigcode_pair():
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    cfg = get_config("gptbigcode-tiny").replace(dtype="float32")
+    hf_cfg = GPTBigCodeConfig(
+        vocab_size=cfg.vocab_size,
+        n_embd=cfg.hidden_size,
+        n_inner=cfg.ffn_size,
+        n_layer=cfg.num_layers,
+        n_head=cfg.num_heads,
+        n_positions=cfg.max_position_embeddings,
+        multi_query=True,
+        layer_norm_epsilon=cfg.norm_eps,
+    )
+    torch.manual_seed(0)
+    hf = GPTBigCodeForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
 ALL_PAIRS = [
     "opt_pair", "llama_pair", "gptj_pair", "neox_pair",
     "falcon_pair", "mistral_pair", "qwen2_pair", "mixtral_pair",
-    "bloom_pair",
+    "bloom_pair", "mpt_pair", "gptbigcode_pair",
 ]
 
 
@@ -266,10 +306,18 @@ def test_prefill_logits_match_hf(pair, request):
     prompts = [list(rng.integers(3, 200, size=n)) for n in (7, 12, 3)]
     tokens, mask = pack_prompts(prompts, pad_id=1)
 
+    kw = {}
+    if cfg.family == "gptbigcode":
+        # HF GPTBigCode's raw forward defaults position_ids to arange (pads
+        # included); only generate() derives them from the mask. Our positions
+        # are always pad-aware, so pass the explicit pad-aware ids here.
+        pos = np.maximum(np.cumsum(mask, axis=1) - 1, 0)
+        kw["position_ids"] = torch.tensor(pos, dtype=torch.long)
     with torch.no_grad():
         hf_logits = hf(
             torch.tensor(tokens, dtype=torch.long),
             attention_mask=torch.tensor(mask, dtype=torch.long),
+            **kw,
         ).logits[:, -1, :].numpy()
 
     import jax.numpy as jnp
