@@ -55,12 +55,21 @@ def _llama(name, h, ffn, l, heads, kv_heads, vocab, max_pos=8192, theta=500000.0
         head_dim=h // heads,
         max_position_embeddings=max_pos,
         activation=Activation.SILU,
-        norm=Norm.RMSNORM,
         learned_pos=False,
         rope=True,
         rope_theta=theta,
         tie_embeddings=False,
-        **kw,
+        **{"norm": Norm.RMSNORM, **kw},  # stablelm overrides with LAYERNORM
+    )
+
+
+def _stablelm(name, h, ffn, l, heads, kv_heads, vocab, max_pos=4096,
+              theta=10000.0, rotary_pct=0.25, **kw) -> ModelConfig:
+    """StableLM (HF modeling_stablelm): llama key layout with LayerNorm
+    (weight+bias) instead of RMSNorm, partial rotary, SwiGLU, untied head."""
+    return _llama(
+        name, h, ffn, l, heads, kv_heads, vocab, max_pos=max_pos, theta=theta,
+        norm=Norm.LAYERNORM, rotary_dim=int((h // heads) * rotary_pct), **kw,
     )
 
 
@@ -288,6 +297,9 @@ REGISTRY = {
     "bloom-560m": _bloom("bloom-560m", 1024, 4096, 24, 16),
     "bloom-1b7": _bloom("bloom-1b7", 2048, 8192, 24, 16),
     "bloom-7b1": _bloom("bloom-7b1", 4096, 16384, 30, 32),
+    # --- StableLM (reference model_class/stablelm.py) ---
+    "stablelm-2-1.6b": _stablelm("stablelm-2-1.6b", 2048, 5632, 24, 32, 32, 100352),
+    "stablelm-3b": _stablelm("stablelm-3b", 2560, 6912, 32, 32, 32, 50304),
     # --- MPT (second ALiBi family; reference model_class/mpt.py) ---
     "mpt-7b": _mpt("mpt-7b", 4096, 16384, 32, 32),
     "mpt-30b": _mpt("mpt-30b", 7168, 28672, 48, 64, max_pos=8192),
@@ -315,6 +327,9 @@ REGISTRY = {
     "bloom-tiny": _bloom("bloom-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
     "mpt-tiny": _mpt("mpt-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
     "gptbigcode-tiny": _gptbigcode("gptbigcode-tiny", 64, 256, 2, 4, vocab=503, max_pos=128),
+    "stablelm-tiny": _stablelm(
+        "stablelm-tiny", 64, 128, 2, 4, 2, 503, max_pos=128, rotary_pct=0.5
+    ),
 }
 
 

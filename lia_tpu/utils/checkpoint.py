@@ -232,8 +232,13 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         return params
 
     pre = "model."
+    from lia_tpu.config import Norm
+
+    ln_bias = cfg.norm == Norm.LAYERNORM  # stablelm: llama layout + LayerNorm
     params = {"embed_tokens": raw(pre + "embed_tokens.weight")}
     params["final_norm"] = {"scale": raw(pre + "norm.weight")}
+    if ln_bias:
+        params["final_norm"]["bias"] = raw(pre + "norm.bias")
     if not cfg.tie_embeddings:
         params["lm_head"] = wT("lm_head.weight")
     lp = pre + "layers.{}."
@@ -272,12 +277,12 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
             "w1": stack(lp + "mlp.up_proj.weight", True),
             "w2": stack(lp + "mlp.down_proj.weight", True),
         }
-    params["layers"] = {
-        "ln1": {"scale": stack(lp + "input_layernorm.weight")},
-        "attn": attn,
-        "ln2": {"scale": stack(lp + "post_attention_layernorm.weight")},
-        "mlp": mlp,
-    }
+    ln1 = {"scale": stack(lp + "input_layernorm.weight")}
+    ln2 = {"scale": stack(lp + "post_attention_layernorm.weight")}
+    if ln_bias:
+        ln1["bias"] = stack(lp + "input_layernorm.bias")
+        ln2["bias"] = stack(lp + "post_attention_layernorm.bias")
+    params["layers"] = {"ln1": ln1, "attn": attn, "ln2": ln2, "mlp": mlp}
     return params
 
 

@@ -280,10 +280,35 @@ def gptbigcode_pair():
     return cfg, hf, params
 
 
+@pytest.fixture(scope="module")
+def stablelm_pair():
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    cfg = get_config("stablelm-tiny").replace(dtype="float32")
+    hf_cfg = StableLmConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        partial_rotary_factor=cfg.rotary_dim / cfg.head_dim,
+        layer_norm_eps=cfg.norm_eps,
+        use_qkv_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = StableLmForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
 ALL_PAIRS = [
     "opt_pair", "llama_pair", "gptj_pair", "neox_pair",
     "falcon_pair", "mistral_pair", "qwen2_pair", "mixtral_pair",
-    "bloom_pair", "mpt_pair", "gptbigcode_pair",
+    "bloom_pair", "mpt_pair", "gptbigcode_pair", "stablelm_pair",
 ]
 
 
