@@ -223,12 +223,19 @@ def attend_decode_paged(
     layer_idx,
     block_table: jnp.ndarray,  # [B, P]
     lengths: jnp.ndarray,  # [B] past tokens (fresh merged separately)
+    alibi_slopes: jnp.ndarray | None = None,  # [N] — ALiBi families (bloom/mpt)
 ) -> jnp.ndarray:
-    """Dispatched paged decode attention with fresh-token merge."""
+    """Dispatched paged decode attention with fresh-token merge.
+
+    Paged storage holds only real tokens contiguously per sequence, so the
+    ALiBi key position IS the gathered index — ``slopes · arange`` (fresh token
+    at ``lengths``). ALiBi routes through the jnp gather path (the block-table
+    kernel carries no bias)."""
     from lia_tpu.ops import dispatch
 
     if (
-        dispatch.use_pallas()
+        alibi_slopes is None
+        and dispatch.use_pallas()
         and dispatch.stacked_kernel_enabled()
         and dispatch.gqa_kernel_ok(q.shape[2], k_pool.shape[2], q.shape[3])
     ):
@@ -249,7 +256,11 @@ def attend_decode_paged(
     mask = jnp.concatenate(
         [pos < lengths[:, None], jnp.ones((B, 1), bool)], axis=1
     )
-    return att.attend(q, ks2, vs2, mask[:, None, :])
+    bias = None
+    if alibi_slopes is not None:
+        key_pos = jnp.concatenate([pos, lengths[:, None]], axis=1)  # [B, S+1]
+        bias = att.alibi_bias(alibi_slopes, key_pos)
+    return att.attend(q, ks2, vs2, mask[:, None, :], bias=bias)
 
 
 def decode_step_paged(
@@ -273,13 +284,15 @@ def decode_step_paged(
 
     x = T.embed(cfg, params, tokens, logical_pos[:, None])
     positions = logical_pos[:, None]
+    slopes = att.alibi_slopes(cfg.num_heads) if cfg.alibi else None
 
     def body(h, inputs):
         lp, idx = inputs
         residual = h
         q, k, v = T.attn_in(cfg, lp, h, positions)
         attn_out = attend_decode_paged(
-            q, k, v, k_pool, v_pool, idx, block_table, lengths
+            q, k, v, k_pool, v_pool, idx, block_table, lengths,
+            alibi_slopes=slopes,
         )
         h = T.attn_post_mlp(cfg, lp, residual, attn_out)
         return h, (k, v)

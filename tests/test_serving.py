@@ -203,3 +203,26 @@ def test_serving_moe_matches_static_engine():
     by_id = {r.req_id: r for r in cb.run()}
     for i, r in zip(ids, ref):
         assert by_id[i].output == r
+
+
+def test_alibi_serving_paged_and_slab_match_static():
+    """ALiBi (bloom) composes with continuous batching in both slab and paged
+    modes: paged storage is contiguous per sequence, so the key-positional
+    bias is slopes * gathered index (fresh token at `lengths`)."""
+    cfg = get_config("bloom-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=13, scale=0.12)
+    gen = GenerationConfig(max_new_tokens=5, pad_token_id=3)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8, 12, 13]]
+
+    eng = InferenceEngine(cfg, params)
+    ref = {i: list(eng.generate([p], gen).sequences[0]) for i, p in enumerate(prompts)}
+
+    for paged in (False, True):
+        cb = ContinuousBatcher(
+            cfg, params, max_batch=2, max_len=128, gen=gen,
+            paged=paged, block_size=8,
+        )
+        ids = [cb.submit(p) for p in prompts]
+        by_id = {r.req_id: r.output for r in cb.run()}
+        for i in ids:
+            assert by_id[i] == ref[i], f"request {i} (paged={paged})"
