@@ -63,6 +63,39 @@ def _llama(name, h, ffn, l, heads, kv_heads, vocab, max_pos=8192, theta=500000.0
     )
 
 
+def _codegen(name, h, ffn, l, heads, vocab, rotary_dim, max_pos=2048, **kw) -> ModelConfig:
+    """CodeGen (HF modeling_codegen): GPT-J architecture (parallel residual,
+    shared ln_1, interleaved partial rotary) with the mp_num=4 fused qkv_proj
+    checkpoint layout and biased MLP/lm_head."""
+    return ModelConfig(
+        name=name,
+        family="codegen",
+        vocab_size=vocab,
+        hidden_size=h,
+        ffn_size=ffn,
+        num_layers=l,
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=h // heads,
+        max_position_embeddings=max_pos,
+        activation=Activation.GELU_NEW,
+        norm=Norm.LAYERNORM,
+        learned_pos=False,
+        rope=True,
+        rope_theta=10000.0,
+        rotary_dim=rotary_dim,
+        rope_interleaved=True,
+        parallel_residual=True,
+        parallel_shared_norm=True,
+        tie_embeddings=False,
+        lm_head_bias=True,
+        attn_bias=False,
+        mlp_bias=True,
+        pad_token_id=50256,
+        **kw,
+    )
+
+
 def _stablelm(name, h, ffn, l, heads, kv_heads, vocab, max_pos=4096,
               theta=10000.0, rotary_pct=0.25, **kw) -> ModelConfig:
     """StableLM (HF modeling_stablelm): llama key layout with LayerNorm
@@ -297,6 +330,9 @@ REGISTRY = {
     "bloom-560m": _bloom("bloom-560m", 1024, 4096, 24, 16),
     "bloom-1b7": _bloom("bloom-1b7", 2048, 8192, 24, 16),
     "bloom-7b1": _bloom("bloom-7b1", 4096, 16384, 30, 32),
+    # --- CodeGen (reference model_class/codegen.py) ---
+    "codegen-2b": _codegen("codegen-2b", 2560, 10240, 32, 32, 51200, rotary_dim=64),
+    "codegen-6b": _codegen("codegen-6b", 4096, 16384, 33, 16, 51200, rotary_dim=64),
     # --- StableLM (reference model_class/stablelm.py) ---
     "stablelm-2-1.6b": _stablelm("stablelm-2-1.6b", 2048, 5632, 24, 32, 32, 100352),
     "stablelm-3b": _stablelm("stablelm-3b", 2560, 6912, 32, 32, 32, 50304),
@@ -330,6 +366,7 @@ REGISTRY = {
     "stablelm-tiny": _stablelm(
         "stablelm-tiny", 64, 128, 2, 4, 2, 503, max_pos=128, rotary_pct=0.5
     ),
+    "codegen-tiny": _codegen("codegen-tiny", 64, 256, 2, 4, 503, rotary_dim=8, max_pos=128),
 }
 
 

@@ -187,6 +187,8 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         return _params_mpt(cfg, get, raw, stack, dt)
     if cfg.family == "gptbigcode":
         return _params_gptbigcode(cfg, get, raw, stack, dt)
+    if cfg.family == "codegen":
+        return _params_codegen(cfg, get, raw, stack, dt)
 
     is_opt = cfg.family == "opt"
     if is_opt:
@@ -563,6 +565,53 @@ def _params_gptbigcode(cfg: ModelConfig, get, raw, stack, dt) -> Params:
             "b1": stack(lp + "mlp.c_fc.bias"),
             "w2": stack(lp + "mlp.c_proj.weight", True),
             "b2": stack(lp + "mlp.c_proj.bias"),
+        },
+    }
+    return params
+
+
+def _params_codegen(cfg: ModelConfig, get, raw, stack, dt) -> Params:
+    """CodeGen (HF modeling_codegen): GPT-J-style parallel residual with a
+    single shared ln_1 and interleaved partial rotary, but the fused qkv_proj
+    is laid out in mp_num=4 blocks of [query | value | key] chunks (a TPU-v4
+    sharding artifact of the original training code — modeling_codegen.py
+    CodeGenAttention.forward). Biased MLP + lm_head; no attention biases."""
+    L, H = cfg.num_layers, cfg.hidden_size
+    mp = 4
+
+    def split_qkv(i):
+        w = get(f"transformer.h.{i}.attn.qkv_proj.weight")  # [3H, H]
+        blocks = w.reshape(mp, 3, H // mp, H)  # block m: [q | v | k] chunks
+        q = blocks[:, 0].reshape(H, H).T.astype(dt)
+        v = blocks[:, 1].reshape(H, H).T.astype(dt)
+        k = blocks[:, 2].reshape(H, H).T.astype(dt)
+        return q, k, v
+
+    qkv = [split_qkv(i) for i in range(L)]
+    lp = "transformer.h.{}."
+    params: Params = {"embed_tokens": raw("transformer.wte.weight")}
+    params["final_norm"] = {
+        "scale": raw("transformer.ln_f.weight"),
+        "bias": raw("transformer.ln_f.bias"),
+    }
+    params["lm_head"] = get("lm_head.weight").T.astype(dt)
+    params["lm_head_bias"] = raw("lm_head.bias")
+    params["layers"] = {
+        "ln1": {
+            "scale": stack(lp + "ln_1.weight"),
+            "bias": stack(lp + "ln_1.bias"),
+        },
+        "attn": {
+            "wq": np.stack([q[0] for q in qkv]),
+            "wk": np.stack([q[1] for q in qkv]),
+            "wv": np.stack([q[2] for q in qkv]),
+            "wo": stack(lp + "attn.out_proj.weight", True),
+        },
+        "mlp": {
+            "w1": stack(lp + "mlp.fc_in.weight", True),
+            "b1": stack(lp + "mlp.fc_in.bias"),
+            "w2": stack(lp + "mlp.fc_out.weight", True),
+            "b2": stack(lp + "mlp.fc_out.bias"),
         },
     }
     return params

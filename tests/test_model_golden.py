@@ -305,10 +305,32 @@ def stablelm_pair():
     return cfg, hf, params
 
 
+@pytest.fixture(scope="module")
+def codegen_pair():
+    from transformers import CodeGenConfig, CodeGenForCausalLM
+
+    cfg = get_config("codegen-tiny").replace(dtype="float32")
+    hf_cfg = CodeGenConfig(
+        vocab_size=cfg.vocab_size,
+        n_embd=cfg.hidden_size,
+        n_inner=cfg.ffn_size,
+        n_layer=cfg.num_layers,
+        n_head=cfg.num_heads,
+        n_positions=cfg.max_position_embeddings,
+        rotary_dim=cfg.rotary_dim,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = CodeGenForCausalLM(hf_cfg).eval()
+    params = params_from_hf_state_dict(cfg, _to_numpy_sd(hf))
+    return cfg, hf, params
+
+
 ALL_PAIRS = [
     "opt_pair", "llama_pair", "gptj_pair", "neox_pair",
     "falcon_pair", "mistral_pair", "qwen2_pair", "mixtral_pair",
     "bloom_pair", "mpt_pair", "gptbigcode_pair", "stablelm_pair",
+    "codegen_pair",
 ]
 
 
