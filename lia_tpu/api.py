@@ -70,6 +70,11 @@ def load_engine(
         runtime = resolve_auto_policies(cfg, runtime, batch, in_len, out_len)
 
     static8 = weight_dtype == "static-int8"
+    if smoothquant is not None and not quant.enabled:
+        raise ValueError(
+            "smoothquant= migrates outliers BEFORE weight quantization — pass a "
+            "WOQ weight_dtype ('int8'/'int4') alongside it"
+        )
 
     def _gptq(fp_params):
         # native GPTQ (ipex.quantization.gptq analog): Hessian-guided

@@ -169,8 +169,13 @@ class InferenceEngine:
         """``on_token``, if given, is called with the ``[B]`` int token array as
         each step completes (the reference's TextStreamer / --streaming analog).
         Streaming is a stepwise-loop feature: the fused on-device scan and the
-        tiered scheduler produce tokens in bulk, so callers wanting live tokens
-        use the default stepwise path."""
+        tiered scheduler produce tokens in bulk, so those combinations raise
+        rather than silently dropping the callback."""
+        if on_token is not None and (fused or self.scheduler is not None):
+            raise ValueError(
+                "on_token streaming needs the stepwise resident loop "
+                "(fused=False, no tiered scheduler)"
+            )
         cfg = self.cfg
         if gen.num_beams > 1:
             raise ValueError("use generate_beam() for num_beams > 1")

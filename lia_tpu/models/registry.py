@@ -334,7 +334,11 @@ REGISTRY = {
     "codegen-2b": _codegen("codegen-2b", 2560, 10240, 32, 32, 51200, rotary_dim=64),
     "codegen-6b": _codegen("codegen-6b", 4096, 16384, 33, 16, 51200, rotary_dim=64),
     # --- StableLM (reference model_class/stablelm.py) ---
-    "stablelm-2-1.6b": _stablelm("stablelm-2-1.6b", 2048, 5632, 24, 32, 32, 100352),
+    "stablelm-2-1.6b": _stablelm(
+        # stablelm-2 checkpoints ship use_qkv_bias=true (o_proj stays bias-free)
+        "stablelm-2-1.6b", 2048, 5632, 24, 32, 32, 100352,
+        attn_bias=True, o_bias=False,
+    ),
     "stablelm-3b": _stablelm("stablelm-3b", 2560, 6912, 32, 32, 32, 50304),
     # --- MPT (second ALiBi family; reference model_class/mpt.py) ---
     "mpt-7b": _mpt("mpt-7b", 4096, 16384, 32, 32),

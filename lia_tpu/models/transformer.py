@@ -425,10 +425,7 @@ def run_prefill_layers(
     """Embed + all decoder layers; returns (hidden [B, S, H], updated cache)."""
     positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1  # pad-aware
     x = embed(cfg, params, tokens, positions)
-    bias = None
-    if cfg.alibi:
-        key_pos = jnp.maximum(positions, 0) * input_mask  # pads → 0 (masked out)
-        bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), key_pos)
+    bias = att.alibi_prefill_bias(cfg.num_heads, positions, input_mask) if cfg.alibi else None
     ctx = att.prefill_attn_ctx(input_mask, cfg.sliding_window, bias=bias)
     start = cache.length
 
@@ -484,11 +481,7 @@ def prefill_chunk(
     positions = prev_real[:, None] + jnp.cumsum(chunk_mask.astype(jnp.int32), axis=1) - 1
     x = embed(cfg, params, tokens, positions)
     slot_mask = jax.lax.dynamic_update_slice(cache.mask, chunk_mask, (0, base))
-    bias = None
-    if cfg.alibi:
-        # logical position per cache slot (pads → 0, masked out of attention)
-        slot_pos = (jnp.cumsum(slot_mask.astype(jnp.int32), axis=1) - 1) * slot_mask
-        bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), slot_pos)
+    bias = att.alibi_slot_bias(cfg.num_heads, slot_mask) if cfg.alibi else None
 
     def body(h, per_layer):
         lp, kl, vl = per_layer
@@ -577,17 +570,7 @@ def _alibi_decode_bias(cfg: ModelConfig, cache: kvc.KVCache, positions: jnp.ndar
     is [B, 1] int32. Returns [B, N, S_max] or None for non-ALiBi models."""
     if not cfg.alibi:
         return None
-    slot_pos = (jnp.cumsum(cache.mask.astype(jnp.int32), axis=1) - 1) * cache.mask
-    pos = positions.astype(jnp.int32)
-    if getattr(cache.length, "ndim", 0) == 1:  # ragged: per-sequence fresh slot
-        slot_pos = jax.vmap(
-            lambda row, p, val: jax.lax.dynamic_update_slice(row, val, (p,))
-        )(slot_pos, cache.length, pos)
-    else:
-        slot_pos = jax.lax.dynamic_update_slice(
-            slot_pos, pos, (jnp.zeros((), jnp.int32), cache.length)
-        )
-    return att.alibi_bias(att.alibi_slopes(cfg.num_heads), slot_pos)
+    return att.alibi_slot_bias(cfg.num_heads, cache.mask, cache.length, positions)
 
 
 def decode_step(

@@ -116,14 +116,49 @@ def alibi_slopes(n_heads: int) -> jnp.ndarray:
     base = 2.0 ** (-(2.0 ** -(math.log2(p) - 3)))
     slopes = [base ** (i + 1) for i in range(p)]
     if p < n_heads:
+        # odd-tail interpolation: powers 1, 3, 5, … of the 2p base (HF
+        # build_alibi_tensor's extra_powers = arange(1, 2*num_rem, 2))
         base2 = 2.0 ** (-(2.0 ** -(math.log2(2 * p) - 3)))
-        slopes += [base2 ** (i + 1) for i in range(1, 2 * (n_heads - p), 2)]
+        slopes += [base2 ** i for i in range(1, 2 * (n_heads - p), 2)]
     return jnp.asarray(slopes, jnp.float32)
 
 
 def alibi_bias(slopes: jnp.ndarray, key_pos: jnp.ndarray) -> jnp.ndarray:
     """Key-positional ALiBi bias [B, N, S] from logical key positions [B, S]."""
     return slopes[None, :, None] * key_pos.astype(jnp.float32)[:, None, :]
+
+
+def alibi_prefill_bias(
+    n_heads: int, positions: jnp.ndarray, input_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Prefill bias [B, N, S]: key positions are the pad-aware logical
+    positions (pads → 0, masked out of attention anyway)."""
+    key_pos = jnp.maximum(positions, 0) * input_mask
+    return alibi_bias(alibi_slopes(n_heads), key_pos)
+
+
+def alibi_slot_bias(
+    n_heads: int,
+    slot_mask: jnp.ndarray,  # [B, S_max] valid-slot mask
+    length=None,  # scalar or [B] — fresh token's slot index
+    fresh_pos: jnp.ndarray | None = None,  # [B, 1] fresh token logical position
+) -> jnp.ndarray:
+    """Bias over cache slots [B, N, S_max]: each valid slot's logical position
+    is its rank among valid slots; optionally pre-fill the (still-invalid)
+    fresh slot at ``length`` with the fresh token's position — the fresh-merge
+    decode paths read it from there."""
+    slot_pos = (jnp.cumsum(slot_mask.astype(jnp.int32), axis=1) - 1) * slot_mask
+    if fresh_pos is not None:
+        pos = fresh_pos.astype(jnp.int32)
+        if getattr(length, "ndim", 0) == 1:  # ragged: per-sequence fresh slot
+            slot_pos = jax.vmap(
+                lambda row, p, val: jax.lax.dynamic_update_slice(row, val, (p,))
+            )(slot_pos, length, pos)
+        else:
+            slot_pos = jax.lax.dynamic_update_slice(
+                slot_pos, pos, (jnp.zeros((), jnp.int32), length)
+            )
+    return alibi_bias(alibi_slopes(n_heads), slot_pos)
 
 
 def prefill_attn_ctx(

@@ -285,10 +285,7 @@ def gptq_quantize_params(
     B, S = tokens.shape
     tok_j, mask_j = jnp.asarray(tokens), jnp.asarray(mask)
     positions = jnp.cumsum(mask_j.astype(jnp.int32), axis=1) - 1
-    bias = (
-        att.alibi_bias(att.alibi_slopes(cfg.num_heads), jnp.maximum(positions, 0) * mask_j)
-        if cfg.alibi else None
-    )
+    bias = att.alibi_prefill_bias(cfg.num_heads, positions, mask_j) if cfg.alibi else None
     ctx = att.prefill_attn_ctx(mask, cfg.sliding_window, bias=bias)
     valid = mask_j[:, :, None].astype(jnp.float32)
     x = jax.jit(lambda p, t: T.embed(cfg, p, t, positions))(

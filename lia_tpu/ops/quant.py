@@ -271,7 +271,7 @@ def _pallas_woq_viable(x2d, rec) -> bool:
     N = rec.q.shape[-1]
     ng = rec.s.shape[-2]
     g = K // ng
-    int4 = rec.fmt in ("woq_int4", "woq_int4z")
+    int4 = rec.fmt.startswith("woq_int4")  # incl. woq_int4_dyn (same packing)
     if N % 128 != 0:
         return False
     if K % (128 if not int4 else 256) != 0:
@@ -391,7 +391,9 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
         N = rec.q.shape[-1]
         ng = rec.s.shape[-2]
         g = K // ng
-        int4 = rec.fmt in ("woq_int4", "woq_int4z")
+        # woq_int4_dyn reaching here (odd ng / non-2D / non-viable-dot shapes)
+        # shares woq_int4's packing, so the dequant kernel is a valid fallback
+        int4 = rec.fmt.startswith("woq_int4")
         bn = dispatch.pick_block(N, 512, minimum=128)
         if int4:
             # K grid walks packed rows [0, K/2): pick bkh with whole groups and

@@ -61,10 +61,7 @@ def collect_act_scales(
     def run_full(p, tokens, mask):
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
         x = T.embed(cfg, p, tokens, positions)
-        bias = (
-            att.alibi_bias(att.alibi_slopes(cfg.num_heads), jnp.maximum(positions, 0) * mask)
-            if cfg.alibi else None
-        )
+        bias = att.alibi_prefill_bias(cfg.num_heads, positions, mask) if cfg.alibi else None
         ctx = att.prefill_attn_ctx(mask, cfg.sliding_window, bias=bias)
         B, S = tokens.shape
         cache = kvc.init_cache(cfg, B, S, jnp.dtype(cfg.dtype))

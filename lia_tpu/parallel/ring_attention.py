@@ -167,6 +167,14 @@ def sp_prefill(cfg, params, tokens, input_mask, mesh: Mesh, axis: str = "seq"):
     from lia_tpu.models import transformer as T
     from lia_tpu.ops import kv_cache as kvc
 
+    if cfg.alibi:
+        # ALiBi's additive bias would need per-shard global key positions wired
+        # through the ring hops; without it the model has NO positional signal
+        # (rope=False, learned_pos=False) — fail loudly rather than silently.
+        raise NotImplementedError(
+            "sp_prefill does not carry the ALiBi bias through ring attention "
+            "yet — use the standard prefill paths for bloom/mpt"
+        )
     positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1
     x = T.embed(cfg, params, tokens, positions)
 

@@ -94,10 +94,8 @@ class StreamingScheduler:
 
             positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1
             x = T.embed(cfg, top, tokens, positions)
-            bias = None
-            if cfg.alibi:
-                key_pos = jnp.maximum(positions, 0) * input_mask
-                bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), key_pos)
+            bias = (att.alibi_prefill_bias(cfg.num_heads, positions, input_mask)
+                    if cfg.alibi else None)
             return x, positions, att.prefill_attn_ctx(input_mask, bias=bias)
 
         return self._jit("embed", f)
@@ -109,13 +107,8 @@ class StreamingScheduler:
             from lia_tpu.ops import attention as att
 
             x = T.embed(cfg, top, tokens, positions)
-            bias = None
-            if cfg.alibi:
-                slot_pos = (jnp.cumsum(slot_mask.astype(jnp.int32), axis=1) - 1) * slot_mask
-                slot_pos = jax.lax.dynamic_update_slice(
-                    slot_pos, positions.astype(jnp.int32), (jnp.zeros((), jnp.int32), length)
-                )
-                bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), slot_pos)
+            bias = (att.alibi_slot_bias(cfg.num_heads, slot_mask, length, positions)
+                    if cfg.alibi else None)
             # two ctx conventions: the resident segment scan merges the fresh
             # token in-kernel (PAST-only ctx), while the streamed per-layer
             # paths write-then-attend (ctx INCLUDING the current token)
@@ -629,13 +622,9 @@ class StreamingScheduler:
             from lia_tpu.ops import attention as att
 
             x = T.embed(cfg, top, tokens, logical_pos[:, None])
-            bias = None
-            if cfg.alibi:
-                slot_pos = (jnp.cumsum(slot_mask.astype(jnp.int32), axis=1) - 1) * slot_mask
-                slot_pos = jax.vmap(
-                    lambda row, p, val: jax.lax.dynamic_update_slice(row, val, (p,))
-                )(slot_pos, length, logical_pos[:, None].astype(jnp.int32))
-                bias = att.alibi_bias(att.alibi_slopes(cfg.num_heads), slot_pos)
+            bias = (att.alibi_slot_bias(cfg.num_heads, slot_mask, length,
+                                        logical_pos[:, None])
+                    if cfg.alibi else None)
             ctx_past = att.decode_attn_ctx(slot_mask, length, bias=bias)
             sm = jax.vmap(
                 lambda row, p, a: jax.lax.dynamic_update_slice(row, a[None], (p,))

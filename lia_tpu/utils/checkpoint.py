@@ -137,7 +137,14 @@ def init_dummy_params(
             fn["bias"] = np.zeros((H,), dt)
         params["final_norm"] = fn
     if not cfg.tie_embeddings:
-        params["lm_head"] = w(E, cfg.vocab_size)
+        # quantize the untied lm_head like quantize_params does (same
+        # divisibility guard), so dummy-weight engines match checkpoint-loaded
+        # ones in footprint and per-step HBM traffic
+        g_head = E if (quant is None or quant.group_size <= 0) else quant.group_size
+        if quant is not None and quant.enabled and quant.quant_lm_head and E % g_head == 0:
+            params["lm_head"] = wq(E, cfg.vocab_size)
+        else:
+            params["lm_head"] = w(E, cfg.vocab_size)
         if cfg.lm_head_bias:
             params["lm_head_bias"] = np.zeros((cfg.vocab_size,), dt)
     return params

@@ -277,6 +277,11 @@ def main(argv=None) -> int:
     if args.streaming:
         if args.fused_decode:
             raise SystemExit("--streaming needs the stepwise loop (drop --fused-decode)")
+        if engine.scheduler is not None:
+            raise SystemExit(
+                "--streaming needs the resident stepwise loop (drop the "
+                "tiered/streaming policy knobs)"
+            )
 
         def on_token(toks, _tok=tokenizer):
             t = int(toks[0])

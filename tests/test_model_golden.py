@@ -423,3 +423,16 @@ def test_bucket_invariance(opt_pair):
     logits, cache = T.prefill(cfg, jax.device_put(params), jnp.asarray(tokens), jnp.asarray(mask), cache)
     first = int(np.argmax(np.asarray(logits), -1)[0])
     assert first == int(a.sequences[0, 0])
+
+
+def test_alibi_slopes_match_hf_all_head_counts():
+    """Pinned vs HF build_alibi_tensor incl. non-power-of-two head counts
+    (code-review finding: the odd-tail exponents were off by one power)."""
+    from transformers.models.bloom.modeling_bloom import build_alibi_tensor
+
+    from lia_tpu.ops.attention import alibi_slopes
+
+    for n in (4, 6, 12, 16, 71, 112):
+        mask = torch.ones(1, 3)
+        hf = build_alibi_tensor(mask, n, torch.float32)[:, 0, 1].numpy()
+        np.testing.assert_allclose(np.asarray(alibi_slopes(n)), hf, rtol=1e-6)

@@ -266,3 +266,31 @@ def test_quant_lm_head_logits_close():
         [[4, 8, 15], [16, 23]], gen, fused=True
     )
     assert np.asarray(res.sequences).shape[1] >= 4
+
+
+def test_w4a8_odd_group_count_falls_back_correctly(rng):
+    """ng odd (>1) must route to the int4-aware dequant fallback, never the
+    int8 kernel (code-review finding: _pallas_woq_viable misclassified
+    woq_int4_dyn's packed [K/2, N] bytes as full-K int8)."""
+    K, N, g = 384, 128, 128  # ng = 3
+    x = jnp.asarray(rng.standard_normal((8, K), dtype=np.float32) * 0.3)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.1
+    rec = quantize_weight(
+        w, QuantConfig(weight_dtype="int4", group_size=g, act_quant="dynamic")
+    )
+    y = np.asarray(quantized_matmul(x, jax_tree(rec)))
+    ref = np.asarray(x) @ w
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    # int4+int8-act error is ~0.1 at these shapes; the misroute produced ~31
+    assert rel < 0.2, rel
+
+
+def test_dummy_init_quantizes_untied_lm_head():
+    from lia_tpu.ops.quant import is_quantized
+
+    cfg = get_config("llama-tiny")
+    qc = QuantConfig(weight_dtype="int8", group_size=-1)
+    p = init_dummy_params(cfg, quant=qc)
+    assert is_quantized(p["lm_head"])
+    p2 = init_dummy_params(cfg, quant=QuantConfig(weight_dtype="int8", quant_lm_head=False))
+    assert not is_quantized(p2["lm_head"])
