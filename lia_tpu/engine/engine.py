@@ -244,6 +244,24 @@ class InferenceEngine:
                 break
         return GenerationResult(np.stack(out, axis=1), lat)
 
+    # -- speculative decoding ---------------------------------------------------
+
+    def generate_speculative(
+        self,
+        prompts: Sequence[Sequence[int]],
+        gen: GenerationConfig = GenerationConfig(),
+        ngram: int = 3,
+        k: int = 4,
+    ):
+        """Greedy generation with prompt-lookup speculation (see
+        :mod:`lia_tpu.engine.lookahead`). Returns ``(sequences, n_verify_steps)``
+        — sequences match :meth:`generate`'s greedy output; steps <
+        max_new_tokens whenever the n-gram proposals land (repetitive /
+        retrieval-heavy text), and never exceeds it."""
+        from lia_tpu.engine.lookahead import generate_prompt_lookup
+
+        return generate_prompt_lookup(self, prompts, gen, ngram=ngram, k=k)
+
     # -- beam search -----------------------------------------------------------
 
     def generate_beam(

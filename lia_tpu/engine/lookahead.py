@@ -1,0 +1,181 @@
+"""Prompt-lookup speculative decoding (draft-model-free self-speculation).
+
+Additive over the reference (LIA/IPEX ship no speculative decoding): each step
+proposes ``k`` tokens by matching the sequence's trailing ``ngram`` against its
+OWN history (prompt + generated — "prompt lookup decoding", the scheme
+vLLM/TGI ship for code/RAG workloads where output repeats input), then verifies
+all ``k+1`` positions in ONE chunked forward over the KV cache and accepts the
+longest exactly-matching prefix plus the bonus token.
+
+Greedy-exactness: a proposal is accepted only when it equals the model's own
+argmax at that position, so the emitted sequence is exactly what stepwise
+greedy decoding produces (same attention code path as chunked prefill) — the
+speculation only changes how many forward passes it takes. Worst case (no
+n-gram hits) every step still yields 1 token, i.e. plain decode.
+
+TPU-shaped: the verify step is a single jitted program with static chunk width
+``k+1`` — per-sequence raggedness lives in the cache ([B] lengths, the
+continuous-batching machinery), and acceptance is a tiny host-side compare.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lia_tpu.config import GenerationConfig, ModelConfig
+from lia_tpu.models import transformer as T
+from lia_tpu.ops import attention as att
+from lia_tpu.ops import kv_cache as kvc
+
+
+def propose_ngram(history: List[int], ngram: int, k: int, pad_id: int) -> List[int]:
+    """Propose k continuation tokens by matching the trailing n-gram against
+    the sequence's own history; pad-fill when there's no match (a padded
+    proposal simply fails verification — never changes output)."""
+    h = history
+    for n in range(min(ngram, len(h) - 1), 0, -1):
+        tail = h[-n:]
+        # most recent earlier occurrence wins (vLLM's prompt-lookup heuristic)
+        for i in range(len(h) - n - 1, -1, -1):
+            if h[i : i + n] == tail:
+                cand = h[i + n : i + n + k]
+                if cand:
+                    return (cand + [pad_id] * k)[:k]
+        # fall through to a shorter n-gram only if nothing matched
+    return [pad_id] * k
+
+
+def _verify_fn(cfg: ModelConfig):
+    """Jitted verify pass: run C = k+1 chunk tokens per sequence over the
+    ragged cache (write-then-attend at per-sequence bases), return per-position
+    logits. Cache K/V planes come back with the chunk written; mask/length are
+    advanced later by the accepted amount only."""
+
+    def f(params, tokens, positions, cache):
+        B, C = tokens.shape
+        x = T.embed(cfg, params, tokens, positions)
+        base = cache.length  # [B]
+        ones = jnp.ones((C,), jnp.bool_)
+        slot_mask = jax.vmap(
+            lambda row, p: jax.lax.dynamic_update_slice(row, ones, (p,))
+        )(cache.mask, base)
+        bias = att.alibi_slot_bias(cfg.num_heads, slot_mask) if cfg.alibi else None
+
+        def body(h, per_layer):
+            lp, kl, vl = per_layer
+            residual = h
+            q, k, v = T.attn_in(cfg, lp, h, positions)
+            kl, vl = kvc.update_layer(kl, vl, k, v, base)  # ragged write
+            attn_out = att.attend_prefill_cached(
+                q, kl, vl, base, slot_mask, cfg.sliding_window, bias=bias
+            )
+            h = T.attn_post_mlp(cfg, lp, residual, attn_out)
+            return h, (kl, vl)
+
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (params["layers"], cache.k, cache.v)
+        )
+        cache = cache._replace(k=k_new, v=v_new)
+        logits = T.lm_head(cfg, params, x)  # [B, C, V]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    return jax.jit(f, donate_argnums=(3,))
+
+
+def _accept_fn():
+    """Jitted acceptance/advance: mark the accepted chunk prefix valid."""
+
+    def f(cache, accept):  # accept: [B] — tokens accepted INCLUDING the pending one
+        B, S_max = cache.mask.shape
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, S_max), 1)
+        lo = cache.length[:, None]
+        hi = (cache.length + accept)[:, None]
+        mask = cache.mask | ((pos >= lo) & (pos < hi))
+        return cache._replace(mask=mask, length=cache.length + accept)
+
+    return jax.jit(f, donate_argnums=(0,))
+
+
+def generate_prompt_lookup(
+    engine,
+    prompts: Sequence[Sequence[int]],
+    gen: GenerationConfig,
+    ngram: int = 3,
+    k: int = 4,
+):
+    """Greedy generation with prompt-lookup speculation.
+
+    Returns ``(sequences [B, max_new_tokens] np.ndarray, n_verify_steps)`` —
+    the sequences equal :meth:`InferenceEngine.generate`'s greedy output; the
+    step count is the speedup evidence (steps < max_new_tokens whenever
+    proposals land).
+    """
+    from lia_tpu.engine.engine import pack_prompts
+
+    if gen.do_sample or gen.num_beams > 1:
+        raise NotImplementedError("prompt-lookup speculation is greedy-only")
+    if gen.eos_token_id is not None:
+        raise NotImplementedError("eos early-exit not wired into speculation yet")
+    if engine.scheduler is not None:
+        raise NotImplementedError("speculation runs on the resident engine path")
+
+    cfg = engine.cfg
+    tokens, mask = pack_prompts(prompts, gen.pad_token_id)
+    B, S = tokens.shape
+    C = k + 1
+    max_len = -(-(S + gen.max_new_tokens + C) // 128) * 128
+    kv_dtype = jnp.dtype(cfg.dtype)
+    cache = kvc.init_cache(
+        cfg, B, max_len, kv_dtype,
+        quantized=engine.runtime.quant.kv_cache_dtype == "int8",
+    )
+    logits, cache = engine._get_prefill()(
+        engine.params, jnp.asarray(tokens), jnp.asarray(mask), cache
+    )
+    pending = np.array(jnp.argmax(logits, -1).astype(jnp.int32))  # [B] (writable)
+
+    # ragged mode: per-sequence slot lengths and logical positions
+    cache = cache._replace(length=jnp.full((B,), int(cache.length), jnp.int32))
+    n_real = mask.sum(1).astype(np.int32)  # logical position of the pending token
+
+    history = [list(p) + [int(pending[b])] for b, p in enumerate(prompts)]
+    out: List[List[int]] = [[int(pending[b])] for b in range(B)]
+
+    verify = engine._compiled.setdefault(("spec_verify", C), _verify_fn(cfg))
+    advance = engine._compiled.setdefault("spec_advance", _accept_fn())
+
+    steps = 0
+    while any(len(o) < gen.max_new_tokens for o in out):
+        props = np.stack([
+            propose_ngram(history[b], ngram, k, gen.pad_token_id) for b in range(B)
+        ]).astype(np.int32)  # [B, k]
+        chunk = np.concatenate([pending[:, None], props], axis=1)  # [B, C]
+        positions = n_real[:, None] + np.arange(C, dtype=np.int32)[None, :]
+        greedy, cache = verify(
+            engine.params, jnp.asarray(chunk), jnp.asarray(positions), cache
+        )
+        greedy = np.asarray(greedy)  # [B, C]: greedy[b, i] follows chunk[b, i]
+        steps += 1
+
+        accept = np.zeros((B,), np.int32)
+        for b in range(B):
+            if len(out[b]) >= gen.max_new_tokens:
+                continue  # done: freeze this sequence (cache scratch-only)
+            a = 0
+            while a < k and props[b, a] == greedy[b, a]:
+                a += 1
+            accept[b] = a + 1  # pending token + a verified proposals
+            # = a accepted proposals + the bonus token (the model's argmax)
+            new_toks = [int(t) for t in chunk[b, 1 : a + 1]] + [int(greedy[b, a])]
+            out[b].extend(new_toks)
+            history[b].extend(new_toks)
+            pending[b] = new_toks[-1]
+        n_real = n_real + accept
+        cache = advance(cache, jnp.asarray(accept))
+
+    seqs = np.stack([np.asarray(o[: gen.max_new_tokens], np.int32) for o in out])
+    return seqs, steps
