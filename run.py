@@ -114,6 +114,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true", help="emit a jax trace to /tmp/lia_trace")
     p.add_argument("--prompt", default=None, help="text prompt (requires --tokenizer)")
     p.add_argument("--tokenizer", default=None, help="local tokenizer directory")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="prompt-lookup speculative decoding with K-token "
+                        "proposals (greedy-exact; additive over the reference)")
+    p.add_argument("--ngram", type=int, default=3,
+                   help="n-gram width for --speculative history matching")
     p.add_argument("--streaming", action="store_true",
                    help="print sequence 0's tokens as they decode (stepwise "
                         "loop; TextStreamer analog)")
@@ -295,6 +300,17 @@ def main(argv=None) -> int:
     results = []
     for it in range(args.num_warmup + args.num_iter):
         t0 = time.perf_counter()
+        if args.speculative > 0:
+            seqs, steps = engine.generate_speculative(
+                prompts, gen, ngram=args.ngram, k=args.speculative
+            )
+            dt = time.perf_counter() - t0
+            print(
+                f"[{'warmup' if it < args.num_warmup else 'iter'} {it}] {dt:.3f}s  "
+                f"({seqs.size / dt:.1f} tok/s; {steps} verify passes for "
+                f"{gen.max_new_tokens} tokens)"
+            )
+            continue
         res = engine.generate(prompts, gen, fused=args.fused_decode, on_token=on_token)
         if on_token is not None:
             print(flush=True)
