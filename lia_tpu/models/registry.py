@@ -121,6 +121,24 @@ def _baichuan(name, h, ffn, l, heads, vocab, alibi=False, max_pos=4096, **kw) ->
     ).replace(family="baichuan", rope=not alibi, alibi=alibi)
 
 
+def _chatglm(name, h, ffn, l, heads, kv_groups, vocab, max_pos=32768,
+             rope_ratio=1.0, **kw) -> ModelConfig:
+    """ChatGLM2/3 (THUDM remote-code modeling_chatglm; reference patch points:
+    optimize.py:520-538 ChatGLMModel/GLMTransformer/GLM2_get_masks +
+    _GLM2Attention_forward, attentions.py:976-1080): packed ``query_key_value``
+    projection split [q | k·groups | v·groups] with qkv bias only
+    (add_qkv_bias), multi-query attention (``multi_query_group_num`` KV
+    groups), rotary over the FIRST HALF of each head dim with interleaved
+    (x[2i], x[2i+1]) pairing, RMSNorm, SwiGLU with a packed gate|up
+    ``dense_h_to_4h``, untied ``output_layer`` head."""
+    d = h // heads
+    return _llama(
+        name, h, ffn, l, heads, kv_groups, vocab,
+        max_pos=max_pos, theta=10000.0 * rope_ratio,
+        attn_bias=True, o_bias=False, **kw,
+    ).replace(family="chatglm", rotary_dim=d // 2, rope_interleaved=True)
+
+
 def _gptj(name, h, ffn, l, heads, vocab, rotary_dim, max_pos=2048, **kw) -> ModelConfig:
     """GPT-J: parallel residual, single shared ln_1, interleaved partial rotary,
     no attention biases, biased MLP and lm_head (HF modeling_gptj)."""
@@ -362,6 +380,9 @@ REGISTRY = {
     "baichuan2-13b": _baichuan(
         "baichuan2-13b", 5120, 13696, 40, 40, 125696, alibi=True, norm_head=True
     ),
+    # --- ChatGLM2/3 (reference model_class/chatglm.py) ---
+    "chatglm2-6b": _chatglm("chatglm2-6b", 4096, 13696, 28, 32, 2, 65024),
+    "chatglm3-6b": _chatglm("chatglm3-6b", 4096, 13696, 28, 32, 2, 65024),
     # --- MPT (second ALiBi family; reference model_class/mpt.py) ---
     "mpt-7b": _mpt("mpt-7b", 4096, 16384, 32, 32),
     "mpt-30b": _mpt("mpt-30b", 7168, 28672, 48, 64, max_pos=8192),
@@ -394,6 +415,7 @@ REGISTRY = {
     ),
     "codegen-tiny": _codegen("codegen-tiny", 64, 256, 2, 4, 503, rotary_dim=8, max_pos=128),
     "baichuan-tiny": _baichuan("baichuan-tiny", 64, 128, 2, 4, 503, max_pos=128),
+    "chatglm-tiny": _chatglm("chatglm-tiny", 64, 128, 2, 4, 2, 503, max_pos=128),
     "baichuan2-tiny": _baichuan(
         "baichuan2-tiny", 64, 128, 2, 4, 503, alibi=True, max_pos=128, norm_head=True
     ),

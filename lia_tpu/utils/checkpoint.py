@@ -198,6 +198,8 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         return _params_codegen(cfg, get, raw, stack, dt)
     if cfg.family == "baichuan":
         return _params_baichuan(cfg, get, raw, wT, stack, dt)
+    if cfg.family == "chatglm":
+        return _params_chatglm(cfg, get, raw, stack, dt)
 
     is_opt = cfg.family == "opt"
     if is_opt:
@@ -664,6 +666,59 @@ def _params_baichuan(cfg: ModelConfig, get, raw, wT, stack, dt) -> Params:
             "wg": stack(lp + "mlp.gate_proj.weight", True),
             "w1": stack(lp + "mlp.up_proj.weight", True),
             "w2": stack(lp + "mlp.down_proj.weight", True),
+        },
+    }
+    return params
+
+
+def _params_chatglm(cfg: ModelConfig, get, raw, stack, dt) -> Params:
+    """ChatGLM2/3 (THUDM remote-code modeling_chatglm; reference
+    _GLM2Attention_forward split, attentions.py:994-1029): packed
+    ``query_key_value`` [(Nq+2·Nkv)·D, H] with bias splits sequentially into
+    q | k | v; ``dense_h_to_4h`` [2F, H] packs gate|up for SwiGLU
+    (``torch.chunk(2)`` → silu(x0)·x1); ``dense``/``dense_4h_to_h`` carry no
+    bias; untied ``output_layer``."""
+    L, H = cfg.num_layers, cfg.hidden_size
+    QD = cfg.num_heads * cfg.head_dim
+    KD = cfg.num_kv_heads * cfg.head_dim
+    F = cfg.ffn_size
+    lp = "transformer.encoder.layers.{}."
+
+    def split_qkv(i):
+        w = get(lp.format(i) + "self_attention.query_key_value.weight")
+        b = get(lp.format(i) + "self_attention.query_key_value.bias")
+        return (
+            w[:QD].T.astype(dt), w[QD : QD + KD].T.astype(dt), w[QD + KD :].T.astype(dt),
+            b[:QD].astype(dt), b[QD : QD + KD].astype(dt), b[QD + KD :].astype(dt),
+        )
+
+    def split_mlp(i):
+        w = get(lp.format(i) + "mlp.dense_h_to_4h.weight")  # [2F, H]
+        return w[:F].T.astype(dt), w[F:].T.astype(dt)  # gate, up
+
+    qkv = [split_qkv(i) for i in range(L)]
+    gu = [split_mlp(i) for i in range(L)]
+    params: Params = {
+        "embed_tokens": raw("transformer.embedding.word_embeddings.weight"),
+        "final_norm": {"scale": raw("transformer.encoder.final_layernorm.weight")},
+        "lm_head": get("transformer.output_layer.weight").T.astype(dt),
+    }
+    params["layers"] = {
+        "ln1": {"scale": stack(lp + "input_layernorm.weight")},
+        "attn": {
+            "wq": np.stack([t[0] for t in qkv]),
+            "wk": np.stack([t[1] for t in qkv]),
+            "wv": np.stack([t[2] for t in qkv]),
+            "bq": np.stack([t[3] for t in qkv]),
+            "bk": np.stack([t[4] for t in qkv]),
+            "bv": np.stack([t[5] for t in qkv]),
+            "wo": stack(lp + "self_attention.dense.weight", True),
+        },
+        "ln2": {"scale": stack(lp + "post_attention_layernorm.weight")},
+        "mlp": {
+            "wg": np.stack([t[0] for t in gu]),
+            "w1": np.stack([t[1] for t in gu]),
+            "w2": stack(lp + "mlp.dense_4h_to_h.weight", True),
         },
     }
     return params

@@ -495,6 +495,91 @@ def test_baichuan2_alibi_norm_head():
     np.testing.assert_array_equal(a.sequences, b.sequences)
 
 
+def _chatglm_tiny_sd(cfg, rng):
+    H, F = cfg.hidden_size, cfg.ffn_size
+    QD = cfg.num_heads * cfg.head_dim
+    KD = cfg.num_kv_heads * cfg.head_dim
+    sd = {
+        "transformer.embedding.word_embeddings.weight": rng.standard_normal(
+            (cfg.vocab_size, H), np.float32) * 0.05,
+        "transformer.encoder.final_layernorm.weight": np.ones(H, np.float32),
+        "transformer.output_layer.weight": rng.standard_normal(
+            (cfg.vocab_size, H), np.float32) * 0.05,
+    }
+    for i in range(cfg.num_layers):
+        p = f"transformer.encoder.layers.{i}."
+        sd[p + "self_attention.query_key_value.weight"] = (
+            rng.standard_normal((QD + 2 * KD, H), np.float32) * 0.05)
+        sd[p + "self_attention.query_key_value.bias"] = (
+            rng.standard_normal(QD + 2 * KD, np.float32) * 0.02)
+        sd[p + "self_attention.dense.weight"] = rng.standard_normal((H, QD), np.float32) * 0.05
+        sd[p + "mlp.dense_h_to_4h.weight"] = rng.standard_normal((2 * F, H), np.float32) * 0.05
+        sd[p + "mlp.dense_4h_to_h.weight"] = rng.standard_normal((H, F), np.float32) * 0.05
+        sd[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+    return sd
+
+
+def test_chatglm_mapping_roundtrip():
+    """The packed query_key_value / dense_h_to_4h splits must land in the right
+    pytree slots: q rows first, then k·groups, then v·groups; gate before up."""
+    cfg = get_config("chatglm-tiny").replace(dtype="float32")
+    rng = np.random.default_rng(11)
+    sd = _chatglm_tiny_sd(cfg, rng)
+    params = params_from_hf_state_dict(cfg, sd)
+    QD = cfg.num_heads * cfg.head_dim
+    KD = cfg.num_kv_heads * cfg.head_dim
+    F = cfg.ffn_size
+    w0 = sd["transformer.encoder.layers.0.self_attention.query_key_value.weight"]
+    np.testing.assert_allclose(params["layers"]["attn"]["wq"][0], w0[:QD].T)
+    np.testing.assert_allclose(params["layers"]["attn"]["wk"][0], w0[QD:QD + KD].T)
+    np.testing.assert_allclose(params["layers"]["attn"]["wv"][0], w0[QD + KD:].T)
+    m0 = sd["transformer.encoder.layers.0.mlp.dense_h_to_4h.weight"]
+    np.testing.assert_allclose(params["layers"]["mlp"]["wg"][0], m0[:F].T)
+    np.testing.assert_allclose(params["layers"]["mlp"]["w1"][0], m0[F:].T)
+
+
+def test_chatglm_rotary_matches_glm_reference():
+    """Our apply_rope(rotary_dim=D/2, interleaved=True) vs a self-contained
+    replica of ChatGLM2's RotaryEmbedding/apply_rotary_pos_emb (rotate the
+    first half of each head dim, (2i, 2i+1) pairing, inv-freq over D/2)."""
+    from lia_tpu.ops.rope import apply_rope
+    import jax.numpy as jnp
+
+    D, S, N = 16, 5, 2
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((1, S, N, D), np.float32)
+    pos = np.arange(S, dtype=np.int32)[None, :]
+
+    # GLM reference math
+    n_elem = D // 2
+    theta = 1.0 / (10000.0 ** (np.arange(0, n_elem, 2, dtype=np.float32) / n_elem))
+    idx = np.outer(np.arange(S, dtype=np.float32), theta)  # [S, n_elem/2]
+    cos, sin = np.cos(idx), np.sin(idx)
+    xr = x[..., :n_elem].reshape(1, S, N, n_elem // 2, 2)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = np.stack(
+        [xr[..., 0] * c - xr[..., 1] * s, xr[..., 1] * c + xr[..., 0] * s], -1
+    ).reshape(1, S, N, n_elem)
+    want = np.concatenate([out, x[..., n_elem:]], -1)
+
+    got = apply_rope(jnp.asarray(x), jnp.asarray(pos), 10000.0, rotary_dim=n_elem,
+                     interleaved=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_chatglm_consistency():
+    cfg = get_config("chatglm-tiny").replace(dtype="float32")
+    params = params_from_hf_state_dict(cfg, _chatglm_tiny_sd(cfg, np.random.default_rng(13)))
+    prompts = [[4, 5, 6, 7, 8], [9, 10]]
+    eng = InferenceEngine(cfg, params)
+    gen = GenerationConfig(max_new_tokens=6, pad_token_id=0)
+    a = eng.generate(prompts, gen)
+    b = eng.generate(prompts, gen, fused=True)
+    np.testing.assert_array_equal(a.sequences, b.sequences)
+
+
 def test_alibi_slopes_match_hf_all_head_counts():
     """Pinned vs HF build_alibi_tensor incl. non-power-of-two head counts
     (code-review finding: the odd-tail exponents were off by one power)."""
