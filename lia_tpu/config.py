@@ -108,6 +108,23 @@ class ModelConfig:
     # --- mixture-of-experts (mixtral) ---
     num_experts: int = 0  # 0 = dense MLP; >0 = block-sparse MoE (Mixtral)
     num_experts_per_tok: int = 2  # top-k routing
+    # --- encoder-decoder (t5 / flan-t5; reference optimize.py:310-326 patches
+    # T5Attention/T5DenseActDense/T5DenseGatedActDense) ---
+    encoder_decoder: bool = False  # T5: models/t5.py + engine/seq2seq.py
+    rel_buckets: int = 32  # relative-position bias buckets (T5Attention)
+    rel_max_distance: int = 128
+    gated_mlp: bool = False  # flan-t5: h = act(wi_0 x) * (wi_1 x)
+    attn_scale: Optional[float] = None  # None → 1/sqrt(head_dim); T5 uses 1.0
+    # --- multimodal vision tower (git / llava; models/vision.py) ---
+    vision_hidden: int = 0  # 0 = no vision tower
+    vision_layers: int = 0
+    vision_heads: int = 0
+    vision_ffn: int = 0
+    vision_patch: int = 16
+    vision_image_size: int = 224
+    vision_norm_eps: float = 1e-5
+    image_token_id: int = 32000  # llava <image> placeholder token
+    vision_feature_layer: int = -2  # llava: hidden_states index fed to the projector
 
     @property
     def embed_dim(self) -> int:

@@ -1,0 +1,127 @@
+"""Seq2seq (T5) generation engine.
+
+The reference drives ``T5ForConditionalGeneration`` through the same patched HF
+``generate`` stack as the decoder-only families
+(examples/.../single_instance/run_generation.py MODEL_CLASSES["t5"];
+optimize.py:310-326 patches the T5 modules in place). Here the seq2seq loop is
+its own small engine: encoder-decoder state is structurally different (fixed
+cross-attention K/V + a growing self-attention cache), so bolting it onto
+:class:`InferenceEngine`'s decoder-only buckets/policy seams would buy nothing.
+
+TPU shape discipline matches the main engine: encoder inputs bucket to powers
+of two (bounded recompiles), the decoder self-cache is preallocated at
+``max_new_tokens``, and the whole generation can run as one fused on-device
+``lax.scan`` (greedy/sampling) — one dispatch per request, no per-token host
+round-trip. Weight tiering/streaming policies are decoder-only features
+(the LIA scheduler targets OPT — lia/modeling_opt.py); T5 runs HBM-resident.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lia_tpu.config import GenerationConfig, ModelConfig
+from lia_tpu.engine.engine import GenerationResult, bucket_length
+from lia_tpu.models import t5 as M
+from lia_tpu.ops import sampling
+from lia_tpu.utils.metrics import LatencyStats
+
+
+def pack_encoder_inputs(
+    prompts: Sequence[Sequence[int]], pad_id: int, bucket: Optional[int] = None
+):
+    """RIGHT-pad encoder prompts to a bucket (encoder is bidirectional; no
+    uniform-write-slot constraint, and HF T5 right-pads)."""
+    maxlen = max(len(p) for p in prompts)
+    S = bucket or bucket_length(maxlen)
+    B = len(prompts)
+    tokens = np.full((B, S), pad_id, np.int32)
+    mask = np.zeros((B, S), bool)
+    for i, p in enumerate(prompts):
+        tokens[i, : len(p)] = p
+        mask[i, : len(p)] = True
+    return tokens, mask
+
+
+class Seq2SeqEngine:
+    """Owns device parameters and the compiled encode/decode functions."""
+
+    def __init__(self, cfg: ModelConfig, params_host: Any):
+        assert cfg.encoder_decoder, "Seq2SeqEngine requires an encoder-decoder config"
+        self.cfg = cfg
+        self.params = jax.device_put(params_host)
+        self._encode = jax.jit(partial(M.encode, cfg))
+        self._cross_kv = jax.jit(partial(M.cross_kv, cfg))
+        self._step = jax.jit(partial(M.decode_step, cfg))
+        self._fused = {}
+
+    # -- fused on-device generation loop --------------------------------
+    def _fused_loop(self, T_new: int, gen: GenerationConfig):
+        cfg = self.cfg
+
+        def run(params, enc_mask, cross_k, cross_v, start_tokens, self_k, self_v, seed):
+            def body(carry, step):
+                tokens, sk, sv, key = carry
+                logits, sk, sv = M.decode_step(
+                    cfg, params, tokens, step, sk, sv, cross_k, cross_v, enc_mask
+                )
+                key, sub = jax.random.split(key)
+                nxt = sampling.sample(logits, sub, gen)[:, None].astype(jnp.int32)
+                return (nxt, sk, sv, key), nxt[:, 0]
+
+            key = jax.random.PRNGKey(seed)
+            (_, _, _, _), toks = jax.lax.scan(
+                body, (start_tokens, self_k, self_v, key),
+                jnp.arange(T_new, dtype=jnp.int32),
+            )
+            return toks.T  # [B, T_new]
+
+        return jax.jit(run)
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        gen: GenerationConfig = GenerationConfig(),
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Greedy/sampled seq2seq generation (decoder starts from
+        ``decoder_start_token_id`` = pad, HF T5 convention). EOS (</s> = 1 in
+        T5 vocab) truncates per-row in post-processing; the fused scan always
+        runs ``max_new_tokens`` steps (static shapes)."""
+        cfg = self.cfg
+        tokens, mask = pack_encoder_inputs(prompts, cfg.pad_token_id)
+        B = tokens.shape[0]
+        T_new = gen.max_new_tokens
+        lat = LatencyStats()
+
+        t0 = time.perf_counter()
+        enc_out = self._encode(self.params, jnp.asarray(tokens), jnp.asarray(mask))
+        ck, cv = self._cross_kv(self.params, enc_out)
+
+        L, N, D = cfg.num_layers, cfg.num_heads, cfg.head_dim
+        dt = jnp.dtype(cfg.dtype)
+        sk = jnp.zeros((L, B, N, T_new, D), dt)
+        sv = jnp.zeros((L, B, N, T_new, D), dt)
+        start = jnp.full((B, 1), cfg.pad_token_id, jnp.int32)  # decoder_start_token
+
+        key = (B, T_new, gen.do_sample, gen.temperature, gen.top_k, gen.top_p)
+        if key not in self._fused:
+            self._fused[key] = self._fused_loop(T_new, gen)
+        toks = self._fused[key](
+            self.params, jnp.asarray(mask), ck, cv, start, sk, sv, seed
+        )
+        out = np.asarray(toks)
+        lat.record(time.perf_counter() - t0)
+
+        if gen.eos_token_id is not None:  # truncate after first EOS per row
+            for b in range(B):
+                hits = np.flatnonzero(out[b] == gen.eos_token_id)
+                if hits.size:
+                    out[b, hits[0] + 1:] = gen.pad_token_id
+        return GenerationResult(sequences=out, latency=lat)

@@ -139,6 +139,78 @@ def _chatglm(name, h, ffn, l, heads, kv_groups, vocab, max_pos=32768,
     ).replace(family="chatglm", rotary_dim=d // 2, rope_interleaved=True)
 
 
+def _t5(name, h, ffn, l, heads, d_kv, vocab=32128, gated=False, tied=True, **kw) -> ModelConfig:
+    """T5 / Flan-T5 (HF modeling_t5; reference patches T5Attention/
+    T5DenseActDense/T5DenseGatedActDense — optimize.py:310-326): encoder-decoder
+    with relative-position-bucket bias, UNSCALED attention (attn_scale=1.0),
+    d_kv decoupled from hidden/heads, RMS-style T5LayerNorm. Original T5 ties
+    the head (hidden scaled by d_model**-0.5 first); T5-1.1/Flan untie it and
+    gate the MLP (gelu_new gate × up)."""
+    return ModelConfig(
+        name=name,
+        family="t5",
+        vocab_size=vocab,
+        hidden_size=h,
+        ffn_size=ffn,
+        num_layers=l,
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=d_kv,
+        max_position_embeddings=512,
+        activation=Activation.GELU_NEW if gated else Activation.RELU,
+        norm=Norm.RMSNORM,
+        norm_eps=1e-6,
+        learned_pos=False,
+        rope=False,
+        tie_embeddings=tied,
+        attn_bias=False,
+        mlp_bias=False,
+        pad_token_id=0,
+        encoder_decoder=True,
+        gated_mlp=gated,
+        attn_scale=1.0,
+        **kw,
+    )
+
+
+def _git(name, h, ffn, l, heads, vh, vl, vheads, vffn, patch=16, img=224,
+         vocab=30522, **kw) -> ModelConfig:
+    """GIT (HF modeling_git; reference model class utils/model_class/git.py):
+    CLIP-ViT image encoder + linear/LN projection + BERT-style post-norm text
+    decoder over [image tokens | text] with a prefix-LM mask. BOS=101, EOS=102
+    (BERT vocab)."""
+    return ModelConfig(
+        name=name,
+        family="git",
+        vocab_size=vocab,
+        hidden_size=h,
+        ffn_size=ffn,
+        num_layers=l,
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=h // heads,
+        max_position_embeddings=1024,
+        activation=Activation.GELU,
+        norm=Norm.LAYERNORM,
+        norm_eps=1e-12,
+        pre_norm=False,
+        learned_pos=True,
+        pos_offset=0,
+        rope=False,
+        tie_embeddings=False,
+        attn_bias=True,
+        mlp_bias=True,
+        pad_token_id=0,
+        vision_hidden=vh,
+        vision_layers=vl,
+        vision_heads=vheads,
+        vision_ffn=vffn,
+        vision_patch=patch,
+        vision_image_size=img,
+        **kw,
+    )
+
+
 def _gptj(name, h, ffn, l, heads, vocab, rotary_dim, max_pos=2048, **kw) -> ModelConfig:
     """GPT-J: parallel residual, single shared ln_1, interleaved partial rotary,
     no attention biases, biased MLP and lm_head (HF modeling_gptj)."""
@@ -386,6 +458,13 @@ REGISTRY = {
     # --- MPT (second ALiBi family; reference model_class/mpt.py) ---
     "mpt-7b": _mpt("mpt-7b", 4096, 16384, 32, 32),
     "mpt-30b": _mpt("mpt-30b", 7168, 28672, 48, 64, max_pos=8192),
+    # --- GIT (reference model_class/git.py) ---
+    "git-base": _git("git-base", 768, 3072, 6, 12, 768, 12, 12, 3072),
+    "git-large": _git("git-large", 1024, 4096, 6, 16, 1024, 24, 16, 4096, patch=14),
+    # --- T5 / Flan-T5 (reference model_class/t5.py) ---
+    "t5-base": _t5("t5-base", 768, 3072, 12, 12, 64),
+    "t5-3b": _t5("t5-3b", 1024, 16384, 24, 32, 128),
+    "flan-t5-xl": _t5("flan-t5-xl", 2048, 5120, 24, 32, 64, gated=True, tied=False),
     # --- GPTBigCode / StarCoder (reference model_class/gptbigcode.py) ---
     "starcoder-15b": _gptbigcode("starcoder-15b", 6144, 24576, 40, 48),
     "starcoderbase-1b": _gptbigcode("starcoderbase-1b", 2048, 8192, 24, 16),
@@ -416,6 +495,9 @@ REGISTRY = {
     "codegen-tiny": _codegen("codegen-tiny", 64, 256, 2, 4, 503, rotary_dim=8, max_pos=128),
     "baichuan-tiny": _baichuan("baichuan-tiny", 64, 128, 2, 4, 503, max_pos=128),
     "chatglm-tiny": _chatglm("chatglm-tiny", 64, 128, 2, 4, 2, 503, max_pos=128),
+    "t5-tiny": _t5("t5-tiny", 64, 128, 2, 4, 16, vocab=503),
+    "git-tiny": _git("git-tiny", 64, 128, 2, 4, 32, 2, 2, 64, patch=8, img=16, vocab=503),
+    "flan-t5-tiny": _t5("flan-t5-tiny", 64, 128, 2, 4, 16, vocab=503, gated=True, tied=False),
     "baichuan2-tiny": _baichuan(
         "baichuan2-tiny", 64, 128, 2, 4, 503, alibi=True, max_pos=128, norm_head=True
     ),
@@ -425,7 +507,7 @@ REGISTRY = {
 def get_config(name: str) -> ModelConfig:
     key = name.lower()
     for org in ("facebook/", "meta-llama/", "eleutherai/", "tiiuae/", "mistralai/",
-                "qwen/", "bigscience/", "baichuan-inc/", "thudm/"):
+                "qwen/", "bigscience/", "baichuan-inc/", "thudm/", "google/"):
         key = key.replace(org, "")
     key = key.replace("_", "-")
     # common HF suffixes/aliases: mistral-7b-v0.1 → mistral-7b, qwen2-7b-instruct → qwen2-7b

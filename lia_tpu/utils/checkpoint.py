@@ -44,6 +44,8 @@ def init_dummy_params(
     layer matmul weights are synthesized **directly in quantized form** (native
     randn_int8 — no multi-GB fp transient at 30B+ scale).
     """
+    if cfg.encoder_decoder:
+        return _init_dummy_t5(cfg, seed, scale)
     rng = np.random.default_rng(seed)
     dt = _np_dtype(cfg.dtype)
     H, F, L = cfg.hidden_size, cfg.ffn_size, cfg.num_layers
@@ -150,6 +152,54 @@ def init_dummy_params(
     return params
 
 
+def _init_dummy_t5(cfg: ModelConfig, seed: int, scale: float) -> Params:
+    """Dummy weights for the T5 encoder-decoder pytree (models/t5.py layout)."""
+    rng = np.random.default_rng(seed)
+    dt = _np_dtype(cfg.dtype)
+    H, F, L = cfg.hidden_size, cfg.ffn_size, cfg.num_layers
+    inner = cfg.num_heads * cfg.head_dim
+
+    def w(*shape):
+        return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(dt)
+
+    def attn_tree():
+        return {"wq": w(L, H, inner), "wk": w(L, H, inner), "wv": w(L, H, inner),
+                "wo": w(L, inner, H)}
+
+    def mlp_tree():
+        m = {"w1": w(L, H, F), "w2": w(L, F, H)}
+        if cfg.gated_mlp:
+            m["wg"] = w(L, H, F)
+        return m
+
+    def ln():
+        return {"scale": np.ones((L, H), dt)}
+
+    def stack_tree(cross: bool):
+        t = {"ln1": ln(), "attn": attn_tree(), "ln2": ln(), "mlp": mlp_tree()}
+        if cross:
+            t["cross"] = attn_tree()
+            t["ln3"] = ln()
+        return t
+
+    params: Params = {
+        "embed_tokens": w(cfg.vocab_size, H),
+        "enc": {
+            "layers": stack_tree(cross=False),
+            "final_norm": {"scale": np.ones((H,), dt)},
+            "rel_bias": w(cfg.rel_buckets, cfg.num_heads),
+        },
+        "dec": {
+            "layers": stack_tree(cross=True),
+            "final_norm": {"scale": np.ones((H,), dt)},
+            "rel_bias": w(cfg.rel_buckets, cfg.num_heads),
+        },
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = w(H, cfg.vocab_size)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # HF state-dict mapping (OPT / Llama+Mistral+Qwen2 / GPT-J / GPT-NeoX / Falcon)
 # ---------------------------------------------------------------------------
@@ -200,6 +250,10 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         return _params_baichuan(cfg, get, raw, wT, stack, dt)
     if cfg.family == "chatglm":
         return _params_chatglm(cfg, get, raw, stack, dt)
+    if cfg.family == "t5":
+        return _params_t5(cfg, get, raw, wT, stack, dt)
+    if cfg.family == "git":
+        return _params_git(cfg, get, raw, wT, stack, dt)
 
     is_opt = cfg.family == "opt"
     if is_opt:
@@ -722,6 +776,169 @@ def _params_chatglm(cfg: ModelConfig, get, raw, stack, dt) -> Params:
         },
     }
     return params
+
+
+def _params_t5(cfg: ModelConfig, get, raw, wT, stack, dt) -> Params:
+    """T5 / Flan-T5 (HF modeling_t5): ``shared`` embedding, per-stack blocks
+    ``{encoder,decoder}.block.{i}.layer.{j}`` where encoder j = [self-attn, ffn]
+    and decoder j = [self-attn, cross-attn, ffn]; the relative-position bias
+    table lives only on block 0's self-attention (shared by all layers).
+    Non-gated MLP: ``wi``/``wo``; gated (flan): ``wi_0`` (gate) / ``wi_1``."""
+    L = cfg.num_layers
+
+    def attn_tree(prefix, attn_name):
+        return {
+            "wq": np.stack([wT(prefix.format(i) + f"{attn_name}.q.weight") for i in range(L)]),
+            "wk": np.stack([wT(prefix.format(i) + f"{attn_name}.k.weight") for i in range(L)]),
+            "wv": np.stack([wT(prefix.format(i) + f"{attn_name}.v.weight") for i in range(L)]),
+            "wo": np.stack([wT(prefix.format(i) + f"{attn_name}.o.weight") for i in range(L)]),
+        }
+
+    def ln_tree(fmt):
+        return {"scale": np.stack([raw(fmt.format(i)) for i in range(L)])}
+
+    def mlp_tree(prefix):
+        if cfg.gated_mlp:
+            return {
+                "wg": np.stack([wT(prefix.format(i) + "wi_0.weight") for i in range(L)]),
+                "w1": np.stack([wT(prefix.format(i) + "wi_1.weight") for i in range(L)]),
+                "w2": np.stack([wT(prefix.format(i) + "wo.weight") for i in range(L)]),
+            }
+        return {
+            "w1": np.stack([wT(prefix.format(i) + "wi.weight") for i in range(L)]),
+            "w2": np.stack([wT(prefix.format(i) + "wo.weight") for i in range(L)]),
+        }
+
+    eb = "encoder.block.{}.layer."
+    db = "decoder.block.{}.layer."
+    params: Params = {
+        "embed_tokens": raw("shared.weight"),
+        "enc": {
+            "layers": {
+                "ln1": ln_tree(eb + "0.layer_norm.weight"),
+                "attn": attn_tree(eb + "0.", "SelfAttention"),
+                "ln2": ln_tree(eb + "1.layer_norm.weight"),
+                "mlp": mlp_tree(eb + "1.DenseReluDense."),
+            },
+            "final_norm": {"scale": raw("encoder.final_layer_norm.weight")},
+            "rel_bias": raw(
+                "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+            ),
+        },
+        "dec": {
+            "layers": {
+                "ln1": ln_tree(db + "0.layer_norm.weight"),
+                "attn": attn_tree(db + "0.", "SelfAttention"),
+                "ln2": ln_tree(db + "1.layer_norm.weight"),
+                "cross": attn_tree(db + "1.", "EncDecAttention"),
+                "ln3": ln_tree(db + "2.layer_norm.weight"),
+                "mlp": mlp_tree(db + "2.DenseReluDense."),
+            },
+            "final_norm": {"scale": raw("decoder.final_layer_norm.weight")},
+            "rel_bias": raw(
+                "decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+            ),
+        },
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = wT("lm_head.weight")
+    return params
+
+
+def _vit_params(prefix: str, n_layers: int, get, raw, wT, dt) -> Params:
+    """CLIP-style vision tower (HF CLIPVisionModel / GitVisionModel key layout;
+    note HF's 'pre_layrnorm' typo). The patch conv [Hv, C, P, P] becomes the
+    patchify matmul weight [C·P·P, Hv] (models/vision.py layout)."""
+    pw = get(prefix + "embeddings.patch_embedding.weight")  # [Hv, C, P, P]
+    Hv = pw.shape[0]
+
+    def lnp(key):
+        return {"scale": raw(key + ".weight"), "bias": raw(key + ".bias")}
+
+    lp = prefix + "encoder.layers.{}."
+
+    def attn(i):
+        p = lp.format(i) + "self_attn."
+        return {
+            "wq": get(p + "q_proj.weight").T.astype(dt), "bq": raw(p + "q_proj.bias"),
+            "wk": get(p + "k_proj.weight").T.astype(dt), "bk": raw(p + "k_proj.bias"),
+            "wv": get(p + "v_proj.weight").T.astype(dt), "bv": raw(p + "v_proj.bias"),
+            "wo": get(p + "out_proj.weight").T.astype(dt), "bo": raw(p + "out_proj.bias"),
+        }
+
+    def stacked(fn):
+        trees = [fn(i) for i in range(n_layers)]
+        return {k: np.stack([t[k] for t in trees]) for k in trees[0]}
+
+    return {
+        "patch": pw.reshape(Hv, -1).T.astype(dt),
+        "cls": raw(prefix + "embeddings.class_embedding"),
+        "pos": raw(prefix + "embeddings.position_embedding.weight"),
+        "pre_ln": lnp(prefix + "pre_layrnorm"),
+        "post_ln": lnp(prefix + "post_layernorm"),
+        "layers": {
+            "attn": stacked(attn),
+            "ln1": stacked(lambda i: lnp(lp.format(i) + "layer_norm1")),
+            "ln2": stacked(lambda i: lnp(lp.format(i) + "layer_norm2")),
+            "mlp": stacked(lambda i: {
+                "w1": get(lp.format(i) + "mlp.fc1.weight").T.astype(dt),
+                "b1": raw(lp.format(i) + "mlp.fc1.bias"),
+                "w2": get(lp.format(i) + "mlp.fc2.weight").T.astype(dt),
+                "b2": raw(lp.format(i) + "mlp.fc2.bias"),
+            }),
+        },
+    }
+
+
+def _params_git(cfg: ModelConfig, get, raw, wT, stack, dt) -> Params:
+    """GIT (HF modeling_git): CLIP tower under ``git.image_encoder``, the
+    Sequential(Linear, LayerNorm) visual projection, BERT-style text blocks
+    under ``git.encoder.layer``, untied biased ``output`` head."""
+    L = cfg.num_layers
+
+    def lnp(key):
+        return {"scale": raw(key + ".weight"), "bias": raw(key + ".bias")}
+
+    lp = "git.encoder.layer.{}."
+
+    def stacked(fn):
+        trees = [fn(i) for i in range(L)]
+        return {k: np.stack([t[k] for t in trees]) for k in trees[0]}
+
+    return {
+        "vision": _vit_params(
+            "git.image_encoder.vision_model.", cfg.vision_layers, get, raw, wT, dt
+        ),
+        "proj": {
+            "w": get("git.visual_projection.visual_projection.0.weight").T.astype(dt),
+            "b": raw("git.visual_projection.visual_projection.0.bias"),
+            "ln": lnp("git.visual_projection.visual_projection.1"),
+        },
+        "embed_tokens": raw("git.embeddings.word_embeddings.weight"),
+        "embed_positions": raw("git.embeddings.position_embeddings.weight"),
+        "embed_ln": lnp("git.embeddings.LayerNorm"),
+        "layers": {
+            "attn": stacked(lambda i: {
+                "wq": get(lp.format(i) + "attention.self.query.weight").T.astype(dt),
+                "bq": raw(lp.format(i) + "attention.self.query.bias"),
+                "wk": get(lp.format(i) + "attention.self.key.weight").T.astype(dt),
+                "bk": raw(lp.format(i) + "attention.self.key.bias"),
+                "wv": get(lp.format(i) + "attention.self.value.weight").T.astype(dt),
+                "bv": raw(lp.format(i) + "attention.self.value.bias"),
+                "wo": get(lp.format(i) + "attention.output.dense.weight").T.astype(dt),
+                "bo": raw(lp.format(i) + "attention.output.dense.bias"),
+            }),
+            "ln1": stacked(lambda i: lnp(lp.format(i) + "attention.output.LayerNorm")),
+            "mlp": stacked(lambda i: {
+                "w1": get(lp.format(i) + "intermediate.dense.weight").T.astype(dt),
+                "b1": raw(lp.format(i) + "intermediate.dense.bias"),
+                "w2": get(lp.format(i) + "output.dense.weight").T.astype(dt),
+                "b2": raw(lp.format(i) + "output.dense.bias"),
+            }),
+            "ln2": stacked(lambda i: lnp(lp.format(i) + "output.LayerNorm")),
+        },
+        "output": {"w": get("output.weight").T.astype(dt), "b": raw("output.bias")},
+    }
 
 
 def load_hf_checkpoint(cfg: ModelConfig, path: str) -> Params:

@@ -181,6 +181,43 @@ def _static_int8_flow(cfg, params, alpha_arg, args):
     return params
 
 
+def _run_seq2seq(cfg, args, gen) -> int:
+    """T5-family path: encoder-decoder generation via Seq2SeqEngine (the
+    reference routes t5 through the same run.py CLI — MODEL_CLASSES["t5"]).
+    Quantization/tiering knobs are decoder-only features and are ignored."""
+    from lia_tpu.engine.seq2seq import Seq2SeqEngine
+
+    print(f"[lia-tpu] model={cfg.name} params≈{cfg.num_params/1e9:.2f}B dtype={cfg.dtype} (seq2seq)")
+    t0 = time.perf_counter()
+    if args.checkpoint:
+        params = load_hf_checkpoint(cfg, args.checkpoint)
+    else:
+        params = init_dummy_params(cfg)
+    print(f"[lia-tpu] weights ready in {time.perf_counter()-t0:.1f}s")
+    engine = Seq2SeqEngine(cfg, params)
+    rng = np.random.default_rng(0)
+    prompts = [
+        list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=args.input_tokens))
+        for _ in range(args.batch_size)
+    ]
+    gen = gen.replace(eos_token_id=1, pad_token_id=cfg.pad_token_id)
+    summary = {}
+    for it in range(args.num_warmup + args.num_iter):
+        t0 = time.perf_counter()
+        res = engine.generate(prompts, gen)
+        dt = time.perf_counter() - t0
+        tag = "warmup" if it < args.num_warmup else "iter"
+        print(f"[{tag} {it}] {dt:.3f}s  ({res.sequences.size / dt:.1f} tok/s)")
+        if it >= args.num_warmup:
+            summary = {
+                "model": cfg.name,
+                "total_latency_s": round(dt, 6),
+                "total_tokens_per_s": round(res.sequences.size / dt, 2),
+            }
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     cfg = get_config(args.model).replace(dtype=args.dtype)
@@ -221,6 +258,9 @@ def main(argv=None) -> int:
         top_k=args.top_k,
         top_p=args.top_p,
     )
+
+    if cfg.encoder_decoder:
+        return _run_seq2seq(cfg, args, gen)
 
     print(f"[lia-tpu] model={cfg.name} params≈{cfg.num_params/1e9:.2f}B dtype={cfg.dtype}")
     t0 = time.perf_counter()
