@@ -20,8 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from lia_tpu.config import GenerationConfig, ModelConfig
-from lia_tpu.engine.engine import GenerationResult
+from lia_tpu.engine.engine import GenerationResult, bucket_length
 from lia_tpu.models import git as G
+from lia_tpu.models import transformer as T
+from lia_tpu.models.vision import vit_encode
+from lia_tpu.ops import kv_cache as kvc
 from lia_tpu.ops import sampling
 from lia_tpu.utils.metrics import LatencyStats
 
@@ -93,6 +96,120 @@ class GitEngine:
         toks = self._fused[key](
             self.params, jnp.asarray(pixels), jnp.asarray(tokens), jnp.asarray(mask), seed
         )
+        out = np.asarray(toks)
+        lat.record(time.perf_counter() - t0)
+        if gen.eos_token_id is not None:
+            for b in range(B):
+                hits = np.flatnonzero(out[b] == gen.eos_token_id)
+                if hits.size:
+                    out[b, hits[0] + 1:] = gen.pad_token_id
+        return GenerationResult(sequences=out, latency=lat)
+
+
+class LlavaEngine:
+    """LLaVA: CLIP-L features (layer -2, CLS dropped) → 2-layer GELU projector
+    → spliced over the ``<image>`` placeholder embeddings of a llama LM.
+
+    Each prompt must contain exactly one ``cfg.image_token_id``; the engine
+    expands it to ``num_patches`` slots (HF processors pre-expand — we accept
+    the compact single-token form and both pre-expanded forms)."""
+
+    def __init__(self, cfg: ModelConfig, params_host: Any):
+        assert cfg.family == "llava"
+        self.cfg = cfg
+        self.params = jax.device_put(params_host)
+        self._features = jax.jit(self._image_features)
+        self._prefill = jax.jit(lambda p, x, m, c: T.prefill_embeds(cfg, p, x, m, c))
+        self._fused = {}
+
+    @property
+    def num_patches(self) -> int:
+        return (self.cfg.vision_image_size // self.cfg.vision_patch) ** 2
+
+    def _image_features(self, params, pixels):
+        cfg = self.cfg
+        _, picked = vit_encode(
+            params["vision"], pixels, cfg.vision_heads, cfg.vision_patch,
+            eps=cfg.vision_norm_eps, hidden_layer=cfg.vision_feature_layer,
+        )
+        feats = picked[:, 1:]  # drop CLS (vision_feature_select_strategy="default")
+        p = params["proj"]
+        h = jnp.dot(feats.astype(jnp.float32), p["w1"].astype(jnp.float32)) + p["b1"].astype(jnp.float32)
+        h = jax.nn.gelu(h, approximate=False)  # projector_hidden_act="gelu" (erf)
+        h = jnp.dot(h, p["w2"].astype(jnp.float32)) + p["b2"].astype(jnp.float32)
+        return h.astype(jnp.dtype(cfg.dtype))
+
+    def _expand(self, prompt):
+        """Replace the single <image> token with num_patches placeholders."""
+        img_id = self.cfg.image_token_id
+        n = self.num_patches
+        count = sum(1 for t in prompt if t == img_id)
+        if count == n:  # already pre-expanded (HF processor form)
+            return list(prompt)
+        if count != 1:
+            raise ValueError(
+                f"prompt must contain exactly 1 (or num_patches={n}) image tokens, got {count}"
+            )
+        i = list(prompt).index(img_id)
+        return list(prompt[:i]) + [img_id] * n + list(prompt[i + 1:])
+
+    def _loop(self, T_new: int, gen: GenerationConfig):
+        cfg = self.cfg
+
+        def run(params, logits0, cache, positions0, seed):
+            def body(carry, i):
+                logits, cache, key = carry
+                key, sub = jax.random.split(key)
+                nxt = sampling.sample(logits, sub, gen)[:, None].astype(jnp.int32)
+                logits, cache = T.decode_step(
+                    cfg, params, nxt, positions0 + i, cache
+                )
+                return (logits, cache, key), nxt[:, 0]
+
+            key = jax.random.PRNGKey(seed)
+            (_, _, _), toks = jax.lax.scan(
+                body, (logits0, cache, key), jnp.arange(T_new, dtype=jnp.int32)
+            )
+            return toks.T
+
+        return jax.jit(run)
+
+    def generate(
+        self,
+        pixels: np.ndarray,  # [B, C, H, W]
+        prompts: Sequence[Sequence[int]],
+        gen: GenerationConfig = GenerationConfig(),
+        seed: int = 0,
+    ) -> GenerationResult:
+        cfg = self.cfg
+        expanded = [self._expand(p) for p in prompts]
+        B = len(expanded)
+        S = bucket_length(max(len(p) for p in expanded))
+        tokens = np.full((B, S), cfg.pad_token_id, np.int32)
+        mask = np.zeros((B, S), bool)
+        img_pos = np.zeros((B, self.num_patches), np.int32)
+        for b, p in enumerate(expanded):
+            tokens[b, S - len(p):] = p
+            mask[b, S - len(p):] = True
+            img_pos[b] = S - len(p) + np.flatnonzero(np.asarray(p) == cfg.image_token_id)
+
+        lat = LatencyStats()
+        t0 = time.perf_counter()
+        feats = self._features(self.params, jnp.asarray(pixels))  # [B, np, H]
+        # text embeddings with image features spliced over the placeholders
+        embeds = jnp.take(self.params["embed_tokens"], jnp.asarray(tokens), axis=0,
+                          mode="clip").astype(jnp.dtype(cfg.dtype))
+        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        embeds = embeds.at[bidx, jnp.asarray(img_pos)].set(feats)
+
+        cache = kvc.init_cache(cfg, B, S + gen.max_new_tokens, jnp.dtype(cfg.dtype))
+        logits, cache = self._prefill(self.params, embeds, jnp.asarray(mask), cache)
+        positions0 = jnp.asarray(mask.sum(1).astype(np.int32))[:, None]  # [B, 1]
+
+        key = (B, S, gen.max_new_tokens, gen.do_sample, gen.temperature, gen.top_k, gen.top_p)
+        if key not in self._fused:
+            self._fused[key] = self._loop(gen.max_new_tokens, gen)
+        toks = self._fused[key](self.params, logits, cache, positions0, seed)
         out = np.asarray(toks)
         lat.record(time.perf_counter() - t0)
         if gen.eos_token_id is not None:

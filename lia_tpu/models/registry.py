@@ -211,6 +211,23 @@ def _git(name, h, ffn, l, heads, vh, vl, vheads, vffn, patch=16, img=224,
     )
 
 
+def _llava(name, h, ffn, l, heads, kv_heads, vocab, vh, vl, vheads, vffn,
+           patch=14, img=336, image_token=32000, **kw) -> ModelConfig:
+    """LLaVA (HF modeling_llava; the reference's optional llava branch —
+    optimize.py:188,673 prepare_inputs_labels_for_multimodal_llavallama +
+    run_quantization.py:249-271): a CLIP-L vision tower whose layer-(-2) patch
+    features (CLS dropped) pass through a 2-layer GELU projector and replace
+    the ``<image>`` placeholder embeddings of a llama language model."""
+    return _llama(
+        name, h, ffn, l, heads, kv_heads, vocab, max_pos=4096, theta=10000.0, **kw
+    ).replace(
+        family="llava",
+        vision_hidden=vh, vision_layers=vl, vision_heads=vheads, vision_ffn=vffn,
+        vision_patch=patch, vision_image_size=img, image_token_id=image_token,
+        vision_feature_layer=-2,
+    )
+
+
 def _gptj(name, h, ffn, l, heads, vocab, rotary_dim, max_pos=2048, **kw) -> ModelConfig:
     """GPT-J: parallel residual, single shared ln_1, interleaved partial rotary,
     no attention biases, biased MLP and lm_head (HF modeling_gptj)."""
@@ -461,6 +478,9 @@ REGISTRY = {
     # --- GIT (reference model_class/git.py) ---
     "git-base": _git("git-base", 768, 3072, 6, 12, 768, 12, 12, 3072),
     "git-large": _git("git-large", 1024, 4096, 6, 16, 1024, 24, 16, 4096, patch=14),
+    # --- LLaVA (reference model_class/llava.py, optional branch) ---
+    "llava-1.5-7b": _llava("llava-1.5-7b", 4096, 11008, 32, 32, 32, 32064,
+                           1024, 24, 16, 4096),
     # --- T5 / Flan-T5 (reference model_class/t5.py) ---
     "t5-base": _t5("t5-base", 768, 3072, 12, 12, 64),
     "t5-3b": _t5("t5-3b", 1024, 16384, 24, 32, 128),
@@ -497,6 +517,8 @@ REGISTRY = {
     "chatglm-tiny": _chatglm("chatglm-tiny", 64, 128, 2, 4, 2, 503, max_pos=128),
     "t5-tiny": _t5("t5-tiny", 64, 128, 2, 4, 16, vocab=503),
     "git-tiny": _git("git-tiny", 64, 128, 2, 4, 32, 2, 2, 64, patch=8, img=16, vocab=503),
+    "llava-tiny": _llava("llava-tiny", 64, 128, 2, 4, 2, 503, 32, 2, 2, 64,
+                         patch=8, img=16, image_token=500),
     "flan-t5-tiny": _t5("flan-t5-tiny", 64, 128, 2, 4, 16, vocab=503, gated=True, tied=False),
     "baichuan2-tiny": _baichuan(
         "baichuan2-tiny", 64, 128, 2, 4, 503, alibi=True, max_pos=128, norm_head=True

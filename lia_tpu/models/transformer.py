@@ -421,10 +421,13 @@ def run_prefill_layers(
     tokens: jnp.ndarray,  # [B, S] left-padded to the bucket
     input_mask: jnp.ndarray,  # [B, S] bool
     cache: kvc.KVCache,
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, S, H] — precomputed
+    # embeddings override the token gather (multimodal prefixes: LLaVA splices
+    # projected image patches into the text embedding sequence)
 ) -> Tuple[jnp.ndarray, kvc.KVCache]:
     """Embed + all decoder layers; returns (hidden [B, S, H], updated cache)."""
     positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1  # pad-aware
-    x = embed(cfg, params, tokens, positions)
+    x = embed(cfg, params, tokens, positions) if inputs_embeds is None else inputs_embeds
     bias = att.alibi_prefill_bias(cfg.num_heads, positions, input_mask) if cfg.alibi else None
     ctx = att.prefill_attn_ctx(input_mask, cfg.sliding_window, bias=bias)
     start = cache.length
@@ -452,6 +455,24 @@ def prefill(
     Only the last position goes through the lm_head — the `lm_head_generation`
     parity trick (models/reference/models.py:424-431)."""
     x, cache = run_prefill_layers(cfg, params, tokens, input_mask, cache)
+    logits = lm_head(cfg, params, x[:, -1:, :])[:, 0, :]
+    return logits, cache
+
+
+def prefill_embeds(
+    cfg: ModelConfig,
+    params: Params,
+    inputs_embeds: jnp.ndarray,  # [B, S, H] left-padded to the bucket
+    input_mask: jnp.ndarray,  # [B, S] bool
+    cache: kvc.KVCache,
+) -> Tuple[jnp.ndarray, kvc.KVCache]:
+    """:func:`prefill` over precomputed embeddings (LLaVA multimodal prefix —
+    the analog of the reference's prepare_inputs_labels_for_multimodal_llavallama,
+    optimize.py:188,673)."""
+    x, cache = run_prefill_layers(
+        cfg, params, jnp.zeros(input_mask.shape, jnp.int32), input_mask, cache,
+        inputs_embeds=inputs_embeds,
+    )
     logits = lm_head(cfg, params, x[:, -1:, :])[:, 0, :]
     return logits, cache
 

@@ -254,6 +254,8 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Pa
         return _params_t5(cfg, get, raw, wT, stack, dt)
     if cfg.family == "git":
         return _params_git(cfg, get, raw, wT, stack, dt)
+    if cfg.family == "llava":
+        return _params_llava(cfg, sd, get, raw, dt)
 
     is_opt = cfg.family == "opt"
     if is_opt:
@@ -939,6 +941,34 @@ def _params_git(cfg: ModelConfig, get, raw, wT, stack, dt) -> Params:
         },
         "output": {"w": get("output.weight").T.astype(dt), "b": raw("output.bias")},
     }
+
+
+def _params_llava(cfg: ModelConfig, sd: Dict[str, np.ndarray], get, raw, dt) -> Params:
+    """LLaVA (HF modeling_llava, transformers ≥4.52 key layout): the language
+    model is a llama under ``model.language_model.`` — rename those keys into
+    the standard llama layout and reuse its mapping — plus the CLIP tower under
+    ``model.vision_tower.vision_model.`` and the 2-layer GELU projector."""
+    lm_sd = {}
+    for k, v in sd.items():
+        if k.startswith("model.language_model."):
+            lm_sd["model." + k[len("model.language_model."):]] = v
+        elif k == "lm_head.weight":
+            lm_sd[k] = v
+    params = params_from_hf_state_dict(cfg.replace(family="llama"), lm_sd)
+
+    def wT2(key):
+        return get(key).T.astype(dt)
+
+    params["vision"] = _vit_params(
+        "model.vision_tower.vision_model.", cfg.vision_layers, get, raw, wT2, dt
+    )
+    params["proj"] = {
+        "w1": wT2("model.multi_modal_projector.linear_1.weight"),
+        "b1": raw("model.multi_modal_projector.linear_1.bias"),
+        "w2": wT2("model.multi_modal_projector.linear_2.weight"),
+        "b2": raw("model.multi_modal_projector.linear_2.bias"),
+    }
+    return params
 
 
 def load_hf_checkpoint(cfg: ModelConfig, path: str) -> Params:
