@@ -46,6 +46,8 @@ def init_dummy_params(
     """
     if cfg.encoder_decoder:
         return _init_dummy_t5(cfg, seed, scale)
+    if cfg.family == "git":
+        return _init_dummy_git(cfg, seed, scale)
     rng = np.random.default_rng(seed)
     dt = _np_dtype(cfg.dtype)
     H, F, L = cfg.hidden_size, cfg.ffn_size, cfg.num_layers
@@ -149,7 +151,90 @@ def init_dummy_params(
             params["lm_head"] = w(E, cfg.vocab_size)
         if cfg.lm_head_bias:
             params["lm_head_bias"] = np.zeros((cfg.vocab_size,), dt)
+    if cfg.family == "llava":  # vision tower + projector on top of the llama LM
+        params["vision"] = _init_dummy_vit(cfg, rng, dt, scale)
+        params["proj"] = {
+            "w1": (rng.standard_normal((cfg.vision_hidden, H), np.float32) * scale).astype(dt),
+            "b1": np.zeros((H,), dt),
+            "w2": (rng.standard_normal((H, H), np.float32) * scale).astype(dt),
+            "b2": np.zeros((H,), dt),
+        }
     return params
+
+
+def _init_dummy_vit(cfg: ModelConfig, rng, dt, scale: float) -> Params:
+    """Dummy CLIP-style vision tower (models/vision.py layout)."""
+    Hv, Lv, Fv = cfg.vision_hidden, cfg.vision_layers, cfg.vision_ffn
+    P = cfg.vision_patch
+    n_pos = 1 + (cfg.vision_image_size // P) ** 2
+
+    def w(*shape):
+        return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(dt)
+
+    def lnp(n=Hv, L=None):
+        if L is None:
+            return {"scale": np.ones((n,), dt), "bias": np.zeros((n,), dt)}
+        return {"scale": np.ones((L, n), dt), "bias": np.zeros((L, n), dt)}
+
+    return {
+        "patch": w(3 * P * P, Hv),
+        "cls": w(Hv),
+        "pos": w(n_pos, Hv),
+        "pre_ln": lnp(),
+        "post_ln": lnp(),
+        "layers": {
+            "attn": {
+                "wq": w(Lv, Hv, Hv), "bq": np.zeros((Lv, Hv), dt),
+                "wk": w(Lv, Hv, Hv), "bk": np.zeros((Lv, Hv), dt),
+                "wv": w(Lv, Hv, Hv), "bv": np.zeros((Lv, Hv), dt),
+                "wo": w(Lv, Hv, Hv), "bo": np.zeros((Lv, Hv), dt),
+            },
+            "ln1": lnp(L=Lv),
+            "ln2": lnp(L=Lv),
+            "mlp": {
+                "w1": w(Lv, Hv, Fv), "b1": np.zeros((Lv, Fv), dt),
+                "w2": w(Lv, Fv, Hv), "b2": np.zeros((Lv, Hv), dt),
+            },
+        },
+    }
+
+
+def _init_dummy_git(cfg: ModelConfig, seed: int, scale: float) -> Params:
+    """Dummy weights for the GIT pytree (models/git.py layout)."""
+    rng = np.random.default_rng(seed)
+    dt = _np_dtype(cfg.dtype)
+    H, F, L, V = cfg.hidden_size, cfg.ffn_size, cfg.num_layers, cfg.vocab_size
+
+    def w(*shape):
+        return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(dt)
+
+    def lnp(L=None):
+        if L is None:
+            return {"scale": np.ones((H,), dt), "bias": np.zeros((H,), dt)}
+        return {"scale": np.ones((L, H), dt), "bias": np.zeros((L, H), dt)}
+
+    return {
+        "vision": _init_dummy_vit(cfg, rng, dt, scale),
+        "proj": {"w": w(cfg.vision_hidden, H), "b": np.zeros((H,), dt), "ln": lnp()},
+        "embed_tokens": w(V, H),
+        "embed_positions": w(cfg.max_position_embeddings, H),
+        "embed_ln": lnp(),
+        "layers": {
+            "attn": {
+                "wq": w(L, H, H), "bq": np.zeros((L, H), dt),
+                "wk": w(L, H, H), "bk": np.zeros((L, H), dt),
+                "wv": w(L, H, H), "bv": np.zeros((L, H), dt),
+                "wo": w(L, H, H), "bo": np.zeros((L, H), dt),
+            },
+            "ln1": lnp(L),
+            "mlp": {
+                "w1": w(L, H, F), "b1": np.zeros((L, F), dt),
+                "w2": w(L, F, H), "b2": np.zeros((L, H), dt),
+            },
+            "ln2": lnp(L),
+        },
+        "output": {"w": w(H, V), "b": np.zeros((V,), dt)},
+    }
 
 
 def _init_dummy_t5(cfg: ModelConfig, seed: int, scale: float) -> Params:

@@ -218,6 +218,49 @@ def _run_seq2seq(cfg, args, gen) -> int:
     return 0
 
 
+def _run_vlm(cfg, args, gen) -> int:
+    """GIT/LLaVA path: image-conditioned generation over random pixels
+    (benchmark mode; real images require a local processor — reference
+    run_generation.py:47/run_quantization.py:245-271 analog)."""
+    from lia_tpu.engine.vlm import GitEngine, LlavaEngine
+
+    print(f"[lia-tpu] model={cfg.name} dtype={cfg.dtype} (vision-language)")
+    t0 = time.perf_counter()
+    params = load_hf_checkpoint(cfg, args.checkpoint) if args.checkpoint else init_dummy_params(cfg)
+    print(f"[lia-tpu] weights ready in {time.perf_counter()-t0:.1f}s")
+    rng = np.random.default_rng(0)
+    s = cfg.vision_image_size
+    pixels = rng.standard_normal((args.batch_size, 3, s, s), np.float32)
+    if cfg.family == "git":
+        engine = GitEngine(cfg, params)
+        gen = gen.replace(eos_token_id=102, pad_token_id=0)
+        run = lambda: engine.generate(pixels, gen)
+    else:
+        engine = LlavaEngine(cfg, params)
+        gen = gen.replace(eos_token_id=2, pad_token_id=0)
+        prompts = [
+            [1] + [cfg.image_token_id]
+            + list(rng.integers(10, min(cfg.vocab_size - 10, 30000), size=args.input_tokens))
+            for _ in range(args.batch_size)
+        ]
+        run = lambda: engine.generate(pixels, prompts, gen)
+    summary = {}
+    for it in range(args.num_warmup + args.num_iter):
+        t0 = time.perf_counter()
+        res = run()
+        dt = time.perf_counter() - t0
+        tag = "warmup" if it < args.num_warmup else "iter"
+        print(f"[{tag} {it}] {dt:.3f}s  ({res.sequences.size / dt:.1f} tok/s)")
+        if it >= args.num_warmup:
+            summary = {
+                "model": cfg.name,
+                "total_latency_s": round(dt, 6),
+                "total_tokens_per_s": round(res.sequences.size / dt, 2),
+            }
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     cfg = get_config(args.model).replace(dtype=args.dtype)
@@ -261,6 +304,8 @@ def main(argv=None) -> int:
 
     if cfg.encoder_decoder:
         return _run_seq2seq(cfg, args, gen)
+    if cfg.family in ("git", "llava"):
+        return _run_vlm(cfg, args, gen)
 
     print(f"[lia-tpu] model={cfg.name} params≈{cfg.num_params/1e9:.2f}B dtype={cfg.dtype}")
     t0 = time.perf_counter()
