@@ -49,6 +49,11 @@ def load_engine(
     synthesized directly in quantized form when quantization is requested).
     """
     cfg = get_config(model).replace(dtype=dtype)
+    if cfg.encoder_decoder or cfg.family in ("git", "llava"):
+        # non-decoder-only architectures route to their dedicated engines
+        # (reference: same optimize() frontend dispatches per architecture,
+        # optimize.py:310-326 T5 / :188,673 llava)
+        return _load_special(cfg, checkpoint, dummy, seed)
     quant = QuantConfig(
         weight_dtype=weight_dtype,
         group_size=group_size,
@@ -144,6 +149,25 @@ def load_engine(
     else:
         raise ValueError("provide checkpoint=, gptq_checkpoint=, or dummy=True")
     return InferenceEngine(cfg, params, runtime)
+
+
+def _load_special(cfg, checkpoint, dummy, seed):
+    """Engines for T5 (seq2seq), GIT and LLaVA (vision-language)."""
+    from lia_tpu.utils.checkpoint import init_dummy_params, load_hf_checkpoint
+
+    if checkpoint:
+        params = load_hf_checkpoint(cfg, checkpoint)
+    elif dummy:
+        params = init_dummy_params(cfg, seed=seed)
+    else:
+        raise ValueError("provide checkpoint= or dummy=True")
+    if cfg.encoder_decoder:
+        from lia_tpu.engine.seq2seq import Seq2SeqEngine
+
+        return Seq2SeqEngine(cfg, params)
+    from lia_tpu.engine.vlm import GitEngine, LlavaEngine
+
+    return GitEngine(cfg, params) if cfg.family == "git" else LlavaEngine(cfg, params)
 
 
 def _default_calib(cfg):
