@@ -294,3 +294,44 @@ def test_tp_with_quantized_weights(cfg, wdtype, gsize, aq):
     d_logits, _ = jax.jit(partial(T.decode_step, cfg))(params, tok, pos, cache)
     r_logits, _ = jax.jit(partial(T.decode_step, cfg))(p1, tok, pos, ref_cache)
     np.testing.assert_allclose(np.asarray(d_logits), np.asarray(r_logits), **tol)
+
+
+@pytest.mark.parametrize("model", ["baichuan-tiny", "chatglm-tiny", "baichuan2-tiny"])
+def test_tp_new_families_match_single_device(model):
+    """Round-2 families compose with TP: baichuan (MHA rope / ALiBi+NormHead)
+    and chatglm (2 KV groups on a wider model axis — KV replication path)."""
+    from lia_tpu.models.registry import get_config
+
+    # vocab-sharded embed/lm_head need vocab % mesh == 0 (tiny registry entries
+    # use an intentionally odd 503 to exercise OOB-pad clamping elsewhere)
+    cfg = get_config(model).replace(dtype="float32", vocab_size=504)
+    params_host = init_dummy_params(cfg, seed=7, scale=0.02)
+    B, S, NEW = 2, 16, 2
+    tokens = np.random.default_rng(2).integers(3, 500, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), bool)
+
+    cache1 = kvc.init_cache(cfg, B, S + NEW, jnp.float32)
+    p1 = jax.device_put(params_host)
+    ref_logits, ref_cache = jax.jit(partial(T.prefill, cfg))(
+        p1, jnp.asarray(tokens), jnp.asarray(mask), cache1
+    )
+
+    # chatglm-tiny has 2 KV groups — a (1, 2) mesh shards them 1-per-device;
+    # the 4-head q axis shards 2-per-device.
+    mesh = make_mesh((1, 2))
+    params = shd.shard_params(cfg, params_host, mesh)
+    cache = jax.device_put(
+        kvc.init_cache(cfg, B, S + NEW, jnp.float32), shd.cache_shardings(mesh)
+    )
+    ds = shd.data_sharding(mesh)
+    logits, cache = jax.jit(partial(T.prefill, cfg))(
+        params, jax.device_put(jnp.asarray(tokens), ds),
+        jax.device_put(jnp.asarray(mask), ds), cache,
+    )
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
+
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+    pos = jnp.full((B, 1), S, jnp.int32)
+    d_logits, _ = jax.jit(partial(T.decode_step, cfg))(params, tok, pos, cache)
+    r_logits, _ = jax.jit(partial(T.decode_step, cfg))(p1, tok, pos, ref_cache)
+    np.testing.assert_allclose(np.asarray(d_logits), np.asarray(r_logits), rtol=2e-4, atol=2e-4)
