@@ -262,6 +262,21 @@ class InferenceEngine:
 
         return generate_prompt_lookup(self, prompts, gen, ngram=ngram, k=k)
 
+    def generate_speculative_draft(
+        self,
+        draft_engine: "InferenceEngine",
+        prompts: Sequence[Sequence[int]],
+        gen: GenerationConfig = GenerationConfig(),
+        k: int = 4,
+    ):
+        """Greedy generation with a DRAFT MODEL proposing k tokens per verify
+        pass (two-model speculation; e.g. opt-125m drafting for opt-30b). Same
+        greedy-exact guarantee and verify/accept machinery as prompt lookup —
+        only the proposal source differs (:mod:`lia_tpu.engine.lookahead`)."""
+        from lia_tpu.engine.lookahead import generate_draft_speculative
+
+        return generate_draft_speculative(self, draft_engine, prompts, gen, k=k)
+
     # -- beam search -----------------------------------------------------------
 
     def generate_beam(

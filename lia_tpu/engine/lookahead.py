@@ -179,3 +179,145 @@ def generate_prompt_lookup(
 
     seqs = np.stack([np.asarray(o[: gen.max_new_tokens], np.int32) for o in out])
     return seqs, steps
+
+
+# ---------------------------------------------------------------------------
+# Draft-model speculation (two-model): a small registry model proposes k
+# tokens autoregressively; the target verifies all k+1 positions in the same
+# single chunked forward used by prompt lookup. Greedy-exact like prompt
+# lookup (additive over the reference — LIA/IPEX ship no speculation).
+# ---------------------------------------------------------------------------
+
+
+def _draft_loop_fn(cfg: ModelConfig, k: int):
+    """Jitted draft pass: k+1 ragged decode steps in one lax.scan.
+
+    Feeds [pending, p1, …, pk] (the final feed writes p_k's KV so the draft
+    cache covers every possibly-accepted token; its logits are discarded) and
+    emits proposals [B, k]. The cache advances k+1 slots — the caller rewinds
+    it to the verified prefix afterwards."""
+
+    def f(params, pending, n_real, cache):  # pending/n_real: [B] int32
+        B = pending.shape[0]
+        active = jnp.ones((B,), jnp.bool_)
+
+        def body(carry, i):
+            tok, c = carry
+            logits, c = T.decode_step_ragged(cfg, params, tok[:, None], n_real + i, c, active)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (nxt, c), nxt
+
+        (_, cache), props = jax.lax.scan(
+            body, (pending, cache), jnp.arange(k + 1, dtype=jnp.int32)
+        )
+        return props[:k].T, cache  # [B, k]
+
+    return jax.jit(f, donate_argnums=(3,))
+
+
+def _rewind_fn():
+    """Jitted draft-cache rewind: drop speculative slots past the verified
+    prefix (validity is contiguous, so masking pos < new_length suffices)."""
+
+    def f(cache, new_length):  # [B]
+        B, S_max = cache.mask.shape
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, S_max), 1)
+        mask = cache.mask & (pos < new_length[:, None])
+        return cache._replace(mask=mask, length=new_length)
+
+    return jax.jit(f, donate_argnums=(0,))
+
+
+def generate_draft_speculative(
+    engine,
+    draft_engine,
+    prompts: Sequence[Sequence[int]],
+    gen: GenerationConfig,
+    k: int = 4,
+):
+    """Greedy generation with a draft model proposing k tokens per verify pass.
+
+    ``draft_engine`` must share the target's tokenizer/vocab (e.g. opt-125m
+    drafting for opt-6.7b). Returns ``(sequences, n_verify_steps)`` with
+    sequences exactly equal to the target's stepwise greedy output.
+    """
+    from lia_tpu.engine.engine import pack_prompts
+
+    if gen.do_sample or gen.num_beams > 1:
+        raise NotImplementedError("draft speculation is greedy-only")
+    if gen.eos_token_id is not None:
+        raise NotImplementedError("eos early-exit not wired into speculation yet")
+    if engine.scheduler is not None or draft_engine.scheduler is not None:
+        raise NotImplementedError("speculation runs on the resident engine path")
+    if draft_engine.cfg.vocab_size < engine.cfg.vocab_size:
+        raise ValueError("draft vocab must cover the target vocab")
+
+    cfg = engine.cfg
+    dcfg = draft_engine.cfg
+    tokens, mask = pack_prompts(prompts, gen.pad_token_id)
+    B, S = tokens.shape
+    C = k + 1
+    max_len = -(-(S + gen.max_new_tokens + C) // 128) * 128
+
+    cache = kvc.init_cache(
+        cfg, B, max_len, jnp.dtype(cfg.dtype),
+        quantized=engine.runtime.quant.kv_cache_dtype == "int8",
+    )
+    logits, cache = engine._get_prefill()(
+        engine.params, jnp.asarray(tokens), jnp.asarray(mask), cache
+    )
+    pending = np.array(jnp.argmax(logits, -1).astype(jnp.int32))
+    cache = cache._replace(length=jnp.full((B,), int(cache.length), jnp.int32))
+
+    dcache = kvc.init_cache(
+        dcfg, B, max_len, jnp.dtype(dcfg.dtype),
+        quantized=draft_engine.runtime.quant.kv_cache_dtype == "int8",
+    )
+    _, dcache = draft_engine._get_prefill()(
+        draft_engine.params, jnp.asarray(tokens), jnp.asarray(mask), dcache
+    )
+    dcache = dcache._replace(length=jnp.full((B,), int(dcache.length), jnp.int32))
+
+    n_real = mask.sum(1).astype(np.int32)
+    abs_len = np.full((B,), S, np.int32)  # absolute draft-cache write slot
+    out: List[List[int]] = [[int(pending[b])] for b in range(B)]
+
+    verify = engine._compiled.setdefault(("spec_verify", C), _verify_fn(cfg))
+    advance = engine._compiled.setdefault("spec_advance", _accept_fn())
+    draft_loop = draft_engine._compiled.setdefault(
+        ("spec_draft", k), _draft_loop_fn(dcfg, k)
+    )
+    rewind = draft_engine._compiled.setdefault("spec_rewind", _rewind_fn())
+
+    steps = 0
+    while any(len(o) < gen.max_new_tokens for o in out):
+        props, dcache = draft_loop(
+            draft_engine.params, jnp.asarray(pending), jnp.asarray(n_real), dcache
+        )
+        props = np.asarray(props)  # [B, k]
+        chunk = np.concatenate([pending[:, None], props], axis=1)  # [B, C]
+        positions = n_real[:, None] + np.arange(C, dtype=np.int32)[None, :]
+        greedy, cache = verify(
+            engine.params, jnp.asarray(chunk), jnp.asarray(positions), cache
+        )
+        greedy = np.asarray(greedy)
+        steps += 1
+
+        accept = np.zeros((B,), np.int32)
+        for b in range(B):
+            if len(out[b]) >= gen.max_new_tokens:
+                continue
+            a = 0
+            while a < k and props[b, a] == greedy[b, a]:
+                a += 1
+            accept[b] = a + 1
+            new_toks = [int(t) for t in chunk[b, 1 : a + 1]] + [int(greedy[b, a])]
+            out[b].extend(new_toks)
+            pending[b] = new_toks[-1]
+        n_real = n_real + accept
+        abs_len = abs_len + accept
+        cache = advance(cache, jnp.asarray(accept))
+        dcache = rewind(dcache, jnp.asarray(abs_len))
+
+    seqs = np.stack([np.asarray(o[: gen.max_new_tokens], np.int32) for o in out])
+    return seqs, steps

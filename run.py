@@ -119,6 +119,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "proposals (greedy-exact; additive over the reference)")
     p.add_argument("--ngram", type=int, default=3,
                    help="n-gram width for --speculative history matching")
+    p.add_argument("--draft-model", type=str, default=None,
+                   help="registry name of a draft model for two-model "
+                   "speculation (replaces prompt lookup; dummy weights)")
     p.add_argument("--streaming", action="store_true",
                    help="print sequence 0's tokens as they decode (stepwise "
                         "loop; TextStreamer analog)")
@@ -382,13 +385,23 @@ def main(argv=None) -> int:
         import jax
 
         jax.profiler.start_trace("/tmp/lia_trace")
+    draft_engine = None
+    if args.draft_model and args.speculative > 0:
+        dcfg = get_config(args.draft_model).replace(dtype=args.dtype)
+        draft_engine = InferenceEngine(dcfg, init_dummy_params(dcfg), RuntimeConfig())
+        print(f"[lia-tpu] draft model: {dcfg.name} (two-model speculation)")
     results = []
     for it in range(args.num_warmup + args.num_iter):
         t0 = time.perf_counter()
         if args.speculative > 0:
-            seqs, steps = engine.generate_speculative(
-                prompts, gen, ngram=args.ngram, k=args.speculative
-            )
+            if draft_engine is not None:
+                seqs, steps = engine.generate_speculative_draft(
+                    draft_engine, prompts, gen, k=args.speculative
+                )
+            else:
+                seqs, steps = engine.generate_speculative(
+                    prompts, gen, ngram=args.ngram, k=args.speculative
+                )
             dt = time.perf_counter() - t0
             print(
                 f"[{'warmup' if it < args.num_warmup else 'iter'} {it}] {dt:.3f}s  "

@@ -62,3 +62,33 @@ def test_speculative_quantized(model):
     ref = eng.generate(prompts, gen).sequences
     seqs, steps = eng.generate_speculative(prompts, gen)
     np.testing.assert_array_equal(seqs, np.asarray(ref))
+
+
+def test_draft_speculative_matches_greedy(model):
+    """A weak draft (different weights) proposes; output must be bit-equal to
+    the target's stepwise greedy, step count within [ceil(N/(k+1)), N]."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params)
+    dcfg = get_config("opt-tiny").replace(dtype="float32")
+    draft = InferenceEngine(dcfg, init_dummy_params(dcfg, seed=77, scale=0.12))
+    gen = GenerationConfig(max_new_tokens=8)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [50, 60]]
+    ref = eng.generate(prompts, gen).sequences
+    seqs, steps = eng.generate_speculative_draft(draft, prompts, gen, k=3)
+    np.testing.assert_array_equal(seqs, np.asarray(ref))
+    assert 2 <= steps <= gen.max_new_tokens
+
+
+def test_draft_speculative_perfect_draft_saves_steps(model):
+    """Draft == target → every proposal is the target's own argmax, so each
+    verify pass accepts all k+1 tokens: steps == ceil(N / (k+1))."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params)
+    draft = InferenceEngine(cfg, params)  # identical weights
+    gen = GenerationConfig(max_new_tokens=12)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    ref = eng.generate(prompts, gen).sequences
+    k = 3
+    seqs, steps = eng.generate_speculative_draft(draft, prompts, gen, k=k)
+    np.testing.assert_array_equal(seqs, np.asarray(ref))
+    assert steps == -(-gen.max_new_tokens // (k + 1))
