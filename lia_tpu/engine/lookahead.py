@@ -118,8 +118,6 @@ def generate_prompt_lookup(
 
     if gen.do_sample or gen.num_beams > 1:
         raise NotImplementedError("prompt-lookup speculation is greedy-only")
-    if gen.eos_token_id is not None:
-        raise NotImplementedError("eos early-exit not wired into speculation yet")
     if engine.scheduler is not None:
         raise NotImplementedError("speculation runs on the resident engine path")
 
@@ -144,12 +142,14 @@ def generate_prompt_lookup(
 
     history = [list(p) + [int(pending[b])] for b, p in enumerate(prompts)]
     out: List[List[int]] = [[int(pending[b])] for b in range(B)]
+    done = [gen.eos_token_id is not None and out[b][0] == gen.eos_token_id
+            for b in range(B)]
 
     verify = engine._compiled.setdefault(("spec_verify", C), _verify_fn(cfg))
     advance = engine._compiled.setdefault("spec_advance", _accept_fn())
 
     steps = 0
-    while any(len(o) < gen.max_new_tokens for o in out):
+    while any(not done[b] and len(out[b]) < gen.max_new_tokens for b in range(B)):
         props = np.stack([
             propose_ngram(history[b], ngram, k, gen.pad_token_id) for b in range(B)
         ]).astype(np.int32)  # [B, k]
@@ -163,7 +163,7 @@ def generate_prompt_lookup(
 
         accept = np.zeros((B,), np.int32)
         for b in range(B):
-            if len(out[b]) >= gen.max_new_tokens:
+            if done[b] or len(out[b]) >= gen.max_new_tokens:
                 continue  # done: freeze this sequence (cache scratch-only)
             a = 0
             while a < k and props[b, a] == greedy[b, a]:
@@ -171,13 +171,22 @@ def generate_prompt_lookup(
             accept[b] = a + 1  # pending token + a verified proposals
             # = a accepted proposals + the bonus token (the model's argmax)
             new_toks = [int(t) for t in chunk[b, 1 : a + 1]] + [int(greedy[b, a])]
+            if gen.eos_token_id is not None and gen.eos_token_id in new_toks:
+                # truncate after the first EOS; row freezes (its later cache
+                # slots become scratch, never read again)
+                new_toks = new_toks[: new_toks.index(gen.eos_token_id) + 1]
+                done[b] = True
             out[b].extend(new_toks)
             history[b].extend(new_toks)
             pending[b] = new_toks[-1]
         n_real = n_real + accept
         cache = advance(cache, jnp.asarray(accept))
 
-    seqs = np.stack([np.asarray(o[: gen.max_new_tokens], np.int32) for o in out])
+    pad = gen.pad_token_id
+    seqs = np.stack([
+        np.asarray((o + [pad] * gen.max_new_tokens)[: gen.max_new_tokens], np.int32)
+        for o in out
+    ])
     return seqs, steps
 
 
@@ -245,8 +254,6 @@ def generate_draft_speculative(
 
     if gen.do_sample or gen.num_beams > 1:
         raise NotImplementedError("draft speculation is greedy-only")
-    if gen.eos_token_id is not None:
-        raise NotImplementedError("eos early-exit not wired into speculation yet")
     if engine.scheduler is not None or draft_engine.scheduler is not None:
         raise NotImplementedError("speculation runs on the resident engine path")
     if draft_engine.cfg.vocab_size < engine.cfg.vocab_size:
@@ -281,6 +288,8 @@ def generate_draft_speculative(
     n_real = mask.sum(1).astype(np.int32)
     abs_len = np.full((B,), S, np.int32)  # absolute draft-cache write slot
     out: List[List[int]] = [[int(pending[b])] for b in range(B)]
+    done = [gen.eos_token_id is not None and out[b][0] == gen.eos_token_id
+            for b in range(B)]
 
     verify = engine._compiled.setdefault(("spec_verify", C), _verify_fn(cfg))
     advance = engine._compiled.setdefault("spec_advance", _accept_fn())
@@ -290,7 +299,7 @@ def generate_draft_speculative(
     rewind = draft_engine._compiled.setdefault("spec_rewind", _rewind_fn())
 
     steps = 0
-    while any(len(o) < gen.max_new_tokens for o in out):
+    while any(not done[b] and len(out[b]) < gen.max_new_tokens for b in range(B)):
         props, dcache = draft_loop(
             draft_engine.params, jnp.asarray(pending), jnp.asarray(n_real), dcache
         )
@@ -305,13 +314,16 @@ def generate_draft_speculative(
 
         accept = np.zeros((B,), np.int32)
         for b in range(B):
-            if len(out[b]) >= gen.max_new_tokens:
+            if done[b] or len(out[b]) >= gen.max_new_tokens:
                 continue
             a = 0
             while a < k and props[b, a] == greedy[b, a]:
                 a += 1
             accept[b] = a + 1
             new_toks = [int(t) for t in chunk[b, 1 : a + 1]] + [int(greedy[b, a])]
+            if gen.eos_token_id is not None and gen.eos_token_id in new_toks:
+                new_toks = new_toks[: new_toks.index(gen.eos_token_id) + 1]
+                done[b] = True
             out[b].extend(new_toks)
             pending[b] = new_toks[-1]
         n_real = n_real + accept
@@ -319,5 +331,9 @@ def generate_draft_speculative(
         cache = advance(cache, jnp.asarray(accept))
         dcache = rewind(dcache, jnp.asarray(abs_len))
 
-    seqs = np.stack([np.asarray(o[: gen.max_new_tokens], np.int32) for o in out])
+    pad = gen.pad_token_id
+    seqs = np.stack([
+        np.asarray((o + [pad] * gen.max_new_tokens)[: gen.max_new_tokens], np.int32)
+        for o in out
+    ])
     return seqs, steps

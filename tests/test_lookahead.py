@@ -92,3 +92,26 @@ def test_draft_speculative_perfect_draft_saves_steps(model):
     seqs, steps = eng.generate_speculative_draft(draft, prompts, gen, k=k)
     np.testing.assert_array_equal(seqs, np.asarray(ref))
     assert steps == -(-gen.max_new_tokens // (k + 1))
+
+
+@pytest.mark.parametrize("mode", ["lookup", "draft"])
+def test_speculative_eos_early_exit(model, mode):
+    """EOS truncation parity vs the stepwise loop: pick an eos id that the
+    model actually emits mid-sequence, then require identical (pad-filled)
+    output from the speculative paths."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    free = eng.generate(prompts, GenerationConfig(max_new_tokens=10)).sequences
+    eos = int(free[0, 4])  # something emitted mid-sequence in row 0
+    gen = GenerationConfig(max_new_tokens=10, eos_token_id=eos, pad_token_id=1)
+    ref = eng.generate(prompts, gen).sequences  # may stop early (all finished)
+
+    if mode == "lookup":
+        seqs, steps = eng.generate_speculative(prompts, gen, ngram=3, k=3)
+    else:
+        draft = InferenceEngine(cfg, params)
+        seqs, steps = eng.generate_speculative_draft(draft, prompts, gen, k=3)
+    T_ref = ref.shape[1]
+    np.testing.assert_array_equal(seqs[:, :T_ref], np.asarray(ref))
+    assert np.all(seqs[:, T_ref:] == gen.pad_token_id)
