@@ -268,14 +268,21 @@ class InferenceEngine:
         prompts: Sequence[Sequence[int]],
         gen: GenerationConfig = GenerationConfig(),
         k: int = 4,
+        seed: int = 0,
     ):
-        """Greedy generation with a DRAFT MODEL proposing k tokens per verify
-        pass (two-model speculation; e.g. opt-125m drafting for opt-30b). Same
-        greedy-exact guarantee and verify/accept machinery as prompt lookup —
-        only the proposal source differs (:mod:`lia_tpu.engine.lookahead`)."""
-        from lia_tpu.engine.lookahead import generate_draft_speculative
+        """Generation with a DRAFT MODEL proposing k tokens per verify pass
+        (two-model speculation; e.g. opt-125m drafting for opt-30b). Greedy
+        requests share prompt lookup's greedy-exact verify/accept machinery;
+        ``do_sample`` requests run Leviathan-style acceptance sampling whose
+        output distribution equals plain target sampling
+        (:mod:`lia_tpu.engine.lookahead`)."""
+        from lia_tpu.engine import lookahead as la
 
-        return generate_draft_speculative(self, draft_engine, prompts, gen, k=k)
+        if gen.do_sample:
+            return la.generate_draft_speculative_sampled(
+                self, draft_engine, prompts, gen, k=k, seed=seed
+            )
+        return la.generate_draft_speculative(self, draft_engine, prompts, gen, k=k)
 
     # -- beam search -----------------------------------------------------------
 

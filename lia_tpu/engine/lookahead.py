@@ -337,3 +337,205 @@ def generate_draft_speculative(
         for o in out
     ])
     return seqs, steps
+
+
+# ---------------------------------------------------------------------------
+# Sampled draft speculation (Leviathan et al. acceptance sampling): proposals
+# are SAMPLED from the draft's warped distribution; each is accepted with
+# probability min(1, p(x)/q(x)) against the target's warped distribution, and
+# the first rejection resamples from the residual max(p − q, 0). The output
+# distribution provably equals plain target sampling (same temperature /
+# top-k / top-p warp on both models).
+# ---------------------------------------------------------------------------
+
+
+def _draft_loop_sampled_fn(cfg: ModelConfig, k: int, gen: GenerationConfig):
+    """Like :func:`_draft_loop_fn` but samples proposals and also returns the
+    draft's warped distributions q [B, k, V] (needed for acceptance ratios and
+    residual resampling)."""
+    from lia_tpu.ops import sampling
+
+    def f(params, pending, n_real, cache, key):
+        B = pending.shape[0]
+        active = jnp.ones((B,), jnp.bool_)
+
+        def body(carry, i):
+            tok, c, key = carry
+            logits, c = T.decode_step_ragged(cfg, params, tok[:, None], n_real + i, c, active)
+            q = sampling.warped_probs(logits, gen)
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(
+                sub, sampling.warp_logits(logits, gen), axis=-1
+            ).astype(jnp.int32)
+            return (nxt, c, key), (nxt, q)
+
+        (_, cache, _), (props, qs) = jax.lax.scan(
+            body, (pending, cache, key), jnp.arange(k + 1, dtype=jnp.int32)
+        )
+        return props[:k].T, qs[:k].transpose(1, 0, 2), cache  # [B,k], [B,k,V]
+
+    return jax.jit(f, donate_argnums=(3,))
+
+
+def _verify_sampled_fn(cfg: ModelConfig, gen: GenerationConfig):
+    """Like :func:`_verify_fn` but returns the target's warped distributions
+    p [B, C, V] instead of argmaxes."""
+    from lia_tpu.ops import sampling
+
+    def g(params, tokens, positions, cache):
+        B, C = tokens.shape
+        x = T.embed(cfg, params, tokens, positions)
+        base = cache.length
+        ones = jnp.ones((C,), jnp.bool_)
+        slot_mask = jax.vmap(
+            lambda row, p: jax.lax.dynamic_update_slice(row, ones, (p,))
+        )(cache.mask, base)
+        bias = att.alibi_slot_bias(cfg.num_heads, slot_mask) if cfg.alibi else None
+
+        def body(h, per_layer):
+            lp, kl, vl = per_layer
+            residual = h
+            q, kk, vv = T.attn_in(cfg, lp, h, positions)
+            kl, vl = kvc.update_layer(kl, vl, kk, vv, base)
+            attn_out = att.attend_prefill_cached(
+                q, kl, vl, base, slot_mask, cfg.sliding_window, bias=bias
+            )
+            h = T.attn_post_mlp(cfg, lp, residual, attn_out)
+            return h, (kl, vl)
+
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (params["layers"], cache.k, cache.v)
+        )
+        cache = cache._replace(k=k_new, v=v_new)
+        logits = T.lm_head(cfg, params, x)  # [B, C, V]
+        return sampling.warped_probs(logits, gen), cache
+
+    return jax.jit(g, donate_argnums=(3,))
+
+
+def _sampled_accept_row(rng, props_b, q_b, p_b, k):
+    """Host-side acceptance for one row. Returns (accepted_count a, tokens).
+
+    tokens = the a accepted proposals plus one extra (residual resample on the
+    first rejection, or a bonus token from p[k] if all k were accepted)."""
+    toks = []
+    for i in range(k):
+        x = int(props_b[i])
+        ratio = p_b[i, x] / max(float(q_b[i, x]), 1e-20)
+        if rng.uniform() < ratio:
+            toks.append(x)
+            continue
+        residual = np.maximum(p_b[i] - q_b[i], 0.0)
+        s = residual.sum()
+        dist = residual / s if s > 0 else p_b[i] / p_b[i].sum()
+        toks.append(int(rng.choice(dist.shape[0], p=dist)))
+        return i, toks
+    toks.append(int(rng.choice(p_b[k].shape[0], p=p_b[k] / p_b[k].sum())))
+    return k, toks
+
+
+def generate_draft_speculative_sampled(
+    engine,
+    draft_engine,
+    prompts: Sequence[Sequence[int]],
+    gen: GenerationConfig,
+    k: int = 4,
+    seed: int = 0,
+):
+    """Sampled two-model speculation. Output distribution == plain target
+    sampling under the same warp; with ``top_k=1`` it degenerates to the
+    greedy-exact path bit-for-bit. Returns ``(sequences, n_verify_steps)``."""
+    from lia_tpu.engine.engine import pack_prompts
+    from lia_tpu.ops import sampling
+
+    if gen.num_beams > 1:
+        raise NotImplementedError("speculation composes with greedy/sampling only")
+    if engine.scheduler is not None or draft_engine.scheduler is not None:
+        raise NotImplementedError("speculation runs on the resident engine path")
+
+    cfg = engine.cfg
+    dcfg = draft_engine.cfg
+    tokens, mask = pack_prompts(prompts, gen.pad_token_id)
+    B, S = tokens.shape
+    C = k + 1
+    max_len = -(-(S + gen.max_new_tokens + C) // 128) * 128
+    rng = np.random.default_rng(seed)
+
+    cache = kvc.init_cache(
+        cfg, B, max_len, jnp.dtype(cfg.dtype),
+        quantized=engine.runtime.quant.kv_cache_dtype == "int8",
+    )
+    logits, cache = engine._get_prefill()(
+        engine.params, jnp.asarray(tokens), jnp.asarray(mask), cache
+    )
+    p0 = np.asarray(sampling.warped_probs(logits, gen))  # [B, V]
+    pending = np.array(
+        [rng.choice(p0.shape[1], p=p0[b] / p0[b].sum()) for b in range(B)], np.int32
+    )
+    cache = cache._replace(length=jnp.full((B,), int(cache.length), jnp.int32))
+
+    dcache = kvc.init_cache(
+        dcfg, B, max_len, jnp.dtype(dcfg.dtype),
+        quantized=draft_engine.runtime.quant.kv_cache_dtype == "int8",
+    )
+    _, dcache = draft_engine._get_prefill()(
+        draft_engine.params, jnp.asarray(tokens), jnp.asarray(mask), dcache
+    )
+    dcache = dcache._replace(length=jnp.full((B,), int(dcache.length), jnp.int32))
+
+    n_real = mask.sum(1).astype(np.int32)
+    abs_len = np.full((B,), S, np.int32)
+    out: List[List[int]] = [[int(pending[b])] for b in range(B)]
+    done = [gen.eos_token_id is not None and out[b][0] == gen.eos_token_id
+            for b in range(B)]
+
+    verify = engine._compiled.setdefault(
+        ("spec_verify_sampled", C, gen.temperature, gen.top_k, gen.top_p),
+        _verify_sampled_fn(cfg, gen),
+    )
+    advance = engine._compiled.setdefault("spec_advance", _accept_fn())
+    draft_loop = draft_engine._compiled.setdefault(
+        ("spec_draft_sampled", k, gen.temperature, gen.top_k, gen.top_p),
+        _draft_loop_sampled_fn(dcfg, k, gen),
+    )
+    rewind = draft_engine._compiled.setdefault("spec_rewind", _rewind_fn())
+
+    key = jax.random.PRNGKey(seed)
+    steps = 0
+    while any(not done[b] and len(out[b]) < gen.max_new_tokens for b in range(B)):
+        key, sub = jax.random.split(key)
+        props, qs, dcache = draft_loop(
+            draft_engine.params, jnp.asarray(pending), jnp.asarray(n_real), dcache, sub
+        )
+        props = np.asarray(props)
+        qs = np.asarray(qs)  # [B, k, V]
+        chunk = np.concatenate([pending[:, None], props], axis=1)
+        positions = n_real[:, None] + np.arange(C, dtype=np.int32)[None, :]
+        ps, cache = verify(
+            engine.params, jnp.asarray(chunk), jnp.asarray(positions), cache
+        )
+        ps = np.asarray(ps)  # [B, C, V]
+        steps += 1
+
+        accept = np.zeros((B,), np.int32)
+        for b in range(B):
+            if done[b] or len(out[b]) >= gen.max_new_tokens:
+                continue
+            a, new_toks = _sampled_accept_row(rng, props[b], qs[b], ps[b], k)
+            accept[b] = a + 1
+            if gen.eos_token_id is not None and gen.eos_token_id in new_toks:
+                new_toks = new_toks[: new_toks.index(gen.eos_token_id) + 1]
+                done[b] = True
+            out[b].extend(new_toks)
+            pending[b] = new_toks[-1]
+        n_real = n_real + accept
+        abs_len = abs_len + accept
+        cache = advance(cache, jnp.asarray(accept))
+        dcache = rewind(dcache, jnp.asarray(abs_len))
+
+    pad = gen.pad_token_id
+    seqs = np.stack([
+        np.asarray((o + [pad] * gen.max_new_tokens)[: gen.max_new_tokens], np.int32)
+        for o in out
+    ])
+    return seqs, steps

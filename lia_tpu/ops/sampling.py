@@ -40,15 +40,29 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
+def warp_logits(logits: jnp.ndarray, gen: GenerationConfig) -> jnp.ndarray:
+    """Temperature/top-k/top-p warp ([..., V] → [..., V] warped logits).
+
+    Shared by :func:`sample` and speculative acceptance sampling, which needs
+    the warped DISTRIBUTIONS of both draft and target (Leviathan et al.'s
+    modified-distribution requirement)."""
+    x = logits / jnp.maximum(gen.temperature, 1e-6)
+    if gen.top_k > 0:
+        x = apply_top_k(x, gen.top_k)
+    if gen.top_p < 1.0:
+        x = apply_top_p(x, gen.top_p)
+    return x
+
+
+def warped_probs(logits: jnp.ndarray, gen: GenerationConfig) -> jnp.ndarray:
+    """Normalized post-warp probabilities ([..., V], fp32)."""
+    return jax.nn.softmax(warp_logits(logits, gen).astype(jnp.float32), axis=-1)
+
+
 def sample(
     logits: jnp.ndarray, key: jax.Array, gen: GenerationConfig
 ) -> jnp.ndarray:
     """One sampling step honoring temperature/top-k/top-p. [B, V] → [B]."""
     if not gen.do_sample:
         return greedy(logits)
-    x = logits / jnp.maximum(gen.temperature, 1e-6)
-    if gen.top_k > 0:
-        x = apply_top_k(x, gen.top_k)
-    if gen.top_p < 1.0:
-        x = apply_top_p(x, gen.top_p)
-    return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, warp_logits(logits, gen), axis=-1).astype(jnp.int32)

@@ -115,3 +115,31 @@ def test_speculative_eos_early_exit(model, mode):
     T_ref = ref.shape[1]
     np.testing.assert_array_equal(seqs[:, :T_ref], np.asarray(ref))
     assert np.all(seqs[:, T_ref:] == gen.pad_token_id)
+
+
+def test_sampled_draft_topk1_equals_greedy(model):
+    """Acceptance sampling with top_k=1 degenerates to one-hot p and q, so the
+    sampled path must reproduce the greedy output bit-for-bit."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params)
+    dcfg = get_config("opt-tiny").replace(dtype="float32")
+    draft = InferenceEngine(dcfg, init_dummy_params(dcfg, seed=77, scale=0.12))
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    ref = eng.generate(prompts, GenerationConfig(max_new_tokens=8)).sequences
+    gen = GenerationConfig(max_new_tokens=8, do_sample=True, top_k=1)
+    seqs, steps = eng.generate_speculative_draft(draft, prompts, gen, k=3)
+    np.testing.assert_array_equal(seqs, np.asarray(ref))
+
+
+def test_sampled_draft_identical_models_accepts_all(model):
+    """draft == target → p/q ≡ 1 → every proposal accepted: steps == ceil(N/(k+1))
+    and the output is a valid sample (finite tokens in-vocab)."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params)
+    draft = InferenceEngine(cfg, params)
+    gen = GenerationConfig(max_new_tokens=12, do_sample=True, temperature=0.9, top_p=0.95)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    k = 3
+    seqs, steps = eng.generate_speculative_draft(draft, prompts, gen, k=k, seed=3)
+    assert steps == -(-gen.max_new_tokens // (k + 1))
+    assert seqs.shape == (2, 12) and (seqs >= 0).all() and (seqs < cfg.vocab_size).all()
