@@ -217,6 +217,8 @@ class GenerationConfig:
     top_k: int = 0
     top_p: float = 1.0
     num_beams: int = 1
+    repetition_penalty: float = 1.0  # HF RepetitionPenaltyLogitsProcessor
+    min_new_tokens: int = 0  # suppress EOS until this many tokens are out
     eos_token_id: Optional[int] = None  # None => never stop early
     pad_token_id: int = 1  # OPT's pad token
     token_latency: bool = True  # per-token wall-clock list (greedy_search.py:424)

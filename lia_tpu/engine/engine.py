@@ -35,6 +35,14 @@ from lia_tpu.ops import sampling
 from lia_tpu.utils.metrics import LatencyStats
 
 
+def _needs_processors(gen: GenerationConfig) -> bool:
+    """True when per-step logits processors (repetition penalty / min-new-tokens)
+    must run — gates the [B, V] seen-mask bookkeeping off the default path."""
+    return gen.repetition_penalty != 1.0 or (
+        gen.min_new_tokens > 0 and gen.eos_token_id is not None
+    )
+
+
 def bucket_length(n: int, minimum: int = 16) -> int:
     """Next power-of-two bucket (static shapes => bounded recompiles)."""
     b = minimum
@@ -134,22 +142,29 @@ class InferenceEngine:
         if key not in self._compiled:
             cfg = self.cfg
             eos = gen.eos_token_id
+            proc = _needs_processors(gen)
 
-            def fused(params, tok0, pos0, cache, rng, finished0):
-                def step(carry, _):
-                    tok, pos, cache, rng, finished = carry
+            def fused(params, tok0, pos0, cache, rng, finished0, seen0):
+                def step(carry, i):
+                    tok, pos, cache, rng, finished, seen = carry
                     logits, cache = T.decode_step(
                         cfg, params, tok[:, None], pos[:, None], cache
                     )
+                    if proc:
+                        # the scan emits tokens 2..N: at step i, i+1 are out
+                        logits = sampling.process_logits(logits, gen, seen, i + 1)
                     rng, sub = jax.random.split(rng)
                     nxt = sampling.sample(logits, sub, gen)
                     if eos is not None:
                         nxt = jnp.where(finished, gen.pad_token_id, nxt)
                         finished = finished | (nxt == eos)
-                    return (nxt, pos + 1, cache, rng, finished), nxt
+                    if proc:
+                        seen = sampling.update_seen(seen, nxt)
+                    return (nxt, pos + 1, cache, rng, finished, seen), nxt
 
                 carry, toks = jax.lax.scan(
-                    step, (tok0, pos0, cache, rng, finished0), None, length=num_steps
+                    step, (tok0, pos0, cache, rng, finished0, seen0),
+                    jnp.arange(num_steps, dtype=jnp.int32),
                 )
                 return toks.T, carry[2]  # [B, num_steps], cache
 
@@ -194,12 +209,21 @@ class InferenceEngine:
             cfg, B, max_len, kv_dtype,
             quantized=self.runtime.quant.kv_cache_dtype == "int8",
         )
+        proc = _needs_processors(gen)
         t0 = time.perf_counter()
         logits, cache = self._get_prefill()(
             self.params, jnp.asarray(tokens), jnp.asarray(mask), cache
         )
+        seen = (
+            sampling.seen_from_prompt(jnp.asarray(tokens), jnp.asarray(mask), cfg.vocab_size)
+            if proc else jnp.zeros((B, 1), jnp.bool_)  # placeholder (static jit sig)
+        )
+        if proc:
+            logits = sampling.process_logits(logits, gen, seen, 0)
         rng, sub = jax.random.split(rng)
         first = sampling.sample(logits, sub, gen)
+        if proc:
+            seen = sampling.update_seen(seen, first)
         first.block_until_ready()
         lat.record(time.perf_counter() - t0)
         if on_token is not None:
@@ -215,7 +239,7 @@ class InferenceEngine:
         if fused:
             fd = self._get_fused_decode(gen, gen.max_new_tokens - 1)
             t0 = time.perf_counter()
-            rest, cache = fd(self.params, first, positions, cache, rng, finished)
+            rest, cache = fd(self.params, first, positions, cache, rng, finished, seen)
             rest = np.asarray(rest)
             dt = time.perf_counter() - t0
             for _ in range(gen.max_new_tokens - 1):
@@ -226,11 +250,15 @@ class InferenceEngine:
         decode = self._get_decode()
         out: List[np.ndarray] = [np.asarray(first)]
         tok = first
-        for _ in range(gen.max_new_tokens - 1):
+        for i in range(gen.max_new_tokens - 1):
             t0 = time.perf_counter()
             logits, cache = decode(self.params, tok[:, None], positions[:, None], cache)
+            if proc:
+                logits = sampling.process_logits(logits, gen, seen, i + 1)
             rng, sub = jax.random.split(rng)
             tok = sampling.sample(logits, sub, gen)
+            if proc:
+                seen = sampling.update_seen(seen, tok)
             if gen.eos_token_id is not None:
                 tok = jnp.where(finished, gen.pad_token_id, tok)
                 finished = finished | (tok == gen.eos_token_id)

@@ -40,6 +40,46 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
+def seen_from_prompt(
+    tokens: jnp.ndarray, mask: jnp.ndarray, vocab: int
+) -> jnp.ndarray:
+    """[B, S] prompt (+ [B, S] validity) → [B, V] bool token-presence mask
+    (the state RepetitionPenaltyLogitsProcessor derives from input_ids)."""
+    B, S = tokens.shape
+    # scatter into a V+1-wide buffer: pad slots land in the trash column
+    # (avoids a [B, S, V] one-hot blow-up at 128k vocabs)
+    safe = jnp.where(mask, tokens, vocab)
+    seen = jnp.zeros((B, vocab + 1), jnp.bool_)
+    seen = seen.at[jnp.arange(B)[:, None], safe].set(True)
+    return seen[:, :vocab]
+
+
+def update_seen(seen: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
+    """Mark [B] freshly generated tokens as seen."""
+    return seen.at[jnp.arange(seen.shape[0]), tok].set(True)
+
+
+def process_logits(
+    logits: jnp.ndarray,  # [B, V]
+    gen: GenerationConfig,
+    seen: jnp.ndarray | None = None,  # [B, V] bool token-presence
+    n_generated=None,  # scalar — tokens already emitted this generation
+) -> jnp.ndarray:
+    """Pre-warp logits processors (HF generate parity: the reference's patched
+    modes run the standard LogitsProcessorList — repetition penalty and
+    min-new-tokens EOS suppression are the two the LLM examples exercise)."""
+    if gen.repetition_penalty != 1.0 and seen is not None:
+        x = logits.astype(jnp.float32)
+        pen = jnp.where(x > 0, x / gen.repetition_penalty, x * gen.repetition_penalty)
+        logits = jnp.where(seen, pen, x).astype(logits.dtype)
+    if gen.min_new_tokens > 0 and gen.eos_token_id is not None and n_generated is not None:
+        eos_col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) == gen.eos_token_id
+        logits = jnp.where(
+            eos_col & (n_generated < gen.min_new_tokens), NEG_INF, logits
+        )
+    return logits
+
+
 def warp_logits(logits: jnp.ndarray, gen: GenerationConfig) -> jnp.ndarray:
     """Temperature/top-k/top-p warp ([..., V] → [..., V] warped logits).
 

@@ -765,10 +765,23 @@ class StreamingScheduler:
         B, S = tokens.shape
 
         # ---- prefill ----
+        from lia_tpu.engine.engine import _needs_processors
+
+        proc = _needs_processors(gen)
         t0 = time.perf_counter()
         logits, state = self.prefill_pass(tokens, mask, max_len)
+        seen = (
+            sampling.seen_from_prompt(
+                jnp.asarray(tokens), jnp.asarray(mask), self.cfg.vocab_size
+            )
+            if proc else None
+        )
+        if proc:
+            logits = sampling.process_logits(logits, gen, seen, 0)
         rng, sub = jax.random.split(rng)
         tok = sampling.sample(logits, sub, gen)
+        if proc:
+            seen = sampling.update_seen(seen, tok)
         tok.block_until_ready()
         lat.record(time.perf_counter() - t0)
 
@@ -780,11 +793,15 @@ class StreamingScheduler:
         )
         out = [np.asarray(tok)]
 
-        for _ in range(gen.max_new_tokens - 1):
+        for i in range(gen.max_new_tokens - 1):
             t0 = time.perf_counter()
             logits, state = self.decode_pass(tok, pos, state)
+            if proc:
+                logits = sampling.process_logits(logits, gen, seen, i + 1)
             rng, sub = jax.random.split(rng)
             tok = sampling.sample(logits, sub, gen)
+            if proc:
+                seen = sampling.update_seen(seen, tok)
             if gen.eos_token_id is not None:
                 tok = jnp.where(finished, gen.pad_token_id, tok)
                 finished = finished | (tok == gen.eos_token_id)

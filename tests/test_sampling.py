@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lia_tpu.config import GenerationConfig
 from lia_tpu.ops import sampling
@@ -39,3 +40,71 @@ def test_sample_distribution_sane():
     logits = jnp.tile(jnp.array([[0.0, 5.0]]), (512, 1))
     toks = np.asarray(sampling.sample(logits, jax.random.PRNGKey(1), gen))
     assert toks.mean() > 0.9  # overwhelmingly the high-logit token
+
+
+def test_repetition_penalty_matches_hf():
+    """process_logits vs HF RepetitionPenaltyLogitsProcessor on random logits."""
+    torch = pytest.importorskip("torch")
+    from transformers import RepetitionPenaltyLogitsProcessor
+
+    from lia_tpu.config import GenerationConfig
+    from lia_tpu.ops.sampling import process_logits, seen_from_prompt
+
+    rng = np.random.default_rng(0)
+    B, S, V = 3, 7, 29
+    tokens = rng.integers(0, V, (B, S))
+    mask = rng.random((B, S)) > 0.2
+    mask[:, -1] = True
+    logits = rng.standard_normal((B, V)).astype(np.float32)
+
+    # HF applies the penalty over input_ids (pads included) — emulate mask by
+    # replacing pads with the row's last real token (idempotent for presence)
+    ids = np.where(mask, tokens, tokens[:, -1:])
+    hf = RepetitionPenaltyLogitsProcessor(penalty=1.7)
+    want = hf(torch.tensor(ids), torch.tensor(logits.copy())).numpy()
+
+    gen = GenerationConfig(repetition_penalty=1.7)
+    seen = seen_from_prompt(jnp.asarray(tokens), jnp.asarray(mask), V)
+    got = process_logits(jnp.asarray(logits), gen, seen, 0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_min_new_tokens_suppresses_eos():
+    from lia_tpu.config import GenerationConfig
+    from lia_tpu.ops.sampling import process_logits
+
+    gen = GenerationConfig(min_new_tokens=3, eos_token_id=5)
+    logits = jnp.zeros((2, 8), jnp.float32)
+    early = np.asarray(process_logits(logits, gen, None, 1))
+    late = np.asarray(process_logits(logits, gen, None, 3))
+    assert early[:, 5].max() < -1e20
+    assert late[:, 5].max() == 0.0
+
+
+def test_engine_repetition_penalty_paths_agree():
+    """Stepwise, fused, and scheduler loops apply the processors identically."""
+    from lia_tpu.config import GenerationConfig, RuntimeConfig
+    from lia_tpu.engine.engine import InferenceEngine
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=3, scale=0.12)
+    prompts = [[5, 9, 23, 41, 9, 5], [100, 7, 3]]
+    gen = GenerationConfig(max_new_tokens=8, repetition_penalty=1.5,
+                           min_new_tokens=4, eos_token_id=2)
+    eng = InferenceEngine(cfg, params)
+    a = eng.generate(prompts, gen).sequences
+    b = eng.generate(prompts, gen, fused=True).sequences
+    np.testing.assert_array_equal(a, b[:, : a.shape[1]])
+
+    # the penalty must change behavior vs the unpenalized run on a looping model
+    base = eng.generate(prompts, GenerationConfig(max_new_tokens=8)).sequences
+    assert not np.array_equal(a, base)
+
+    # tiered scheduler path (50% resident) bit-matches the resident loop
+    sched = InferenceEngine(
+        cfg, params, RuntimeConfig(hbm_percentage=50, prefill_policy=0, decode_policy=0)
+    )
+    c = sched.generate(prompts, gen).sequences
+    np.testing.assert_array_equal(a, c[:, : a.shape[1]])
