@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from lia_tpu.config import ModelConfig
+from lia_tpu.models.transformer import linear as qlinear  # WOQ-dispatching
 from lia_tpu.models.vision import _linear, _ln, vit_encode
 
 Params = Dict[str, Any]
@@ -56,11 +57,11 @@ def _layer(cfg: ModelConfig, lp: Params, x, k_all, v_all, mask):
     """Post-norm BERT block given this layer's full K/V planes."""
     a = lp["attn"]
     attn_out = _attend_rows(
-        _linear(x, a["wq"], a["bq"]), k_all, v_all, mask, cfg.num_heads
+        qlinear(x, a["wq"], a["bq"]), k_all, v_all, mask, cfg.num_heads
     )
-    x = _ln(lp["ln1"], x + _linear(attn_out, a["wo"], a["bo"]), cfg.norm_eps)
-    m = _linear(x, lp["mlp"]["w1"], lp["mlp"]["b1"])
-    m = _linear(jax.nn.gelu(m.astype(jnp.float32), approximate=False).astype(x.dtype),
+    x = _ln(lp["ln1"], x + qlinear(attn_out, a["wo"], a["bo"]), cfg.norm_eps)
+    m = qlinear(x, lp["mlp"]["w1"], lp["mlp"]["b1"])
+    m = qlinear(jax.nn.gelu(m.astype(jnp.float32), approximate=False).astype(x.dtype),
                 lp["mlp"]["w2"], lp["mlp"]["b2"])
     return _ln(lp["ln2"], x + m, cfg.norm_eps)
 
@@ -68,8 +69,8 @@ def _layer(cfg: ModelConfig, lp: Params, x, k_all, v_all, mask):
 def _kv(cfg: ModelConfig, lp: Params, x):
     B, S, H = x.shape
     a = lp["attn"]
-    k = _linear(x, a["wk"], a["bk"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
-    v = _linear(x, a["wv"], a["bv"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+    k = qlinear(x, a["wk"], a["bk"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
+    v = qlinear(x, a["wv"], a["bv"]).reshape(B, S, cfg.num_heads, cfg.head_dim)
     return k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
 
@@ -119,7 +120,7 @@ def prefill(
         return h, (kc, vc)
 
     x, (k_cache, v_cache) = jax.lax.scan(body, x, (params["layers"], k_cache, v_cache))
-    logits = _linear(x[:, -1:, :], params["output"]["w"], params["output"]["b"])
+    logits = qlinear(x[:, -1:, :], params["output"]["w"], params["output"]["b"])
     return logits[:, 0, :].astype(jnp.float32), k_cache, v_cache
 
 
@@ -151,5 +152,5 @@ def decode_step(
         return h, (kc, vc)
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], k_cache, v_cache))
-    logits = _linear(x, params["output"]["w"], params["output"]["b"])
+    logits = qlinear(x, params["output"]["w"], params["output"]["b"])
     return logits[:, 0, :].astype(jnp.float32), k_new, v_new

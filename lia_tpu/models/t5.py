@@ -239,10 +239,19 @@ def decode_step(
     if cfg.tie_embeddings:
         # HF T5: tied head scales hidden by d_model**-0.5 before the projection
         x = x * (cfg.hidden_size**-0.5)
-        w = params["embed_tokens"].T
-    else:
+        logits = jax.lax.dot_general(
+            x[:, 0, :], params["embed_tokens"].T,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    else:  # WOQ-dispatching (flan untied head quantizes with the stacks)
+        from lia_tpu.ops.quant import is_quantized, quantized_matmul
+
         w = params["lm_head"]
-    logits = jax.lax.dot_general(
-        x[:, 0, :], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        if is_quantized(w):
+            logits = quantized_matmul(x[:, 0, :], w).astype(jnp.float32)
+        else:
+            logits = jax.lax.dot_general(
+                x[:, 0, :], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     return logits, k_new, v_new

@@ -173,15 +173,7 @@ def quantize_weight_static(w: np.ndarray, act_amax: np.ndarray) -> "QuantizedWei
     return QuantizedWeight(q, s.astype(np.float32), "static_int8", act_scale)
 
 
-def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
-    """Quantize every decoder-layer matmul weight (stacked [L, in, out]) plus,
-    when ``qc.quant_lm_head`` (default), the untied lm_head.
-
-    Embeddings, norms, and biases stay high-precision — same scope as the
-    reference WOQ flow (it converts Linear modules, lm_head included).
-    """
-    out = dict(params)
-    layers = params["layers"]
+def _quantize_layer_tree(layers: Dict[str, Any], qc: QuantConfig) -> Dict[str, Any]:
     new_layers: Dict[str, Any] = {}
     for grp_name, grp in layers.items():
         new_grp: Dict[str, Any] = {}
@@ -193,12 +185,39 @@ def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
             else:
                 new_grp[k] = v
         new_layers[grp_name] = new_grp
-    out["layers"] = new_layers
-    if qc.quant_lm_head and "lm_head" in out and np.ndim(out["lm_head"]) == 2:
-        K = np.shape(out["lm_head"])[0]
+    return new_layers
+
+
+def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
+    """Quantize every decoder-layer matmul weight (stacked [L, in, out]) plus,
+    when ``qc.quant_lm_head`` (default), the untied lm_head.
+
+    Embeddings, norms, and biases stay high-precision — same scope as the
+    reference WOQ flow (it converts Linear modules, lm_head included). Works
+    over every family tree: decoder-only ``layers``, T5's ``enc``/``dec``
+    stacks (incl. the cross-attention group), GIT's text decoder + ``output``
+    head (the vision tower stays high-precision — its FLOPs are a one-time
+    prefix cost, not per-token bandwidth).
+    """
+    out = dict(params)
+    if "layers" in params:
+        out["layers"] = _quantize_layer_tree(params["layers"], qc)
+    for stack in ("enc", "dec"):  # t5 encoder/decoder stacks
+        if stack in params and isinstance(params[stack], dict) and "layers" in params[stack]:
+            out[stack] = {
+                **params[stack],
+                "layers": _quantize_layer_tree(params[stack]["layers"], qc),
+            }
+
+    def _quant_2d(w):
+        K = np.shape(w)[0]
         g = qc.group_size if qc.group_size > 0 else K
-        if K % g == 0:
-            out["lm_head"] = quantize_weight(np.asarray(out["lm_head"]), qc)
+        return quantize_weight(np.asarray(w), qc) if K % g == 0 else w
+
+    if qc.quant_lm_head and "lm_head" in out and np.ndim(out["lm_head"]) == 2:
+        out["lm_head"] = _quant_2d(out["lm_head"])
+    if qc.quant_lm_head and "output" in out and isinstance(out["output"], dict):
+        out["output"] = {**out["output"], "w": _quant_2d(out["output"]["w"])}  # git head
     return out
 
 

@@ -187,6 +187,21 @@ def _static_int8_flow(cfg, params, alpha_arg, args):
     return params
 
 
+def _maybe_woq(cfg, params, args):
+    """Weight-only quantization for the seq2seq/VLM paths (reference
+    run_quantization.py covers t5/git/llava with the same WOQ flow; language
+    stacks + output head quantize, vision towers stay high-precision)."""
+    if args.weight_dtype in ("int8", "int4"):
+        from lia_tpu.ops.quant import quantize_params
+
+        qc = QuantConfig(
+            weight_dtype=args.weight_dtype, group_size=args.group_size,
+            act_quant=args.act_quant,
+        )
+        return quantize_params(cfg, params, qc)
+    return params
+
+
 def _run_seq2seq(cfg, args, gen) -> int:
     """T5-family path: encoder-decoder generation via Seq2SeqEngine (the
     reference routes t5 through the same run.py CLI — MODEL_CLASSES["t5"]).
@@ -199,6 +214,7 @@ def _run_seq2seq(cfg, args, gen) -> int:
         params = load_hf_checkpoint(cfg, args.checkpoint)
     else:
         params = init_dummy_params(cfg)
+    params = _maybe_woq(cfg, params, args)
     print(f"[lia-tpu] weights ready in {time.perf_counter()-t0:.1f}s")
     engine = Seq2SeqEngine(cfg, params)
     rng = np.random.default_rng(0)
@@ -233,6 +249,7 @@ def _run_vlm(cfg, args, gen) -> int:
     print(f"[lia-tpu] model={cfg.name} dtype={cfg.dtype} (vision-language)")
     t0 = time.perf_counter()
     params = load_hf_checkpoint(cfg, args.checkpoint) if args.checkpoint else init_dummy_params(cfg)
+    params = _maybe_woq(cfg, params, args)
     print(f"[lia-tpu] weights ready in {time.perf_counter()-t0:.1f}s")
     rng = np.random.default_rng(0)
     s = cfg.vision_image_size

@@ -294,3 +294,52 @@ def test_dummy_init_quantizes_untied_lm_head():
     assert is_quantized(p["lm_head"])
     p2 = init_dummy_params(cfg, quant=QuantConfig(weight_dtype="int8", quant_lm_head=False))
     assert not is_quantized(p2["lm_head"])
+
+
+def test_quantize_params_t5_git_llava_trees():
+    """WOQ generalizes across the non-decoder-only family trees: t5 enc/dec
+    stacks (incl. cross-attention), git text decoder + output head, llava's
+    llama LM — vision towers stay high-precision; generation still runs."""
+    import jax
+    from lia_tpu.config import GenerationConfig
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.ops.quant import is_quantized
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    qc = QuantConfig(weight_dtype="int8", group_size=-1)
+
+    # t5: enc + dec + cross quantized; rel_bias/norms untouched
+    cfg = get_config("t5-tiny").replace(dtype="float32")
+    p = quantize_params(cfg, init_dummy_params(cfg), qc)
+    assert is_quantized(p["enc"]["layers"]["attn"]["wq"])
+    assert is_quantized(p["dec"]["layers"]["cross"]["wk"])
+    assert not is_quantized(p["enc"]["rel_bias"])
+    from lia_tpu.engine.seq2seq import Seq2SeqEngine
+
+    out = Seq2SeqEngine(cfg, p).generate([[3, 4, 5]], GenerationConfig(max_new_tokens=3))
+    assert out.sequences.shape == (1, 3)
+
+    # git: text decoder + output head quantized, vision tower fp
+    cfg = get_config("git-tiny").replace(dtype="float32")
+    p = quantize_params(cfg, init_dummy_params(cfg), qc)
+    assert is_quantized(p["layers"]["attn"]["wq"])
+    assert is_quantized(p["output"]["w"])
+    assert not is_quantized(p["vision"]["layers"]["attn"]["wq"])
+    from lia_tpu.engine.vlm import GitEngine
+
+    px = np.zeros((1, 3, cfg.vision_image_size, cfg.vision_image_size), np.float32)
+    out = GitEngine(cfg, p).generate(px, GenerationConfig(max_new_tokens=3))
+    assert out.sequences.shape == (1, 3)
+
+    # llava: llama LM quantized, projector/vision fp
+    cfg = get_config("llava-tiny").replace(dtype="float32")
+    p = quantize_params(cfg, init_dummy_params(cfg), qc)
+    assert is_quantized(p["layers"]["attn"]["wq"])
+    assert not is_quantized(p["proj"]["w1"])
+    from lia_tpu.engine.vlm import LlavaEngine
+
+    px = np.zeros((1, 3, cfg.vision_image_size, cfg.vision_image_size), np.float32)
+    out = LlavaEngine(cfg, p).generate(
+        px, [[1, cfg.image_token_id, 7]], GenerationConfig(max_new_tokens=3)
+    )
+    assert out.sequences.shape == (1, 3)
