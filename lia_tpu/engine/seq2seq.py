@@ -125,3 +125,48 @@ class Seq2SeqEngine:
                 if hits.size:
                     out[b, hits[0] + 1:] = gen.pad_token_id
         return GenerationResult(sequences=out, latency=lat)
+
+    def score(self, contexts, continuations):
+        """lm-eval ``loglikelihood`` for seq2seq (reference run_accuracy.py
+        covers t5 with the same semantics): encode the context, teacher-force
+        the decoder over the continuation, return (sum log-prob, is_greedy)
+        per record."""
+        cfg = self.cfg
+        B = len(contexts)
+        assert len(continuations) == B
+        tokens, mask = pack_encoder_inputs(contexts, pad_id=cfg.pad_token_id)
+        enc_out = self._encode(self.params, jnp.asarray(tokens), jnp.asarray(mask))
+        ck, cv = self._cross_kv(self.params, enc_out)
+
+        T = max(len(c) for c in continuations)
+        dec_in = np.full((B, T), cfg.pad_token_id, np.int32)  # start token = pad
+        tgt = np.full((B, T), -1, np.int64)
+        for b, c in enumerate(continuations):
+            if len(c) == 0:
+                raise ValueError(f"record {b}: empty continuation")
+            dec_in[b, 1 : len(c)] = c[:-1]
+            tgt[b, : len(c)] = c
+
+        L, N, D = cfg.num_layers, cfg.num_heads, cfg.head_dim
+        dt = jnp.dtype(cfg.dtype)
+        sk = jnp.zeros((L, B, N, T, D), dt)
+        sv = jnp.zeros((L, B, N, T, D), dt)
+        logl = np.zeros((B,), np.float64)
+        greedy_ok = np.ones((B,), bool)
+        for t in range(T):
+            logits, sk, sv = self._step(
+                self.params, jnp.asarray(dec_in[:, t : t + 1]), jnp.int32(t),
+                sk, sv, ck, cv, jnp.asarray(mask),
+            )
+            lp = np.asarray(
+                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            )
+            am = np.argmax(lp, axis=-1)
+            for b in range(B):
+                if tgt[b, t] >= 0:
+                    logl[b] += lp[b, tgt[b, t]]
+                    greedy_ok[b] &= am[b] == tgt[b, t]
+        return logl, greedy_ok
+
+    def loglikelihood(self, contexts, continuations) -> np.ndarray:
+        return self.score(contexts, continuations)[0]

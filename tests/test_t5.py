@@ -146,3 +146,30 @@ def test_greedy_generation_matches_hf(pair, request):
     )
     T_hf = hf_out.shape[1]
     np.testing.assert_array_equal(res.sequences[:, :T_hf], hf_out)
+
+
+def test_loglikelihood_matches_hf(t5_pair):
+    """score() vs HF teacher-forced log-probs, and is_greedy vs HF argmax."""
+    cfg, hf, params = t5_pair
+    rng = np.random.default_rng(11)
+    contexts = [list(rng.integers(3, 400, size=6)), list(rng.integers(3, 400, size=4))]
+    conts = [list(rng.integers(3, 400, size=3)), list(rng.integers(3, 400, size=5))]
+
+    from lia_tpu.engine.seq2seq import Seq2SeqEngine
+
+    eng = Seq2SeqEngine(cfg, params)
+    got, greedy_ok = eng.score(contexts, conts)
+
+    import torch.nn.functional as F
+
+    for b in range(2):
+        ids = torch.tensor([contexts[b]])
+        attn = torch.ones_like(ids)
+        dec = torch.tensor([[0] + conts[b][:-1]])
+        with torch.no_grad():
+            logits = hf(input_ids=ids, attention_mask=attn, decoder_input_ids=dec).logits[0]
+        lp = F.log_softmax(logits.float(), dim=-1)
+        want = sum(lp[t, conts[b][t]].item() for t in range(len(conts[b])))
+        np.testing.assert_allclose(got[b], want, rtol=2e-3, atol=2e-3)
+        hf_greedy = all(int(lp[t].argmax()) == conts[b][t] for t in range(len(conts[b])))
+        assert bool(greedy_ok[b]) == hf_greedy
