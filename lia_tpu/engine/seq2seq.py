@@ -126,6 +126,101 @@ class Seq2SeqEngine:
                     out[b, hits[0] + 1:] = gen.pad_token_id
         return GenerationResult(sequences=out, latency=lat)
 
+    # -- beam search ------------------------------------------------------
+    def _beam_loop(self, T_new: int, gen: GenerationConfig, nb: int):
+        cfg = self.cfg
+        from lia_tpu.engine import beam as beam_mod
+
+        def run(params, enc_mask, ck, cv, sk, sv, seed):
+            Bnb = enc_mask.shape[0]
+            B = Bnb // nb
+            key = jax.random.PRNGKey(seed)
+            start = jnp.full((Bnb, 1), cfg.pad_token_id, jnp.int32)
+            logits, sk, sv = M.decode_step(
+                cfg, params, start, jnp.int32(0), sk, sv, ck, cv, enc_mask
+            )
+            scores, finished = beam_mod.init_beam_state(B, nb)
+            key, sub = jax.random.split(key)
+            tok, scores, finished, src = beam_mod.beam_select(
+                gen, cfg.vocab_size, logits, scores, finished,
+                sub if gen.do_sample else None,
+            )
+            sk = jnp.take(sk, src, axis=1)
+            sv = jnp.take(sv, src, axis=1)
+            history = jnp.full((Bnb, T_new), gen.pad_token_id, jnp.int32)
+            history = history.at[:, 0].set(tok)
+
+            def step(carry, i):
+                tok, sk, sv, scores, finished, history, key = carry
+                logits, sk, sv = M.decode_step(
+                    cfg, params, tok[:, None], i, sk, sv, ck, cv, enc_mask
+                )
+                key, sub = jax.random.split(key)
+                ntok, scores, finished, src = beam_mod.beam_select(
+                    gen, cfg.vocab_size, logits, scores, finished,
+                    sub if gen.do_sample else None,
+                )
+                sk = jnp.take(sk, src, axis=1)
+                sv = jnp.take(sv, src, axis=1)
+                history = jnp.take(history, src, axis=0)
+                history = jax.lax.dynamic_update_slice(history, ntok[:, None], (0, i))
+                return (ntok, sk, sv, scores, finished, history, key), None
+
+            (tok, sk, sv, scores, finished, history, key), _ = jax.lax.scan(
+                step, (tok, sk, sv, scores, finished, history, key),
+                jnp.arange(1, T_new, dtype=jnp.int32),
+            )
+            # top_k sorts descending → beam 0 of each group is the best
+            best = history.reshape(B, nb, T_new)[:, 0, :]
+            return best, scores[:, 0]
+
+        return jax.jit(run)
+
+    def generate_beam(
+        self,
+        prompts: Sequence[Sequence[int]],
+        gen: GenerationConfig,
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Seq2seq beam search (+ Gumbel-top-k stochastic beams when
+        ``do_sample`` — the reference patches `_beam_search`/`_beam_sample`
+        for T5 like the decoder-only families). Encoder state is computed at
+        batch B and repeated across beams; the self-cache reorders with the
+        winning beams each step (same zero-copy gather as the decoder-only
+        engine)."""
+        cfg = self.cfg
+        nb = gen.num_beams
+        tokens, mask = pack_encoder_inputs(prompts, cfg.pad_token_id)
+        B = tokens.shape[0]
+        T_new = gen.max_new_tokens
+        lat = LatencyStats()
+
+        t0 = time.perf_counter()
+        enc_out = self._encode(self.params, jnp.asarray(tokens), jnp.asarray(mask))
+        ck, cv = self._cross_kv(self.params, enc_out)
+        ck = jnp.repeat(ck, nb, axis=1)  # [L, B*nb, N, S, D]
+        cv = jnp.repeat(cv, nb, axis=1)
+        enc_mask = jnp.repeat(jnp.asarray(mask), nb, axis=0)
+
+        L, N, D = cfg.num_layers, cfg.num_heads, cfg.head_dim
+        dt = jnp.dtype(cfg.dtype)
+        sk = jnp.zeros((L, B * nb, N, T_new, D), dt)
+        sv = jnp.zeros((L, B * nb, N, T_new, D), dt)
+
+        key = ("beam", B, nb, T_new, gen.do_sample, gen.temperature,
+               gen.eos_token_id, gen.pad_token_id)
+        if key not in self._fused:
+            self._fused[key] = self._beam_loop(T_new, gen, nb)
+        best, _scores = self._fused[key](self.params, enc_mask, ck, cv, sk, sv, seed)
+        out = np.asarray(best)
+        lat.record(time.perf_counter() - t0)
+        if gen.eos_token_id is not None:
+            for b in range(B):
+                hits = np.flatnonzero(out[b] == gen.eos_token_id)
+                if hits.size:
+                    out[b, hits[0] + 1:] = gen.pad_token_id
+        return GenerationResult(sequences=out, latency=lat)
+
     def score(self, contexts, continuations):
         """lm-eval ``loglikelihood`` for seq2seq (reference run_accuracy.py
         covers t5 with the same semantics): encode the context, teacher-force

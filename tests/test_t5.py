@@ -173,3 +173,27 @@ def test_loglikelihood_matches_hf(t5_pair):
         np.testing.assert_allclose(got[b], want, rtol=2e-3, atol=2e-3)
         hf_greedy = all(int(lp[t].argmax()) == conts[b][t] for t in range(len(conts[b])))
         assert bool(greedy_ok[b]) == hf_greedy
+
+
+def test_beam1_equals_greedy(t5_pair):
+    cfg, hf, params = t5_pair
+    rng = np.random.default_rng(12)
+    prompts = [list(rng.integers(3, 400, size=6)), list(rng.integers(3, 400, size=4))]
+    eng = Seq2SeqEngine(cfg, params)
+    g = eng.generate(prompts, GenerationConfig(max_new_tokens=6)).sequences
+    b = eng.generate_beam(prompts, GenerationConfig(max_new_tokens=6, num_beams=1)).sequences
+    np.testing.assert_array_equal(g, b)
+
+
+def test_beam_scores_at_least_greedy(t5_pair):
+    """The best beam's summed log-prob must be ≥ the greedy trajectory's."""
+    cfg, hf, params = t5_pair
+    rng = np.random.default_rng(13)
+    prompts = [list(rng.integers(3, 400, size=6))]
+    eng = Seq2SeqEngine(cfg, params)
+    gen = GenerationConfig(max_new_tokens=5)
+    g = eng.generate(prompts, gen).sequences
+    bm = eng.generate_beam(prompts, gen.replace(num_beams=4)).sequences
+    lg = eng.loglikelihood(prompts, [list(map(int, g[0]))])[0]
+    lb = eng.loglikelihood(prompts, [list(map(int, bm[0]))])[0]
+    assert lb >= lg - 1e-4
