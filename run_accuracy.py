@@ -82,13 +82,29 @@ def main(argv=None) -> int:
         return params
 
     needs_fp = args.gptq or args.weight_dtype == "static-int8"
-    if args.checkpoint:
-        params = _quantize_fp(load_hf_checkpoint(cfg, args.checkpoint))
-    elif needs_fp:
-        params = _quantize_fp(init_dummy_params(cfg))
+    if cfg.encoder_decoder:
+        # T5 path (reference run_accuracy.py covers t5 with the same
+        # loglikelihood semantics — Seq2SeqEngine.score)
+        if needs_fp:
+            p.error("gptq/static-int8 are decoder-only flows; t5 supports WOQ int8/int4")
+        from lia_tpu.engine.seq2seq import Seq2SeqEngine
+
+        base = load_hf_checkpoint(cfg, args.checkpoint) if args.checkpoint else init_dummy_params(cfg)
+        if quant.enabled:
+            from lia_tpu.ops.quant import quantize_params
+
+            base = quantize_params(cfg, base, quant)
+        engine = Seq2SeqEngine(cfg, base)
+        if args.lm_eval:
+            p.error("--lm-eval drives the decoder-only adapter; use --dataset/--self-test for t5")
     else:
-        params = init_dummy_params(cfg, quant=quant if quant.enabled else None)
-    engine = InferenceEngine(cfg, params, RuntimeConfig(quant=quant))
+        if args.checkpoint:
+            params = _quantize_fp(load_hf_checkpoint(cfg, args.checkpoint))
+        elif needs_fp:
+            params = _quantize_fp(init_dummy_params(cfg))
+        else:
+            params = init_dummy_params(cfg, quant=quant if quant.enabled else None)
+        engine = InferenceEngine(cfg, params, RuntimeConfig(quant=quant))
 
     if args.lm_eval:
         # lambada-parity gate via the harness (reference run_accuracy.py:543-575)
