@@ -53,7 +53,18 @@ def load_engine(
         # non-decoder-only architectures route to their dedicated engines
         # (reference: same optimize() frontend dispatches per architecture,
         # optimize.py:310-326 T5 / :188,673 llava)
-        return _load_special(cfg, checkpoint, dummy, seed)
+        return _load_special(
+            cfg, checkpoint, dummy, seed,
+            QuantConfig(weight_dtype=weight_dtype, group_size=group_size,
+                        act_quant=act_quant),
+            unsupported={
+                "gptq": gptq, "gptq_checkpoint": gptq_checkpoint,
+                "smoothquant": smoothquant, "kv_cache_dtype != none":
+                kv_cache_dtype != "none", "static-int8": weight_dtype == "static-int8",
+                "stream_weights": stream_weights, "hbm_percentage < 100":
+                hbm_percentage < 100, "auto_placement": auto_placement,
+            },
+        )
     quant = QuantConfig(
         weight_dtype=weight_dtype,
         group_size=group_size,
@@ -151,8 +162,19 @@ def load_engine(
     return InferenceEngine(cfg, params, runtime)
 
 
-def _load_special(cfg, checkpoint, dummy, seed):
-    """Engines for T5 (seq2seq), GIT and LLaVA (vision-language)."""
+def _load_special(cfg, checkpoint, dummy, seed, quant, unsupported):
+    """Engines for T5 (seq2seq), GIT and LLaVA (vision-language).
+
+    Supports WOQ int8/int4 (language stacks + heads quantize; vision towers
+    stay fp — same scope as run.py's _maybe_woq). Decoder-only-only knobs
+    (gptq, smoothquant, static-int8, kv-cache quant, tiering/streaming,
+    auto placement) raise instead of being silently dropped."""
+    requested = [name for name, on in unsupported.items() if on]
+    if requested:
+        raise ValueError(
+            f"{cfg.name} ({cfg.family}) does not support: {', '.join(requested)} "
+            "(decoder-only features)"
+        )
     from lia_tpu.utils.checkpoint import init_dummy_params, load_hf_checkpoint
 
     if checkpoint:
@@ -161,6 +183,10 @@ def _load_special(cfg, checkpoint, dummy, seed):
         params = init_dummy_params(cfg, seed=seed)
     else:
         raise ValueError("provide checkpoint= or dummy=True")
+    if quant.enabled:
+        from lia_tpu.ops.quant import quantize_params
+
+        params = quantize_params(cfg, params, quant)
     if cfg.encoder_decoder:
         from lia_tpu.engine.seq2seq import Seq2SeqEngine
 

@@ -49,6 +49,18 @@ def propose_ngram(history: List[int], ngram: int, k: int, pad_id: int) -> List[i
     return [pad_id] * k
 
 
+def _reject_processors(gen: GenerationConfig) -> None:
+    """Speculation verifies against raw model argmax/distributions; stateful
+    logits processors would break the exactness guarantee silently."""
+    from lia_tpu.engine.engine import _needs_processors
+
+    if _needs_processors(gen):
+        raise NotImplementedError(
+            "repetition_penalty/min_new_tokens are not wired into speculative "
+            "decoding — use engine.generate for processor-bearing requests"
+        )
+
+
 def _verify_fn(cfg: ModelConfig):
     """Jitted verify pass: run C = k+1 chunk tokens per sequence over the
     ragged cache (write-then-attend at per-sequence bases), return per-position
@@ -118,6 +130,7 @@ def generate_prompt_lookup(
 
     if gen.do_sample or gen.num_beams > 1:
         raise NotImplementedError("prompt-lookup speculation is greedy-only")
+    _reject_processors(gen)
     if engine.scheduler is not None:
         raise NotImplementedError("speculation runs on the resident engine path")
 
@@ -254,6 +267,7 @@ def generate_draft_speculative(
 
     if gen.do_sample or gen.num_beams > 1:
         raise NotImplementedError("draft speculation is greedy-only")
+    _reject_processors(gen)
     if engine.scheduler is not None or draft_engine.scheduler is not None:
         raise NotImplementedError("speculation runs on the resident engine path")
     if draft_engine.cfg.vocab_size < engine.cfg.vocab_size:
@@ -413,25 +427,41 @@ def _verify_sampled_fn(cfg: ModelConfig, gen: GenerationConfig):
     return jax.jit(g, donate_argnums=(3,))
 
 
-def _sampled_accept_row(rng, props_b, q_b, p_b, k):
-    """Host-side acceptance for one row. Returns (accepted_count a, tokens).
+def _sampled_accept_fn(k: int):
+    """Jitted vectorized acceptance: leading-accept counts + the one extra
+    token (residual resample on first rejection, bonus sample on full accept).
 
-    tokens = the a accepted proposals plus one extra (residual resample on the
-    first rejection, or a bonus token from p[k] if all k were accepted)."""
-    toks = []
-    for i in range(k):
-        x = int(props_b[i])
-        ratio = p_b[i, x] / max(float(q_b[i, x]), 1e-20)
-        if rng.uniform() < ratio:
-            toks.append(x)
-            continue
-        residual = np.maximum(p_b[i] - q_b[i], 0.0)
-        s = residual.sum()
-        dist = residual / s if s > 0 else p_b[i] / p_b[i].sum()
-        toks.append(int(rng.choice(dist.shape[0], p=dist)))
-        return i, toks
-    toks.append(int(rng.choice(p_b[k].shape[0], p=p_b[k] / p_b[k].sum())))
-    return k, toks
+    Keeps the [B, k, V] draft / [B, k+1, V] target distributions ON DEVICE —
+    only [B]-sized accept counts and tokens cross to the host (the full-dist
+    ship would cost ~15 MB per verify pass at a 50k vocab through the relay).
+    """
+
+    def f(props, qs, ps, key):  # [B, k] int32, [B, k, V], [B, k+1, V]
+        B, _, V = qs.shape
+        key_u, key_r = jax.random.split(key)
+        u = jax.random.uniform(key_u, (B, k))
+        bidx = jnp.arange(B)[:, None]
+        kidx = jnp.arange(k)[None, :]
+        px = ps[bidx, kidx, props]
+        qx = qs[bidx, kidx, props]
+        acc = u < px / jnp.maximum(qx, 1e-20)  # [B, k]
+        a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)  # [B]
+        # extra token: residual max(p_a − q_a, 0) when a < k, else bonus ~ p_k
+        pa = jnp.take_along_axis(ps, a[:, None, None], axis=1)[:, 0]  # [B, V]
+        qa = jnp.take_along_axis(qs, jnp.minimum(a, k - 1)[:, None, None], axis=1)[:, 0]
+        qa = jnp.where((a < k)[:, None], qa, 0.0)
+        residual = jnp.maximum(pa - qa, 0.0)
+        ssum = jnp.sum(residual, axis=1, keepdims=True)
+        dist = jnp.where(
+            ssum > 0, residual / jnp.maximum(ssum, 1e-20),
+            pa / jnp.maximum(jnp.sum(pa, 1, keepdims=True), 1e-20),
+        )
+        extra = jax.random.categorical(
+            key_r, jnp.log(jnp.maximum(dist, 1e-30)), axis=-1
+        )
+        return a.astype(jnp.int32), extra.astype(jnp.int32)
+
+    return jax.jit(f)
 
 
 def generate_draft_speculative_sampled(
@@ -450,8 +480,11 @@ def generate_draft_speculative_sampled(
 
     if gen.num_beams > 1:
         raise NotImplementedError("speculation composes with greedy/sampling only")
+    _reject_processors(gen)
     if engine.scheduler is not None or draft_engine.scheduler is not None:
         raise NotImplementedError("speculation runs on the resident engine path")
+    if draft_engine.cfg.vocab_size < engine.cfg.vocab_size:
+        raise ValueError("draft vocab must cover the target vocab")
 
     cfg = engine.cfg
     dcfg = draft_engine.cfg
@@ -499,30 +532,34 @@ def generate_draft_speculative_sampled(
         _draft_loop_sampled_fn(dcfg, k, gen),
     )
     rewind = draft_engine._compiled.setdefault("spec_rewind", _rewind_fn())
+    accept_fn = engine._compiled.setdefault(("spec_accept_sampled", k), _sampled_accept_fn(k))
 
     key = jax.random.PRNGKey(seed)
     steps = 0
     while any(not done[b] and len(out[b]) < gen.max_new_tokens for b in range(B)):
-        key, sub = jax.random.split(key)
+        key, sub, sub2 = jax.random.split(key, 3)
         props, qs, dcache = draft_loop(
             draft_engine.params, jnp.asarray(pending), jnp.asarray(n_real), dcache, sub
         )
-        props = np.asarray(props)
-        qs = np.asarray(qs)  # [B, k, V]
-        chunk = np.concatenate([pending[:, None], props], axis=1)
+        props_np = np.asarray(props)  # [B, k] — small
+        chunk = np.concatenate([pending[:, None], props_np], axis=1)
         positions = n_real[:, None] + np.arange(C, dtype=np.int32)[None, :]
         ps, cache = verify(
             engine.params, jnp.asarray(chunk), jnp.asarray(positions), cache
         )
-        ps = np.asarray(ps)  # [B, C, V]
+        # acceptance runs on-device over the full distributions; only [B]
+        # counts/tokens come back (no [B, k, V] host ship through the relay)
+        a_dev, extra_dev = accept_fn(props, qs, ps, sub2)
+        a_np, extra_np = np.asarray(a_dev), np.asarray(extra_dev)
         steps += 1
 
         accept = np.zeros((B,), np.int32)
         for b in range(B):
             if done[b] or len(out[b]) >= gen.max_new_tokens:
                 continue
-            a, new_toks = _sampled_accept_row(rng, props[b], qs[b], ps[b], k)
+            a = int(a_np[b])
             accept[b] = a + 1
+            new_toks = [int(t) for t in props_np[b, :a]] + [int(extra_np[b])]
             if gen.eos_token_id is not None and gen.eos_token_id in new_toks:
                 new_toks = new_toks[: new_toks.index(gen.eos_token_id) + 1]
                 done[b] = True

@@ -95,6 +95,15 @@ class Seq2SeqEngine:
         T5 vocab) truncates per-row in post-processing; the fused scan always
         runs ``max_new_tokens`` steps (static shapes)."""
         cfg = self.cfg
+        if gen.num_beams > 1:
+            raise ValueError("use generate_beam() for num_beams > 1")
+        from lia_tpu.engine.engine import _needs_processors
+
+        if _needs_processors(gen):
+            raise NotImplementedError(
+                "repetition_penalty/min_new_tokens are not wired into the "
+                "seq2seq engine"
+            )
         tokens, mask = pack_encoder_inputs(prompts, cfg.pad_token_id)
         B = tokens.shape[0]
         T_new = gen.max_new_tokens

@@ -29,6 +29,20 @@ from lia_tpu.ops import sampling
 from lia_tpu.utils.metrics import LatencyStats
 
 
+def _reject_unsupported(gen: GenerationConfig) -> None:
+    """The VLM engines sample from raw model distributions; raise instead of
+    silently dropping beam/processor requests (parity with InferenceEngine's
+    explicit num_beams guard)."""
+    from lia_tpu.engine.engine import _needs_processors
+
+    if gen.num_beams > 1:
+        raise NotImplementedError("beam search is not wired into the VLM engines")
+    if _needs_processors(gen):
+        raise NotImplementedError(
+            "repetition_penalty/min_new_tokens are not wired into the VLM engines"
+        )
+
+
 class GitEngine:
     """Image captioning / prompted VQA over GIT.
 
@@ -51,21 +65,25 @@ class GitEngine:
             img = G.image_prefix(cfg, params, pixels)
             S_img = img.shape[1]
             logits, kc, vc = G.prefill(cfg, params, img, tokens, text_mask, cache_len)
+            key = jax.random.PRNGKey(seed)
+            key, sub = jax.random.split(key)
+            t0 = sampling.sample(logits, sub, gen).astype(jnp.int32)
 
             def body(carry, i):
                 tok, kc, vc, key = carry
-                key, sub = jax.random.split(key)
-                nxt = sampling.sample(tok, sub, gen)[:, None].astype(jnp.int32)
                 logits, kc, vc = G.decode_step(
-                    cfg, params, nxt, S_txt + i, S_img + S_txt + i, kc, vc
+                    cfg, params, tok[:, None], S_txt + i, S_img + S_txt + i, kc, vc
                 )
-                return (logits, kc, vc, key), nxt[:, 0]
+                key, sub = jax.random.split(key)
+                nxt = sampling.sample(logits, sub, gen).astype(jnp.int32)
+                return (nxt, kc, vc, key), nxt
 
-            key = jax.random.PRNGKey(seed)
-            (last, _, _, _), toks = jax.lax.scan(
-                body, (logits, kc, vc, key), jnp.arange(T_new, dtype=jnp.int32)
+            # step i feeds token i and emits token i+1: T_new-1 forwards after
+            # the prefill-sampled first token — no discarded final forward
+            (_, _, _, _), rest = jax.lax.scan(
+                body, (t0, kc, vc, key), jnp.arange(T_new - 1, dtype=jnp.int32)
             )
-            return toks.T  # [B, T_new]
+            return jnp.concatenate([t0[None, :], rest], axis=0).T  # [B, T_new]
 
         return jax.jit(run)
 
@@ -77,6 +95,7 @@ class GitEngine:
         seed: int = 0,
     ) -> GenerationResult:
         cfg = self.cfg
+        _reject_unsupported(gen)
         B = pixels.shape[0]
         if prompts is None:
             prompts = [[101]] * B  # BOS (BERT [CLS])
@@ -157,20 +176,24 @@ class LlavaEngine:
         cfg = self.cfg
 
         def run(params, logits0, cache, positions0, seed):
-            def body(carry, i):
-                logits, cache, key = carry
-                key, sub = jax.random.split(key)
-                nxt = sampling.sample(logits, sub, gen)[:, None].astype(jnp.int32)
-                logits, cache = T.decode_step(
-                    cfg, params, nxt, positions0 + i, cache
-                )
-                return (logits, cache, key), nxt[:, 0]
-
             key = jax.random.PRNGKey(seed)
-            (_, _, _), toks = jax.lax.scan(
-                body, (logits0, cache, key), jnp.arange(T_new, dtype=jnp.int32)
+            key, sub = jax.random.split(key)
+            t0 = sampling.sample(logits0, sub, gen).astype(jnp.int32)
+
+            def body(carry, i):
+                tok, cache, key = carry
+                logits, cache = T.decode_step(
+                    cfg, params, tok[:, None], positions0 + i, cache
+                )
+                key, sub = jax.random.split(key)
+                nxt = sampling.sample(logits, sub, gen).astype(jnp.int32)
+                return (nxt, cache, key), nxt
+
+            # T_new-1 forwards after the prefill-sampled first token
+            (_, _, _), rest = jax.lax.scan(
+                body, (t0, cache, key), jnp.arange(T_new - 1, dtype=jnp.int32)
             )
-            return toks.T
+            return jnp.concatenate([t0[None, :], rest], axis=0).T
 
         return jax.jit(run)
 
@@ -182,6 +205,7 @@ class LlavaEngine:
         seed: int = 0,
     ) -> GenerationResult:
         cfg = self.cfg
+        _reject_unsupported(gen)
         expanded = [self._expand(p) for p in prompts]
         B = len(expanded)
         S = bucket_length(max(len(p) for p in expanded))
@@ -202,7 +226,10 @@ class LlavaEngine:
         bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
         embeds = embeds.at[bidx, jnp.asarray(img_pos)].set(feats)
 
-        cache = kvc.init_cache(cfg, B, S + gen.max_new_tokens, jnp.dtype(cfg.dtype))
+        # rounded to 128 keeps the Pallas decode kernel's K tiles aligned
+        # (same rule as InferenceEngine.generate's max_len)
+        max_len = -(-(S + gen.max_new_tokens) // 128) * 128
+        cache = kvc.init_cache(cfg, B, max_len, jnp.dtype(cfg.dtype))
         logits, cache = self._prefill(self.params, embeds, jnp.asarray(mask), cache)
         positions0 = jnp.asarray(mask.sum(1).astype(np.int32))[:, None]  # [B, 1]
 

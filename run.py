@@ -187,6 +187,25 @@ def _static_int8_flow(cfg, params, alpha_arg, args):
     return params
 
 
+def _bench_loop(run, args, model_name) -> int:
+    """Shared warmup/iter timing + one-line JSON summary (seq2seq/VLM paths)."""
+    summary = {}
+    for it in range(args.num_warmup + args.num_iter):
+        t0 = time.perf_counter()
+        res = run()
+        dt = time.perf_counter() - t0
+        tag = "warmup" if it < args.num_warmup else "iter"
+        print(f"[{tag} {it}] {dt:.3f}s  ({res.sequences.size / dt:.1f} tok/s)")
+        if it >= args.num_warmup:
+            summary = {
+                "model": model_name,
+                "total_latency_s": round(dt, 6),
+                "total_tokens_per_s": round(res.sequences.size / dt, 2),
+            }
+    print(json.dumps(summary))
+    return 0
+
+
 def _maybe_woq(cfg, params, args):
     """Weight-only quantization for the seq2seq/VLM paths (reference
     run_quantization.py covers t5/git/llava with the same WOQ flow; language
@@ -223,21 +242,7 @@ def _run_seq2seq(cfg, args, gen) -> int:
         for _ in range(args.batch_size)
     ]
     gen = gen.replace(eos_token_id=1, pad_token_id=cfg.pad_token_id)
-    summary = {}
-    for it in range(args.num_warmup + args.num_iter):
-        t0 = time.perf_counter()
-        res = engine.generate(prompts, gen)
-        dt = time.perf_counter() - t0
-        tag = "warmup" if it < args.num_warmup else "iter"
-        print(f"[{tag} {it}] {dt:.3f}s  ({res.sequences.size / dt:.1f} tok/s)")
-        if it >= args.num_warmup:
-            summary = {
-                "model": cfg.name,
-                "total_latency_s": round(dt, 6),
-                "total_tokens_per_s": round(res.sequences.size / dt, 2),
-            }
-    print(json.dumps(summary))
-    return 0
+    return _bench_loop(lambda: engine.generate(prompts, gen), args, cfg.name)
 
 
 def _run_vlm(cfg, args, gen) -> int:
@@ -267,21 +272,7 @@ def _run_vlm(cfg, args, gen) -> int:
             for _ in range(args.batch_size)
         ]
         run = lambda: engine.generate(pixels, prompts, gen)
-    summary = {}
-    for it in range(args.num_warmup + args.num_iter):
-        t0 = time.perf_counter()
-        res = run()
-        dt = time.perf_counter() - t0
-        tag = "warmup" if it < args.num_warmup else "iter"
-        print(f"[{tag} {it}] {dt:.3f}s  ({res.sequences.size / dt:.1f} tok/s)")
-        if it >= args.num_warmup:
-            summary = {
-                "model": cfg.name,
-                "total_latency_s": round(dt, 6),
-                "total_tokens_per_s": round(res.sequences.size / dt, 2),
-            }
-    print(json.dumps(summary))
-    return 0
+    return _bench_loop(run, args, cfg.name)
 
 
 def main(argv=None) -> int:
