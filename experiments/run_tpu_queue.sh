@@ -17,4 +17,5 @@ TO=${TO1:-2400} run w4a8 python experiments/bench_w4a8.py
 TO=${TO2:-3300} run northstar bash scripts/northstar.sh
 TO=${TO3:-3300} run overlap python experiments/bench_overlap_ab.py
 TO=${TO4:-1200} run bench python bench.py
+TO=${TO5:-1800} run serving python experiments/bench_serving.py
 echo "=== queue done ==="
