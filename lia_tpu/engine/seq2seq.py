@@ -52,14 +52,37 @@ def pack_encoder_inputs(
 class Seq2SeqEngine:
     """Owns device parameters and the compiled encode/decode functions."""
 
-    def __init__(self, cfg: ModelConfig, params_host: Any):
+    def __init__(self, cfg: ModelConfig, params_host: Any, mesh=None):
+        """``mesh``: optional jax Mesh — weights TP-shard over the "model" axis
+        (the reference's deepspeed AutoTP runner covers t5,
+        distributed/run_generation_with_deepspeed.py:50); GSPMD derives the
+        post-wo/post-w2 psums from the row-sharded weights."""
         assert cfg.encoder_decoder, "Seq2SeqEngine requires an encoder-decoder config"
         self.cfg = cfg
-        self.params = jax.device_put(params_host)
+        self.mesh = mesh
+        if mesh is not None:
+            from lia_tpu.parallel.sharding import shard_params
+
+            self.params = shard_params(cfg, params_host, mesh)
+        else:
+            self.params = jax.device_put(params_host)
         self._encode = jax.jit(partial(M.encode, cfg))
         self._cross_kv = jax.jit(partial(M.cross_kv, cfg))
         self._step = jax.jit(partial(M.decode_step, cfg))
         self._fused = {}
+
+    def _self_cache(self, B: int, T: int):
+        """Zero-init decoder self-cache [L, B, N, T, D], mesh-sharded if TP."""
+        cfg = self.cfg
+        sk = jnp.zeros(
+            (cfg.num_layers, B, cfg.num_heads, T, cfg.head_dim), jnp.dtype(cfg.dtype)
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ns = NamedSharding(self.mesh, P(None, None, "model", None, None))
+            sk = jax.device_put(sk, ns)
+        return sk, sk
 
     # -- fused on-device generation loop --------------------------------
     def _fused_loop(self, T_new: int, gen: GenerationConfig):
@@ -113,10 +136,7 @@ class Seq2SeqEngine:
         enc_out = self._encode(self.params, jnp.asarray(tokens), jnp.asarray(mask))
         ck, cv = self._cross_kv(self.params, enc_out)
 
-        L, N, D = cfg.num_layers, cfg.num_heads, cfg.head_dim
-        dt = jnp.dtype(cfg.dtype)
-        sk = jnp.zeros((L, B, N, T_new, D), dt)
-        sv = jnp.zeros((L, B, N, T_new, D), dt)
+        sk, sv = self._self_cache(B, T_new)
         start = jnp.full((B, 1), cfg.pad_token_id, jnp.int32)  # decoder_start_token
 
         key = (B, T_new, gen.do_sample, gen.temperature, gen.top_k, gen.top_p)
@@ -211,10 +231,7 @@ class Seq2SeqEngine:
         cv = jnp.repeat(cv, nb, axis=1)
         enc_mask = jnp.repeat(jnp.asarray(mask), nb, axis=0)
 
-        L, N, D = cfg.num_layers, cfg.num_heads, cfg.head_dim
-        dt = jnp.dtype(cfg.dtype)
-        sk = jnp.zeros((L, B * nb, N, T_new, D), dt)
-        sv = jnp.zeros((L, B * nb, N, T_new, D), dt)
+        sk, sv = self._self_cache(B * nb, T_new)
 
         key = ("beam", B, nb, T_new, gen.do_sample, gen.temperature,
                gen.eos_token_id, gen.pad_token_id)
@@ -251,10 +268,7 @@ class Seq2SeqEngine:
             dec_in[b, 1 : len(c)] = c[:-1]
             tgt[b, : len(c)] = c
 
-        L, N, D = cfg.num_layers, cfg.num_heads, cfg.head_dim
-        dt = jnp.dtype(cfg.dtype)
-        sk = jnp.zeros((L, B, N, T, D), dt)
-        sv = jnp.zeros((L, B, N, T, D), dt)
+        sk, sv = self._self_cache(B, T)
         logl = np.zeros((B,), np.float64)
         greedy_ok = np.ones((B,), bool)
         for t in range(T):

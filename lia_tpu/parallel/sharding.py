@@ -103,6 +103,39 @@ def param_pspecs(
     def norm_spec(n: Dict[str, Any]) -> Dict[str, Any]:
         return {k: P(None, None) for k in n}
 
+    if "enc" in params and "dec" in params:  # t5 encoder-decoder tree
+        # (the reference's deepspeed AutoTP runner covers t5 —
+        # distributed/run_generation_with_deepspeed.py:50)
+        def t5_stack(layers: Dict[str, Any]) -> Dict[str, Any]:
+            s = {
+                "ln1": norm_spec(layers["ln1"]),
+                "attn": attn_spec(layers["attn"]),
+                "ln2": norm_spec(layers["ln2"]),
+                "mlp": mlp_spec(layers["mlp"]),
+            }
+            if "cross" in layers:
+                s["cross"] = attn_spec(layers["cross"])
+                s["ln3"] = norm_spec(layers["ln3"])
+            return s
+
+        def t5_side(side: Dict[str, Any]) -> Dict[str, Any]:
+            return {
+                "layers": t5_stack(side["layers"]),
+                "final_norm": {k: P(None) for k in side["final_norm"]},
+                # bias table [num_buckets, N] — heads ride the model axis like
+                # the attention activations they add onto
+                "rel_bias": P(None, M),
+            }
+
+        specs = {
+            "embed_tokens": P(M, None),
+            "enc": t5_side(params["enc"]),
+            "dec": t5_side(params["dec"]),
+        }
+        if "lm_head" in params:
+            specs["lm_head"] = wspec(params["lm_head"], P(None, M))
+        return specs
+
     specs: Dict[str, Any] = {
         "embed_tokens": P(M, None),
         "layers": {

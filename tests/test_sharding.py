@@ -335,3 +335,26 @@ def test_tp_new_families_match_single_device(model):
     d_logits, _ = jax.jit(partial(T.decode_step, cfg))(params, tok, pos, cache)
     r_logits, _ = jax.jit(partial(T.decode_step, cfg))(p1, tok, pos, ref_cache)
     np.testing.assert_allclose(np.asarray(d_logits), np.asarray(r_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_t5_tp_matches_single_device():
+    """T5 encoder-decoder TP (the reference's AutoTP runner covers t5):
+    greedy output on a (1, 2) mesh must bit-match single-device."""
+    from lia_tpu.config import GenerationConfig
+    from lia_tpu.engine.seq2seq import Seq2SeqEngine
+    from lia_tpu.models.registry import get_config
+
+    cfg = get_config("flan-t5-tiny").replace(dtype="float32", vocab_size=504)
+    params = init_dummy_params(cfg, seed=9, scale=0.05)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    gen = GenerationConfig(max_new_tokens=6)
+
+    ref = Seq2SeqEngine(cfg, params).generate(prompts, gen).sequences
+    mesh = make_mesh((1, 2))
+    got = Seq2SeqEngine(cfg, params, mesh=mesh).generate(prompts, gen).sequences
+    np.testing.assert_array_equal(got, ref)
+
+    # scoring parity on the same mesh
+    a = Seq2SeqEngine(cfg, params).loglikelihood(prompts, [[3, 4], [5]])
+    b = Seq2SeqEngine(cfg, params, mesh=mesh).loglikelihood(prompts, [[3, 4], [5]])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
