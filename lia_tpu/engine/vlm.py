@@ -29,6 +29,18 @@ from lia_tpu.ops import sampling
 from lia_tpu.utils.metrics import LatencyStats
 
 
+def _place(cfg: ModelConfig, params_host: Any, mesh):
+    """Device placement: TP-shard the text decoder over the mesh's "model"
+    axis (vision tower/projector replicate — sharding.param_pspecs) or plain
+    single-device put. Reference analog: the deepspeed AutoTP runner lists
+    git and llava (distributed/run_generation_with_deepspeed.py:50-66)."""
+    if mesh is None:
+        return jax.device_put(params_host)
+    from lia_tpu.parallel.sharding import shard_params
+
+    return shard_params(cfg, params_host, mesh)
+
+
 def _reject_unsupported(gen: GenerationConfig) -> None:
     """The VLM engines sample from raw model distributions; raise instead of
     silently dropping beam/processor requests (parity with InferenceEngine's
@@ -51,10 +63,11 @@ class GitEngine:
     cache slot, matching the aligned-batch convention of the main engine.
     """
 
-    def __init__(self, cfg: ModelConfig, params_host: Any):
+    def __init__(self, cfg: ModelConfig, params_host: Any, mesh=None):
         assert cfg.family == "git"
         self.cfg = cfg
-        self.params = jax.device_put(params_host)
+        self.mesh = mesh
+        self.params = _place(cfg, params_host, mesh)
         self._image_prefix = jax.jit(lambda p, px: G.image_prefix(cfg, p, px))
         self._fused = {}
 
@@ -133,10 +146,11 @@ class LlavaEngine:
     expands it to ``num_patches`` slots (HF processors pre-expand — we accept
     the compact single-token form and both pre-expanded forms)."""
 
-    def __init__(self, cfg: ModelConfig, params_host: Any):
+    def __init__(self, cfg: ModelConfig, params_host: Any, mesh=None):
         assert cfg.family == "llava"
         self.cfg = cfg
-        self.params = jax.device_put(params_host)
+        self.mesh = mesh
+        self.params = _place(cfg, params_host, mesh)
         self._features = jax.jit(self._image_features)
         self._prefill = jax.jit(lambda p, x, m, c: T.prefill_embeds(cfg, p, x, m, c))
         self._fused = {}

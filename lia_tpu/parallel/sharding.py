@@ -156,6 +156,18 @@ def param_pspecs(
         specs["final_norm"] = {k: P(None) for k in params["final_norm"]}
     if "lm_head" in params:
         specs["lm_head"] = wspec(params["lm_head"], P(None, M))  # vocab split
+    # --- vision-language extras (git / llava; reference deepspeed runner
+    # covers both — distributed/run_generation_with_deepspeed.py:50-66). The
+    # vision tower and projector replicate (one-time prefix cost, tiny vs the
+    # LM); the text decoder shards like any decoder-only tree above.
+    if "embed_ln" in params:  # git
+        specs["embed_ln"] = {k: P(None) for k in params["embed_ln"]}
+    if "output" in params:  # git head: [H, V] vocab split + split bias
+        specs["output"] = {"w": wspec(params["output"]["w"], P(None, M)), "b": P(M)}
+    if "vision" in params:
+        specs["vision"] = jax.tree.map(lambda _: P(), params["vision"])
+    if "proj" in params:
+        specs["proj"] = jax.tree.map(lambda _: P(), params["proj"])
     return specs
 
 

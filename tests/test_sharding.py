@@ -358,3 +358,31 @@ def test_t5_tp_matches_single_device():
     a = Seq2SeqEngine(cfg, params).loglikelihood(prompts, [[3, 4], [5]])
     b = Seq2SeqEngine(cfg, params, mesh=mesh).loglikelihood(prompts, [[3, 4], [5]])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_vlm_tp_matches_single_device():
+    """GIT and LLaVA TP: text decoder sharded, vision tower replicated —
+    greedy captions on a (1, 2) mesh bit-match single-device."""
+    from lia_tpu.config import GenerationConfig
+    from lia_tpu.engine.vlm import GitEngine, LlavaEngine
+    from lia_tpu.models.registry import get_config
+
+    mesh = make_mesh((1, 2))
+    gen = GenerationConfig(max_new_tokens=5)
+
+    cfg = get_config("git-tiny").replace(dtype="float32", vocab_size=504)
+    params = init_dummy_params(cfg, seed=11, scale=0.05)
+    px = np.random.default_rng(3).standard_normal(
+        (2, 3, cfg.vision_image_size, cfg.vision_image_size), np.float32)
+    ref = GitEngine(cfg, params).generate(px, gen).sequences
+    got = GitEngine(cfg, params, mesh=mesh).generate(px, gen).sequences
+    np.testing.assert_array_equal(got, ref)
+
+    cfg = get_config("llava-tiny").replace(dtype="float32", vocab_size=504)
+    params = init_dummy_params(cfg, seed=12, scale=0.05)
+    px = np.random.default_rng(4).standard_normal(
+        (2, 3, cfg.vision_image_size, cfg.vision_image_size), np.float32)
+    prompts = [[1, cfg.image_token_id, 7, 8], [2, 9, cfg.image_token_id]]
+    ref = LlavaEngine(cfg, params).generate(px, prompts, gen).sequences
+    got = LlavaEngine(cfg, params, mesh=mesh).generate(px, prompts, gen).sequences
+    np.testing.assert_array_equal(got, ref)
