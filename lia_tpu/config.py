@@ -219,6 +219,7 @@ class GenerationConfig:
     num_beams: int = 1
     repetition_penalty: float = 1.0  # HF RepetitionPenaltyLogitsProcessor
     min_new_tokens: int = 0  # suppress EOS until this many tokens are out
+    no_repeat_ngram_size: int = 0  # HF NoRepeatNGramLogitsProcessor (0 = off)
     eos_token_id: Optional[int] = None  # None => never stop early
     pad_token_id: int = 1  # OPT's pad token
     token_latency: bool = True  # per-token wall-clock list (greedy_search.py:424)

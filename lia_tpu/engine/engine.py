@@ -36,10 +36,13 @@ from lia_tpu.utils.metrics import LatencyStats
 
 
 def _needs_processors(gen: GenerationConfig) -> bool:
-    """True when per-step logits processors (repetition penalty / min-new-tokens)
-    must run — gates the [B, V] seen-mask bookkeeping off the default path."""
-    return gen.repetition_penalty != 1.0 or (
-        gen.min_new_tokens > 0 and gen.eos_token_id is not None
+    """True when per-step logits processors (repetition penalty / min-new-tokens
+    / no-repeat-ngram) must run — gates the [B, V] seen-mask and [B, L] history
+    bookkeeping off the default path."""
+    return (
+        gen.repetition_penalty != 1.0
+        or (gen.min_new_tokens > 0 and gen.eos_token_id is not None)
+        or gen.no_repeat_ngram_size > 0
     )
 
 
@@ -144,15 +147,22 @@ class InferenceEngine:
             eos = gen.eos_token_id
             proc = _needs_processors(gen)
 
-            def fused(params, tok0, pos0, cache, rng, finished0, seen0):
+            def fused(params, tok0, pos0, cache, rng, finished0, seen0, hist0):
+                # hist0 [B, S + num_steps + 1] with the prompt + first token
+                # written; S recovered statically from the buffer shape
+                S_prompt = hist0.shape[1] - num_steps - 1
+
                 def step(carry, i):
-                    tok, pos, cache, rng, finished, seen = carry
+                    tok, pos, cache, rng, finished, seen, hist = carry
                     logits, cache = T.decode_step(
                         cfg, params, tok[:, None], pos[:, None], cache
                     )
                     if proc:
                         # the scan emits tokens 2..N: at step i, i+1 are out
-                        logits = sampling.process_logits(logits, gen, seen, i + 1)
+                        logits = sampling.process_logits(
+                            logits, gen, seen, i + 1,
+                            history=hist, cur_len=S_prompt + i + 1,
+                        )
                     rng, sub = jax.random.split(rng)
                     nxt = sampling.sample(logits, sub, gen)
                     if eos is not None:
@@ -160,10 +170,13 @@ class InferenceEngine:
                         finished = finished | (nxt == eos)
                     if proc:
                         seen = sampling.update_seen(seen, nxt)
-                    return (nxt, pos + 1, cache, rng, finished, seen), nxt
+                        hist = jax.lax.dynamic_update_slice(
+                            hist, nxt[:, None], (0, S_prompt + i + 1)
+                        )
+                    return (nxt, pos + 1, cache, rng, finished, seen, hist), nxt
 
                 carry, toks = jax.lax.scan(
-                    step, (tok0, pos0, cache, rng, finished0, seen0),
+                    step, (tok0, pos0, cache, rng, finished0, seen0, hist0),
                     jnp.arange(num_steps, dtype=jnp.int32),
                 )
                 return toks.T, carry[2]  # [B, num_steps], cache
@@ -218,12 +231,20 @@ class InferenceEngine:
             sampling.seen_from_prompt(jnp.asarray(tokens), jnp.asarray(mask), cfg.vocab_size)
             if proc else jnp.zeros((B, 1), jnp.bool_)  # placeholder (static jit sig)
         )
+        # token-id history (no-repeat-ngram state): prompt slots + one per new token
+        hist = (
+            jnp.concatenate(
+                [jnp.asarray(tokens),
+                 jnp.full((B, gen.max_new_tokens), gen.pad_token_id, jnp.int32)], axis=1
+            ) if proc else jnp.zeros((B, 1), jnp.int32)
+        )
         if proc:
-            logits = sampling.process_logits(logits, gen, seen, 0)
+            logits = sampling.process_logits(logits, gen, seen, 0, history=hist, cur_len=S)
         rng, sub = jax.random.split(rng)
         first = sampling.sample(logits, sub, gen)
         if proc:
             seen = sampling.update_seen(seen, first)
+            hist = hist.at[:, S].set(first)
         first.block_until_ready()
         lat.record(time.perf_counter() - t0)
         if on_token is not None:
@@ -239,7 +260,7 @@ class InferenceEngine:
         if fused:
             fd = self._get_fused_decode(gen, gen.max_new_tokens - 1)
             t0 = time.perf_counter()
-            rest, cache = fd(self.params, first, positions, cache, rng, finished, seen)
+            rest, cache = fd(self.params, first, positions, cache, rng, finished, seen, hist)
             rest = np.asarray(rest)
             dt = time.perf_counter() - t0
             for _ in range(gen.max_new_tokens - 1):
@@ -254,11 +275,14 @@ class InferenceEngine:
             t0 = time.perf_counter()
             logits, cache = decode(self.params, tok[:, None], positions[:, None], cache)
             if proc:
-                logits = sampling.process_logits(logits, gen, seen, i + 1)
+                logits = sampling.process_logits(
+                    logits, gen, seen, i + 1, history=hist, cur_len=S + i + 1
+                )
             rng, sub = jax.random.split(rng)
             tok = sampling.sample(logits, sub, gen)
             if proc:
                 seen = sampling.update_seen(seen, tok)
+                hist = hist.at[:, S + i + 1].set(tok)
             if gen.eos_token_id is not None:
                 tok = jnp.where(finished, gen.pad_token_id, tok)
                 finished = finished | (tok == gen.eos_token_id)

@@ -59,15 +59,48 @@ def update_seen(seen: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
     return seen.at[jnp.arange(seen.shape[0]), tok].set(True)
 
 
+def ban_repeated_ngrams(
+    logits: jnp.ndarray,  # [B, V]
+    history: jnp.ndarray,  # [B, L] token ids so far (prompt + generated)
+    cur_len,  # scalar int32 — number of VALID columns in history
+    n: int,  # ngram size (static)
+) -> jnp.ndarray:
+    """HF NoRepeatNGramLogitsProcessor in jnp: ban any token that would
+    complete an n-gram already present in ``history[:, :cur_len]``.
+
+    Static shapes / traced ``cur_len``, so it runs inside the fused decode
+    scan. Matches HF exactly when ``history`` equals HF's input_ids (pads
+    included — HF scans the raw ids)."""
+    B, L = history.shape
+    if L < n:
+        return logits
+    W = L - n + 1
+    # sliding (n-1)-token windows: [B, W, n-1]
+    windows = jnp.stack([history[:, i : W + i] for i in range(n - 1)], axis=-1)
+    tail = jax.lax.dynamic_slice(
+        history, (0, cur_len - (n - 1)), (B, n - 1)
+    )  # last n-1 tokens
+    starts = jnp.arange(W, dtype=jnp.int32)
+    valid = starts + n - 1 < cur_len  # the window's completing token must exist
+    match = jnp.all(windows == tail[:, None, :], axis=-1) & valid[None, :]
+    banned = history[:, starts + n - 1]  # [B, W]
+    fill = jnp.where(match, NEG_INF, jnp.inf).astype(jnp.float32)
+    mask = jnp.full(logits.shape, jnp.inf, jnp.float32)
+    mask = mask.at[jnp.arange(B)[:, None], banned].min(fill)
+    return jnp.where(mask <= NEG_INF, NEG_INF, logits)
+
+
 def process_logits(
     logits: jnp.ndarray,  # [B, V]
     gen: GenerationConfig,
     seen: jnp.ndarray | None = None,  # [B, V] bool token-presence
     n_generated=None,  # scalar — tokens already emitted this generation
+    history: jnp.ndarray | None = None,  # [B, L] ids (no_repeat_ngram state)
+    cur_len=None,  # scalar — valid columns in history
 ) -> jnp.ndarray:
     """Pre-warp logits processors (HF generate parity: the reference's patched
-    modes run the standard LogitsProcessorList — repetition penalty and
-    min-new-tokens EOS suppression are the two the LLM examples exercise)."""
+    modes run the standard LogitsProcessorList — repetition penalty,
+    min-new-tokens EOS suppression, and no-repeat-ngram)."""
     if gen.repetition_penalty != 1.0 and seen is not None:
         x = logits.astype(jnp.float32)
         pen = jnp.where(x > 0, x / gen.repetition_penalty, x * gen.repetition_penalty)
@@ -77,6 +110,8 @@ def process_logits(
         logits = jnp.where(
             eos_col & (n_generated < gen.min_new_tokens), NEG_INF, logits
         )
+    if gen.no_repeat_ngram_size > 0 and history is not None and cur_len is not None:
+        logits = ban_repeated_ngrams(logits, history, cur_len, gen.no_repeat_ngram_size)
     return logits
 
 

@@ -776,12 +776,20 @@ class StreamingScheduler:
             )
             if proc else None
         )
+        hist = (
+            jnp.concatenate(
+                [jnp.asarray(tokens),
+                 jnp.full((B, gen.max_new_tokens), gen.pad_token_id, jnp.int32)],
+                axis=1,
+            ) if proc else None
+        )
         if proc:
-            logits = sampling.process_logits(logits, gen, seen, 0)
+            logits = sampling.process_logits(logits, gen, seen, 0, history=hist, cur_len=S)
         rng, sub = jax.random.split(rng)
         tok = sampling.sample(logits, sub, gen)
         if proc:
             seen = sampling.update_seen(seen, tok)
+            hist = hist.at[:, S].set(tok)
         tok.block_until_ready()
         lat.record(time.perf_counter() - t0)
 
@@ -797,11 +805,14 @@ class StreamingScheduler:
             t0 = time.perf_counter()
             logits, state = self.decode_pass(tok, pos, state)
             if proc:
-                logits = sampling.process_logits(logits, gen, seen, i + 1)
+                logits = sampling.process_logits(
+                    logits, gen, seen, i + 1, history=hist, cur_len=S + i + 1
+                )
             rng, sub = jax.random.split(rng)
             tok = sampling.sample(logits, sub, gen)
             if proc:
                 seen = sampling.update_seen(seen, tok)
+                hist = hist.at[:, S + i + 1].set(tok)
             if gen.eos_token_id is not None:
                 tok = jnp.where(finished, gen.pad_token_id, tok)
                 finished = finished | (tok == gen.eos_token_id)

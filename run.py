@@ -61,6 +61,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--repetition-penalty", type=float, default=1.0)
     p.add_argument("--min-new-tokens", type=int, default=0,
                    help="suppress EOS until this many tokens are generated")
+    p.add_argument("--no-repeat-ngram-size", type=int, default=0)
     p.add_argument("--fused-decode", action="store_true", help="on-device lax.scan decode loop")
     p.add_argument("--token-latency", action="store_true", default=True)
     # --- LIA policy knobs (reference run.py:196-215); 'auto' = cost-model pick ---
@@ -316,6 +317,7 @@ def main(argv=None) -> int:
         top_p=args.top_p,
         repetition_penalty=args.repetition_penalty,
         min_new_tokens=args.min_new_tokens,
+        no_repeat_ngram_size=args.no_repeat_ngram_size,
     )
 
     if cfg.encoder_decoder:

@@ -108,3 +108,60 @@ def test_engine_repetition_penalty_paths_agree():
     )
     c = sched.generate(prompts, gen).sequences
     np.testing.assert_array_equal(a, c[:, : a.shape[1]])
+
+
+def test_no_repeat_ngram_matches_hf():
+    torch = pytest.importorskip("torch")
+    from transformers import NoRepeatNGramLogitsProcessor
+
+    from lia_tpu.config import GenerationConfig
+    from lia_tpu.ops.sampling import ban_repeated_ngrams
+
+    rng = np.random.default_rng(5)
+    B, L, V, n = 3, 12, 31, 3
+    # histories with forced repeats so bans actually trigger
+    hist = rng.integers(0, 6, (B, L)).astype(np.int64)
+    logits = rng.standard_normal((B, V)).astype(np.float32)
+
+    hf = NoRepeatNGramLogitsProcessor(ngram_size=n)
+    want = hf(torch.tensor(hist), torch.tensor(logits.copy())).numpy()
+
+    got = np.asarray(
+        ban_repeated_ngrams(jnp.asarray(logits), jnp.asarray(hist.astype(np.int32)),
+                            jnp.int32(L), n)
+    )
+    # HF sets banned logits to -inf; we use a large negative — compare the BAN
+    # PATTERN and unbanned values
+    np.testing.assert_array_equal(np.isinf(want) & (want < 0), got <= -1e29)
+    keep = ~(np.isinf(want) & (want < 0))
+    np.testing.assert_allclose(got[keep], want[keep], rtol=1e-6)
+
+
+def test_engine_no_repeat_ngram_paths_agree():
+    """Greedy with no_repeat_ngram: fused == stepwise == scheduler; and the
+    2-gram ban prevents any repeated bigram in the output."""
+    from lia_tpu.config import GenerationConfig, RuntimeConfig
+    from lia_tpu.engine.engine import InferenceEngine
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=3, scale=0.12)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    gen = GenerationConfig(max_new_tokens=10, no_repeat_ngram_size=2)
+    eng = InferenceEngine(cfg, params)
+    a = eng.generate(prompts, gen).sequences
+    b = eng.generate(prompts, gen, fused=True).sequences
+    np.testing.assert_array_equal(a, b)
+    sched = InferenceEngine(
+        cfg, params, RuntimeConfig(hbm_percentage=50, prefill_policy=0, decode_policy=0)
+    )
+    c = sched.generate(prompts, gen).sequences
+    np.testing.assert_array_equal(a, c)
+
+    # a tiny random model greedy-decodes into a cycle; the 2-gram ban must
+    # break it: no bigram may repeat across prompt+output
+    for b_i in range(2):
+        seq = prompts[b_i] + [int(t) for t in a[b_i]]
+        bigrams = list(zip(seq, seq[1:]))
+        assert len(bigrams) == len(set(bigrams))
