@@ -143,3 +143,19 @@ def test_sampled_draft_identical_models_accepts_all(model):
     seqs, steps = eng.generate_speculative_draft(draft, prompts, gen, k=k, seed=3)
     assert steps == -(-gen.max_new_tokens // (k + 1))
     assert seqs.shape == (2, 12) and (seqs >= 0).all() and (seqs < cfg.vocab_size).all()
+
+
+def test_draft_speculative_quantized_target(model):
+    """Draft speculation with an int8-weight + int8-KV TARGET must bit-match
+    that target's own stepwise greedy (verify pass runs over the quantized
+    cache like chunked prefill)."""
+    cfg, params = model
+    qc = QuantConfig(weight_dtype="int8", group_size=-1, kv_cache_dtype="int8")
+    qp = quantize_params(cfg, params, QuantConfig(weight_dtype="int8", group_size=-1))
+    eng = InferenceEngine(cfg, qp, RuntimeConfig(quant=qc))
+    draft = InferenceEngine(cfg, init_dummy_params(cfg, seed=77, scale=0.12))
+    gen = GenerationConfig(max_new_tokens=6)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    ref = eng.generate(prompts, gen).sequences
+    seqs, steps = eng.generate_speculative_draft(draft, prompts, gen, k=3)
+    np.testing.assert_array_equal(seqs, np.asarray(ref))
