@@ -217,6 +217,10 @@ class GenerationConfig:
     top_k: int = 0
     top_p: float = 1.0
     num_beams: int = 1
+    length_penalty: float = 0.0  # beam final selection: score / len**lp.
+    # 0.0 (default) = raw cumulative scores; 1.0 = HF BeamSearchScorer's
+    # default length normalization (matters only when EOS finishes beams at
+    # different lengths).
     repetition_penalty: float = 1.0  # HF RepetitionPenaltyLogitsProcessor
     min_new_tokens: int = 0  # suppress EOS until this many tokens are out
     no_repeat_ngram_size: int = 0  # HF NoRepeatNGramLogitsProcessor (0 = off)

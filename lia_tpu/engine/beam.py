@@ -29,6 +29,27 @@ from lia_tpu.ops import kv_cache as kvc
 NEG_INF = -1e30
 
 
+def select_best(history: "np.ndarray", scores: "np.ndarray", gen: GenerationConfig):
+    """Final beam selection [B, nb, L] × [B, nb] → [B, L] sequences.
+
+    ``gen.length_penalty`` != 0 applies HF BeamSearchScorer's normalization
+    (score / len**lp, len = tokens through the first EOS) — rank-neutral when
+    every beam runs the full length."""
+    import numpy as np
+
+    B = scores.shape[0]
+    if gen.length_penalty != 0.0:
+        L = history.shape[-1]
+        if gen.eos_token_id is not None:
+            hits = history == gen.eos_token_id
+            lens = np.where(hits.any(-1), hits.argmax(-1) + 1, L)
+        else:
+            lens = np.full(scores.shape, L)
+        scores = scores / np.maximum(lens, 1) ** gen.length_penalty
+    best = scores.argmax(axis=1)
+    return history[np.arange(B), best]
+
+
 def init_beam_state(B: int, nb: int):
     scores = jnp.full((B, nb), NEG_INF, jnp.float32).at[:, 0].set(0.0)
     finished = jnp.zeros((B, nb), bool)

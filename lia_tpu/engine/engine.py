@@ -425,8 +425,7 @@ class InferenceEngine:
         dt = time.perf_counter() - t0
         for _ in range(gen.max_new_tokens - 1):
             lat.record(dt / max(gen.max_new_tokens - 1, 1))
-        best = final_scores.argmax(axis=1)
-        seqs = history[np.arange(B), best]
+        seqs = beam_mod.select_best(history, final_scores, gen)
         return GenerationResult(seqs, lat)
 
     def _generate_beam_scheduled(self, tokens, mask, gen, max_len, lat, seed):
@@ -474,8 +473,7 @@ class InferenceEngine:
 
         final_scores = np.asarray(scores)
         history = history.reshape(B, nb, -1)
-        best = final_scores.argmax(axis=1)
-        seqs = history[np.arange(B), best]
+        seqs = beam_mod.select_best(history, final_scores, gen)
         return GenerationResult(seqs, lat)
 
     # -- scoring (accuracy harness) -------------------------------------------

@@ -199,9 +199,7 @@ class Seq2SeqEngine:
                 step, (tok, sk, sv, scores, finished, history, key),
                 jnp.arange(1, T_new, dtype=jnp.int32),
             )
-            # top_k sorts descending → beam 0 of each group is the best
-            best = history.reshape(B, nb, T_new)[:, 0, :]
-            return best, scores[:, 0]
+            return history.reshape(B, nb, T_new), scores
 
         return jax.jit(run)
 
@@ -237,8 +235,10 @@ class Seq2SeqEngine:
                gen.eos_token_id, gen.pad_token_id)
         if key not in self._fused:
             self._fused[key] = self._beam_loop(T_new, gen, nb)
-        best, _scores = self._fused[key](self.params, enc_mask, ck, cv, sk, sv, seed)
-        out = np.asarray(best)
+        from lia_tpu.engine.beam import select_best
+
+        history, scores = self._fused[key](self.params, enc_mask, ck, cv, sk, sv, seed)
+        out = select_best(np.asarray(history), np.asarray(scores), gen)
         lat.record(time.perf_counter() - t0)
         if gen.eos_token_id is not None:
             for b in range(B):

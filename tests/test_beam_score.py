@@ -72,3 +72,22 @@ def test_beam_sample_deterministic_given_seed(eng):
     a = eng.generate_beam(prompts, gen, seed=7)
     b = eng.generate_beam(prompts, gen, seed=7)
     np.testing.assert_array_equal(a.sequences, b.sequences)
+
+
+def test_length_penalty_prefers_shorter_finished_beam():
+    """select_best with length_penalty normalizes score by tokens-through-EOS
+    (HF BeamSearchScorer): a short finished beam with a modest raw score must
+    beat a long beam once normalized."""
+    from lia_tpu.config import GenerationConfig
+    from lia_tpu.engine.beam import select_best
+
+    history = np.array([[[7, 2, 0, 0, 0],      # EOS(=2) at step 1 → len 2
+                         [8, 9, 10, 11, 12]]], np.int32)  # full length 5
+    scores = np.array([[-4.0, -6.0]], np.float32)
+    gen_raw = GenerationConfig(eos_token_id=2)  # lp=0 → raw: beam 0 wins anyway
+    np.testing.assert_array_equal(select_best(history, scores, gen_raw)[0], history[0, 0])
+
+    scores = np.array([[-4.0, -5.0]], np.float32)  # raw prefers beam 0 (-4)
+    gen_lp = GenerationConfig(eos_token_id=2, length_penalty=1.0)
+    # normalized: -4/2 = -2.0 vs -5/5 = -1.0 → beam 1 wins under lp=1
+    np.testing.assert_array_equal(select_best(history, scores, gen_lp)[0], history[0, 1])
