@@ -35,6 +35,12 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     output: List[int] = field(default_factory=list)
+    # per-request sampling params (vLLM SamplingParams analog); None → the
+    # engine's GenerationConfig defaults
+    do_sample: Optional[bool] = None
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
     submitted_at: float = field(default_factory=time.perf_counter)
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
@@ -157,6 +163,11 @@ class ContinuousBatcher:
                 self.cache = jax.device_put(self.cache, shardings)
         self.logical_pos = np.zeros(max_batch, np.int64)
         self.active = np.zeros(max_batch, bool)
+        # per-slot sampling params (engine defaults until a request lands)
+        self.s_temp = np.full(max_batch, gen.temperature, np.float32)
+        self.s_topk = np.full(max_batch, gen.top_k, np.int32)
+        self.s_topp = np.full(max_batch, gen.top_p, np.float32)
+        self.s_greedy = np.full(max_batch, not gen.do_sample, bool)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
         if prefill_chunk is not None and (self.sched is not None or mesh is not None or paged):
@@ -192,11 +203,54 @@ class ContinuousBatcher:
 
     # -- API ------------------------------------------------------------------
 
-    def submit(self, prompt: Sequence[int], max_new_tokens: Optional[int] = None) -> int:
+    def submit(
+        self,
+        prompt: Sequence[int],
+        max_new_tokens: Optional[int] = None,
+        do_sample: Optional[bool] = None,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+    ) -> int:
+        """Queue a request. Sampling kwargs override the engine's
+        GenerationConfig PER REQUEST (mixed greedy/sampled batches decode
+        together — :func:`lia_tpu.ops.sampling.sample_per_row`)."""
         rid = self._next_id
         self._next_id += 1
-        self.queue.append(Request(rid, list(prompt), max_new_tokens or self.gen.max_new_tokens))
+        self.queue.append(Request(
+            rid, list(prompt), max_new_tokens or self.gen.max_new_tokens,
+            do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p,
+        ))
         return rid
+
+    # -- per-slot sampling params ----------------------------------------
+
+    def _slot_sampling(self, slot: int, req: Request) -> None:
+        g = self.gen
+        ds = g.do_sample if req.do_sample is None else req.do_sample
+        self.s_greedy[slot] = not ds
+        self.s_temp[slot] = g.temperature if req.temperature is None else req.temperature
+        self.s_topk[slot] = g.top_k if req.top_k is None else req.top_k
+        self.s_topp[slot] = g.top_p if req.top_p is None else req.top_p
+
+    def _sample_rows(self, logits, sub):
+        return sampling.sample_per_row(
+            logits, sub,
+            jnp.asarray(self.s_temp), jnp.asarray(self.s_topk),
+            jnp.asarray(self.s_topp), jnp.asarray(self.s_greedy),
+        )
+
+    def _sample_one(self, logits, sub, req: Request) -> int:
+        g = self.gen
+        ds = g.do_sample if req.do_sample is None else req.do_sample
+        return int(sampling.sample_per_row(
+            logits, sub,
+            jnp.asarray([g.temperature if req.temperature is None else req.temperature],
+                        jnp.float32),
+            jnp.asarray([g.top_k if req.top_k is None else req.top_k], jnp.int32),
+            jnp.asarray([g.top_p if req.top_p is None else req.top_p], jnp.float32),
+            jnp.asarray([not ds]),
+        )[0])
 
     def _chunk_fn(self, C: int):
         key = ("chunk", C)
@@ -244,12 +298,13 @@ class ContinuousBatcher:
         # final chunk: sample the first token and splice the segment in
         self._pending = None
         self._rng, sub = jax.random.split(self._rng)
-        first = int(sampling.sample(logits, sub, self.gen)[0])
+        first = self._sample_one(logits, sub, req)
         self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
         req.first_token_at = time.perf_counter()
         req.output.append(first)
         self.slot_req[slot] = req
         self.active[slot] = True
+        self._slot_sampling(slot, req)
         self.tokens[slot] = first
         self.logical_pos[slot] = len(req.prompt)
         self._maybe_finish(slot, first)
@@ -278,7 +333,7 @@ class ContinuousBatcher:
                     self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
                 )
                 self._rng, sub = jax.random.split(self._rng)
-                first = int(sampling.sample(logits, sub, self.gen)[0])
+                first = self._sample_one(logits, sub, req)
                 pages = [self.free_blocks.pop() for _ in range(n_pages)]
                 row = np.zeros(self.max_pages, np.int32)
                 row[: n_pages] = pages
@@ -303,7 +358,7 @@ class ContinuousBatcher:
             elif self.sched is not None:
                 logits, seg_state = self.sched.prefill_pass(tokens, mask, self.max_len)
                 self._rng, sub = jax.random.split(self._rng)
-                first = int(sampling.sample(logits, sub, self.gen)[0])
+                first = self._sample_one(logits, sub, req)
                 self.state = self.sched.insert_slot_state(self.state, seg_state, slot)
             else:
                 seg = kvc.init_cache(
@@ -317,12 +372,13 @@ class ContinuousBatcher:
                     self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
                 )
                 self._rng, sub = jax.random.split(self._rng)
-                first = int(sampling.sample(logits, sub, self.gen)[0])
+                first = self._sample_one(logits, sub, req)
                 self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
             req.first_token_at = time.perf_counter()
             req.output.append(first)
             self.slot_req[slot] = req
             self.active[slot] = True
+            self._slot_sampling(slot, req)
             self.tokens[slot] = first
             self.logical_pos[slot] = len(req.prompt)
             self._maybe_finish(slot, first)
@@ -387,7 +443,7 @@ class ContinuousBatcher:
                 self.cache,
                 jnp.asarray(self.active),
             )
-        toks = np.asarray(sampling.sample(logits, sub, self.gen))
+        toks = np.asarray(self._sample_rows(logits, sub))
         self._steps += 1
         for slot in np.flatnonzero(self.active):
             slot = int(slot)

@@ -141,3 +141,32 @@ def sample(
     if not gen.do_sample:
         return greedy(logits)
     return jax.random.categorical(key, warp_logits(logits, gen), axis=-1).astype(jnp.int32)
+
+
+def sample_per_row(
+    logits: jnp.ndarray,  # [B, V]
+    key: jax.Array,
+    temperature: jnp.ndarray,  # [B] f32
+    top_k: jnp.ndarray,  # [B] i32 (0 = off)
+    top_p: jnp.ndarray,  # [B] f32 (1.0 = off)
+    greedy_row: jnp.ndarray,  # [B] bool — argmax instead of sampling
+) -> jnp.ndarray:
+    """Vectorized PER-ROW sampling — serving's per-request SamplingParams
+    (each slot carries its own temperature/top-k/top-p/greedy). Same warp
+    math as :func:`sample`, with thresholds gathered per row."""
+    B, V = logits.shape
+    x = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)[:, None]
+    # per-row top-k: threshold = each row's k-th largest value
+    desc = jnp.sort(x, axis=-1)[:, ::-1]
+    kidx = jnp.clip(top_k - 1, 0, V - 1)
+    kth = jnp.take_along_axis(desc, kidx[:, None], axis=1)
+    x = jnp.where((top_k > 0)[:, None] & (x < kth), NEG_INF, x)
+    # per-row top-p over the (possibly top-k-filtered) distribution
+    desc = jnp.sort(x, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.roll(cum < top_p[:, None], 1, axis=-1).at[:, 0].set(True)
+    thresh = jnp.min(jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True)
+    x = jnp.where(x < thresh, NEG_INF, x)
+    sampled = jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+    return jnp.where(greedy_row, greedy(logits), sampled)

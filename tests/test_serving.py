@@ -226,3 +226,30 @@ def test_alibi_serving_paged_and_slab_match_static():
         by_id = {r.req_id: r.output for r in cb.run()}
         for i in ids:
             assert by_id[i] == ref[i], f"request {i} (paged={paged})"
+
+
+def test_per_request_sampling_params():
+    """Per-request SamplingParams: a greedy request and a high-temperature
+    sampled request decode in the SAME batch; the greedy one must bit-match a
+    solo greedy run, and the sampled one is deterministic given the engine
+    seed but (generically) different from greedy."""
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=5, scale=0.12)
+    gen = GenerationConfig(max_new_tokens=8)  # engine default: greedy
+
+    solo = ContinuousBatcher(cfg, params, max_batch=2, max_len=96, gen=gen)
+    solo.submit([5, 9, 23, 41])
+    greedy_ref = solo.run()[0].output
+
+    eng = ContinuousBatcher(cfg, params, max_batch=2, max_len=96, gen=gen)
+    eng.submit([5, 9, 23, 41])  # greedy (engine default)
+    eng.submit([5, 9, 23, 41], do_sample=True, temperature=1.5, top_k=50)
+    done = sorted(eng.run(), key=lambda r: r.req_id)
+    assert done[0].output == greedy_ref
+    # same prompt, same engine RNG stream → sampled row differs from greedy
+    # (vocab 503, temp 1.5: collision over 8 tokens is ~impossible for a
+    # random tiny model)
+    assert done[1].output != greedy_ref
