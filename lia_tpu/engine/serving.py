@@ -41,6 +41,7 @@ class Request:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    stop_token_ids: Optional[List[int]] = None  # extra per-request stops
     submitted_at: float = field(default_factory=time.perf_counter)
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
@@ -211,6 +212,7 @@ class ContinuousBatcher:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        stop_token_ids: Optional[Sequence[int]] = None,
     ) -> int:
         """Queue a request. Sampling kwargs override the engine's
         GenerationConfig PER REQUEST (mixed greedy/sampled batches decode
@@ -220,6 +222,7 @@ class ContinuousBatcher:
         self.queue.append(Request(
             rid, list(prompt), max_new_tokens or self.gen.max_new_tokens,
             do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p,
+            stop_token_ids=list(stop_token_ids) if stop_token_ids else None,
         ))
         return rid
 
@@ -388,6 +391,8 @@ class ContinuousBatcher:
         if req is None:
             return
         eos_hit = self.gen.eos_token_id is not None and tok == self.gen.eos_token_id
+        if req.stop_token_ids is not None and tok in req.stop_token_ids:
+            eos_hit = True
         if eos_hit or len(req.output) >= req.max_new_tokens:
             req.finished_at = time.perf_counter()
             self.done.append(req)

@@ -253,3 +253,25 @@ def test_per_request_sampling_params():
     # (vocab 503, temp 1.5: collision over 8 tokens is ~impossible for a
     # random tiny model)
     assert done[1].output != greedy_ref
+
+
+def test_per_request_stop_tokens():
+    """A request-specific stop token ends that request early without touching
+    batchmates."""
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=5, scale=0.12)
+    gen = GenerationConfig(max_new_tokens=8)
+    solo = ContinuousBatcher(cfg, params, max_batch=2, max_len=96, gen=gen)
+    solo.submit([5, 9, 23, 41])
+    ref = solo.run()[0].output
+    stop = ref[3]  # a token the greedy trajectory actually emits
+
+    eng = ContinuousBatcher(cfg, params, max_batch=2, max_len=96, gen=gen)
+    eng.submit([5, 9, 23, 41], stop_token_ids=[stop])
+    eng.submit([5, 9, 23, 41])
+    done = sorted(eng.run(), key=lambda r: r.req_id)
+    assert done[0].output == ref[:4]  # truncated at (and including) the stop
+    assert done[1].output == ref
