@@ -62,6 +62,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--min-new-tokens", type=int, default=0,
                    help="suppress EOS until this many tokens are generated")
     p.add_argument("--no-repeat-ngram-size", type=int, default=0)
+    p.add_argument("--num-beams", type=int, default=1,
+                   help="beam search width (reference run_generation.py "
+                   "defaults to 4 beams in non-greedy mode)")
+    p.add_argument("--length-penalty", type=float, default=0.0,
+                   help="beam final-score normalization exponent (HF=1.0)")
     p.add_argument("--fused-decode", action="store_true", help="on-device lax.scan decode loop")
     p.add_argument("--token-latency", action="store_true", default=True)
     # --- LIA policy knobs (reference run.py:196-215); 'auto' = cost-model pick ---
@@ -243,6 +248,8 @@ def _run_seq2seq(cfg, args, gen) -> int:
         for _ in range(args.batch_size)
     ]
     gen = gen.replace(eos_token_id=1, pad_token_id=cfg.pad_token_id)
+    if gen.num_beams > 1:
+        return _bench_loop(lambda: engine.generate_beam(prompts, gen), args, cfg.name)
     return _bench_loop(lambda: engine.generate(prompts, gen), args, cfg.name)
 
 
@@ -318,6 +325,8 @@ def main(argv=None) -> int:
         repetition_penalty=args.repetition_penalty,
         min_new_tokens=args.min_new_tokens,
         no_repeat_ngram_size=args.no_repeat_ngram_size,
+        num_beams=args.num_beams,
+        length_penalty=args.length_penalty,
     )
 
     if cfg.encoder_decoder:
@@ -424,7 +433,10 @@ def main(argv=None) -> int:
                 f"{gen.max_new_tokens} tokens)"
             )
             continue
-        res = engine.generate(prompts, gen, fused=args.fused_decode, on_token=on_token)
+        if gen.num_beams > 1:
+            res = engine.generate_beam(prompts, gen)
+        else:
+            res = engine.generate(prompts, gen, fused=args.fused_decode, on_token=on_token)
         if on_token is not None:
             print(flush=True)
         dt = time.perf_counter() - t0
