@@ -59,7 +59,7 @@ def load_engine(
                         act_quant=act_quant),
             unsupported={
                 "gptq": gptq, "gptq_checkpoint": gptq_checkpoint,
-                "smoothquant": smoothquant, "kv_cache_dtype != none":
+                "smoothquant": smoothquant is not None, "kv_cache_dtype != none":
                 kv_cache_dtype != "none", "static-int8": weight_dtype == "static-int8",
                 "stream_weights": stream_weights, "hbm_percentage < 100":
                 hbm_percentage < 100, "auto_placement": auto_placement,

@@ -354,6 +354,11 @@ class InferenceEngine:
         the beam shuffle gathers BOTH cache segments (reorder_state)."""
         from lia_tpu.engine import beam as beam_mod
 
+        if _needs_processors(gen):
+            raise NotImplementedError(
+                "repetition_penalty/min_new_tokens/no_repeat_ngram_size are "
+                "not wired into beam search"
+            )
         cfg = self.cfg
         nb = gen.num_beams
         expanded = [p for p in prompts for _ in range(nb)]

@@ -56,8 +56,9 @@ def _reject_processors(gen: GenerationConfig) -> None:
 
     if _needs_processors(gen):
         raise NotImplementedError(
-            "repetition_penalty/min_new_tokens are not wired into speculative "
-            "decoding — use engine.generate for processor-bearing requests"
+            "repetition_penalty/min_new_tokens/no_repeat_ngram_size are not "
+            "wired into speculative decoding — use engine.generate for "
+            "processor-bearing requests"
         )
 
 
@@ -270,8 +271,11 @@ def generate_draft_speculative(
     _reject_processors(gen)
     if engine.scheduler is not None or draft_engine.scheduler is not None:
         raise NotImplementedError("speculation runs on the resident engine path")
-    if draft_engine.cfg.vocab_size < engine.cfg.vocab_size:
-        raise ValueError("draft vocab must cover the target vocab")
+    if draft_engine.cfg.vocab_size != engine.cfg.vocab_size:
+        # the on-device acceptance math subtracts q from p elementwise, so the
+        # warped distributions must live over the SAME vocab (the greedy path
+        # only needs draft ⊇ target)
+        raise ValueError("sampled speculation requires draft vocab == target vocab")
 
     cfg = engine.cfg
     dcfg = draft_engine.cfg
@@ -483,8 +487,11 @@ def generate_draft_speculative_sampled(
     _reject_processors(gen)
     if engine.scheduler is not None or draft_engine.scheduler is not None:
         raise NotImplementedError("speculation runs on the resident engine path")
-    if draft_engine.cfg.vocab_size < engine.cfg.vocab_size:
-        raise ValueError("draft vocab must cover the target vocab")
+    if draft_engine.cfg.vocab_size != engine.cfg.vocab_size:
+        # the on-device acceptance math subtracts q from p elementwise, so the
+        # warped distributions must live over the SAME vocab (the greedy path
+        # only needs draft ⊇ target)
+        raise ValueError("sampled speculation requires draft vocab == target vocab")
 
     cfg = engine.cfg
     dcfg = draft_engine.cfg

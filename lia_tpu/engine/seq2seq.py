@@ -124,8 +124,8 @@ class Seq2SeqEngine:
 
         if _needs_processors(gen):
             raise NotImplementedError(
-                "repetition_penalty/min_new_tokens are not wired into the "
-                "seq2seq engine"
+                "repetition_penalty/min_new_tokens/no_repeat_ngram_size are "
+                "not wired into the seq2seq engine"
             )
         tokens, mask = pack_encoder_inputs(prompts, cfg.pad_token_id)
         B = tokens.shape[0]
@@ -216,6 +216,13 @@ class Seq2SeqEngine:
         winning beams each step (same zero-copy gather as the decoder-only
         engine)."""
         cfg = self.cfg
+        from lia_tpu.engine.engine import _needs_processors
+
+        if _needs_processors(gen):
+            raise NotImplementedError(
+                "repetition_penalty/min_new_tokens/no_repeat_ngram_size are "
+                "not wired into seq2seq beam search"
+            )
         nb = gen.num_beams
         tokens, mask = pack_encoder_inputs(prompts, cfg.pad_token_id)
         B = tokens.shape[0]

@@ -169,6 +169,14 @@ class ContinuousBatcher:
         self.s_topk = np.full(max_batch, gen.top_k, np.int32)
         self.s_topp = np.full(max_batch, gen.top_p, np.float32)
         self.s_greedy = np.full(max_batch, not gen.do_sample, bool)
+        self._s_dev = None  # cached device copies of the slot params
+        from lia_tpu.engine.engine import _needs_processors
+
+        if _needs_processors(gen):
+            raise NotImplementedError(
+                "repetition_penalty/min_new_tokens/no_repeat_ngram_size are "
+                "not wired into continuous-batching serving"
+            )
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
         if prefill_chunk is not None and (self.sched is not None or mesh is not None or paged):
@@ -235,24 +243,36 @@ class ContinuousBatcher:
         self.s_temp[slot] = g.temperature if req.temperature is None else req.temperature
         self.s_topk[slot] = g.top_k if req.top_k is None else req.top_k
         self.s_topp[slot] = g.top_p if req.top_p is None else req.top_p
+        self._s_dev = None  # invalidate the cached device copies
 
     def _sample_rows(self, logits, sub):
-        return sampling.sample_per_row(
-            logits, sub,
-            jnp.asarray(self.s_temp), jnp.asarray(self.s_topk),
-            jnp.asarray(self.s_topp), jnp.asarray(self.s_greedy),
-        )
+        if self.s_greedy.all():
+            # default/all-greedy batches skip the per-row warp entirely (one
+            # dispatch; ~25ms/dispatch through the remote tunnel)
+            return sampling.greedy(logits)
+        if self._s_dev is None:  # re-upload slot params only when they change
+            self._s_dev = (
+                jnp.asarray(self.s_temp), jnp.asarray(self.s_topk),
+                jnp.asarray(self.s_topp), jnp.asarray(self.s_greedy),
+            )
+        if "sample_rows" not in self._compiled:
+            self._compiled["sample_rows"] = jax.jit(sampling.sample_per_row)
+        return self._compiled["sample_rows"](logits, sub, *self._s_dev)
 
     def _sample_one(self, logits, sub, req: Request) -> int:
         g = self.gen
         ds = g.do_sample if req.do_sample is None else req.do_sample
-        return int(sampling.sample_per_row(
+        if not ds:
+            return int(jnp.argmax(logits[0]))
+        if "sample_one" not in self._compiled:
+            self._compiled["sample_one"] = jax.jit(sampling.sample_per_row)
+        return int(self._compiled["sample_one"](
             logits, sub,
             jnp.asarray([g.temperature if req.temperature is None else req.temperature],
                         jnp.float32),
             jnp.asarray([g.top_k if req.top_k is None else req.top_k], jnp.int32),
             jnp.asarray([g.top_p if req.top_p is None else req.top_p], jnp.float32),
-            jnp.asarray([not ds]),
+            jnp.asarray([False]),
         )[0])
 
     def _chunk_fn(self, C: int):

@@ -51,7 +51,8 @@ def _reject_unsupported(gen: GenerationConfig) -> None:
         raise NotImplementedError("beam search is not wired into the VLM engines")
     if _needs_processors(gen):
         raise NotImplementedError(
-            "repetition_penalty/min_new_tokens are not wired into the VLM engines"
+            "repetition_penalty/min_new_tokens/no_repeat_ngram_size are not "
+            "wired into the VLM engines"
         )
 
 

@@ -30,7 +30,10 @@ def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
-def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+def apply_top_p(logits: jnp.ndarray, p) -> jnp.ndarray:
+    """``p``: scalar, or a [B] array for per-row thresholds (serving)."""
+    if getattr(p, "ndim", 0) == 1:
+        p = p[:, None]
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
@@ -38,6 +41,15 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     keep = jnp.roll(cum < p, 1, axis=-1).at[..., 0].set(True)
     thresh = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
     return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_top_k_rows(logits: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Per-row top-k ([B] int array; 0 = off) via a sorted-threshold gather."""
+    V = logits.shape[-1]
+    desc = jnp.sort(logits, axis=-1)[:, ::-1]
+    kidx = jnp.clip(k - 1, 0, V - 1)
+    kth = jnp.take_along_axis(desc, kidx[:, None], axis=1)
+    return jnp.where((k > 0)[:, None] & (logits < kth), NEG_INF, logits)
 
 
 def seen_from_prompt(
@@ -74,16 +86,20 @@ def ban_repeated_ngrams(
     B, L = history.shape
     if L < n:
         return logits
-    W = L - n + 1
-    # sliding (n-1)-token windows: [B, W, n-1]
-    windows = jnp.stack([history[:, i : W + i] for i in range(n - 1)], axis=-1)
-    tail = jax.lax.dynamic_slice(
-        history, (0, cur_len - (n - 1)), (B, n - 1)
-    )  # last n-1 tokens
-    starts = jnp.arange(W, dtype=jnp.int32)
-    valid = starts + n - 1 < cur_len  # the window's completing token must exist
-    match = jnp.all(windows == tail[:, None, :], axis=-1) & valid[None, :]
-    banned = history[:, starts + n - 1]  # [B, W]
+    if n == 1:  # HF edge case: ban every previously seen token
+        match = jnp.arange(L, dtype=jnp.int32)[None, :] < cur_len
+        banned = history
+    else:
+        W = L - n + 1
+        # sliding (n-1)-token windows: [B, W, n-1]
+        windows = jnp.stack([history[:, i : W + i] for i in range(n - 1)], axis=-1)
+        tail = jax.lax.dynamic_slice(
+            history, (0, cur_len - (n - 1)), (B, n - 1)
+        )  # last n-1 tokens
+        starts = jnp.arange(W, dtype=jnp.int32)
+        valid = starts + n - 1 < cur_len  # the window's completing token must exist
+        match = jnp.all(windows == tail[:, None, :], axis=-1) & valid[None, :]
+        banned = history[:, starts + n - 1]  # [B, W]
     fill = jnp.where(match, NEG_INF, jnp.inf).astype(jnp.float32)
     mask = jnp.full(logits.shape, jnp.inf, jnp.float32)
     mask = mask.at[jnp.arange(B)[:, None], banned].min(fill)
@@ -154,19 +170,8 @@ def sample_per_row(
     """Vectorized PER-ROW sampling — serving's per-request SamplingParams
     (each slot carries its own temperature/top-k/top-p/greedy). Same warp
     math as :func:`sample`, with thresholds gathered per row."""
-    B, V = logits.shape
     x = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)[:, None]
-    # per-row top-k: threshold = each row's k-th largest value
-    desc = jnp.sort(x, axis=-1)[:, ::-1]
-    kidx = jnp.clip(top_k - 1, 0, V - 1)
-    kth = jnp.take_along_axis(desc, kidx[:, None], axis=1)
-    x = jnp.where((top_k > 0)[:, None] & (x < kth), NEG_INF, x)
-    # per-row top-p over the (possibly top-k-filtered) distribution
-    desc = jnp.sort(x, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(desc, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep = jnp.roll(cum < top_p[:, None], 1, axis=-1).at[:, 0].set(True)
-    thresh = jnp.min(jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True)
-    x = jnp.where(x < thresh, NEG_INF, x)
+    x = apply_top_k_rows(x, top_k)
+    x = apply_top_p(x, top_p)  # per-row thresholds ([B] array form)
     sampled = jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
     return jnp.where(greedy_row, greedy(logits), sampled)

@@ -392,8 +392,10 @@ def main(argv=None) -> int:
 
     on_token = None
     if args.streaming:
-        if args.fused_decode:
-            raise SystemExit("--streaming needs the stepwise loop (drop --fused-decode)")
+        if args.fused_decode or gen.num_beams > 1:
+            raise SystemExit(
+                "--streaming needs the stepwise loop (drop --fused-decode/--num-beams)"
+            )
         if engine.scheduler is not None:
             raise SystemExit(
                 "--streaming needs the resident stepwise loop (drop the "

@@ -165,3 +165,22 @@ def test_engine_no_repeat_ngram_paths_agree():
         seq = prompts[b_i] + [int(t) for t in a[b_i]]
         bigrams = list(zip(seq, seq[1:]))
         assert len(bigrams) == len(set(bigrams))
+
+
+def test_no_repeat_ngram_size_one():
+    """n=1 (HF edge case: ban every seen token) must not crash and must match
+    HF's processor."""
+    torch = pytest.importorskip("torch")
+    from transformers import NoRepeatNGramLogitsProcessor
+
+    from lia_tpu.ops.sampling import ban_repeated_ngrams
+
+    hist = np.array([[3, 4, 3, 0], [1, 2, 5, 6]], np.int64)
+    logits = np.zeros((2, 9), np.float32)
+    want = NoRepeatNGramLogitsProcessor(ngram_size=1)(
+        torch.tensor(hist), torch.tensor(logits.copy())
+    ).numpy()
+    got = np.asarray(ban_repeated_ngrams(
+        jnp.asarray(logits), jnp.asarray(hist.astype(np.int32)), jnp.int32(4), 1
+    ))
+    np.testing.assert_array_equal(np.isinf(want) & (want < 0), got <= -1e29)
