@@ -82,7 +82,12 @@ class ContinuousBatcher:
         of slot-per-sequence slabs (vLLM-style; reference PagedAttention op).
         Decode walks the block table inside the Pallas kernel; pages free as
         requests finish, so max_len no longer reserves worst-case memory per
-        slot. Block 0 is the reserved null page.
+        slot. Block 0 is the reserved null page. Paged mode includes automatic
+        prefix caching (vLLM APC analog): full prompt blocks register under a
+        rolling prefix hash, finished requests' pages linger (refcount 0) until
+        the pool reclaims them FIFO, and an admission whose prompt prefix hits
+        the cache seeds its KV from the shared pages and computes only a
+        chunk-bucketed suffix (compute + memory reuse).
 
         ``prefill_chunk``: admission processes at most ONE chunk of this many
         prompt tokens per engine step, so running requests keep decoding while
@@ -140,6 +145,16 @@ class ContinuousBatcher:
             self.k_pool = jnp.zeros(shape, jnp.dtype(cfg.dtype))
             self.v_pool = jnp.zeros(shape, jnp.dtype(cfg.dtype))
             self.free_blocks = list(range(nb - 1, 0, -1))  # block 0 = null page
+            # --- automatic prefix caching (vLLM APC analog; additive) ---
+            # full prompt blocks register under a prefix-chain hash; pages stay
+            # cached after their request finishes (refcount 0) until the pool
+            # needs them back (FIFO eviction)
+            self.page_rc = np.zeros(nb, np.int64)
+            self.prefix_map: Dict[Any, int] = {}  # chain-key -> page id
+            self.page_key: Dict[int, Any] = {}  # page id -> chain-key
+            self.cached_pages: Dict[int, None] = {}  # insertion-ordered (FIFO)
+            self.prefix_hits = 0
+            self.prefix_tokens_reused = 0
             self.max_pages = -(-max_len // block_size)
             self.block_table = np.zeros((max_batch, self.max_pages), np.int32)
             self.kv_lengths = np.zeros(max_batch, np.int32)
@@ -189,6 +204,62 @@ class ContinuousBatcher:
         self._compiled: Dict[Any, Any] = {}
         self._rng = jax.random.PRNGKey(0)
         self._steps = 0
+
+    # -- paged-pool allocation / prefix cache ----------------------------------
+
+    def _alloc_page(self) -> Optional[int]:
+        """One free page, evicting the oldest rc==0 cached page if needed."""
+        if self.free_blocks:
+            return self.free_blocks.pop()
+        if self.cached_pages:
+            page = next(iter(self.cached_pages))  # oldest insertion (FIFO)
+            del self.cached_pages[page]
+            key = self.page_key.pop(page, None)
+            if key is not None:
+                self.prefix_map.pop(key, None)
+            return page
+        return None
+
+    def _allocatable(self) -> int:
+        return len(self.free_blocks) + len(self.cached_pages)
+
+    def _prefix_chain_keys(self, prompt: List[int]) -> List[Any]:
+        bs = self.block_size
+        return [tuple(prompt[: (i + 1) * bs]) for i in range(len(prompt) // bs)]
+
+    def _prefix_lookup(self, prompt: List[int]):
+        """Longest cached full-block chain for this prompt → (pages, n_tokens)."""
+        pages: List[int] = []
+        for key in self._prefix_chain_keys(prompt):
+            page = self.prefix_map.get(key)
+            if page is None:
+                break
+            pages.append(page)
+        return pages, len(pages) * self.block_size
+
+    def _claim_page(self, page: int) -> None:
+        self.page_rc[page] += 1
+        self.cached_pages.pop(page, None)  # active again — not evictable
+
+    def _release_pages(self, pages) -> None:
+        for b in pages:
+            b = int(b)
+            if b == 0:
+                continue
+            self.page_rc[b] -= 1
+            if self.page_rc[b] > 0:
+                continue
+            if b in self.page_key:  # registered prefix block: keep cached
+                self.cached_pages[b] = None
+            else:
+                self.free_blocks.append(b)
+
+    def _register_prefix(self, prompt: List[int], row: np.ndarray) -> None:
+        for i, key in enumerate(self._prefix_chain_keys(prompt)):
+            page = int(row[i])
+            if key not in self.prefix_map:
+                self.prefix_map[key] = page
+                self.page_key[page] = key
 
     # -- compiled fns ---------------------------------------------------------
 
@@ -346,38 +417,91 @@ class ContinuousBatcher:
                 )
             tokens, mask = pack_prompts([req.prompt], self.gen.pad_token_id, bucket=bucket)
             if self.paged:
-                n_pages = -(-(len(req.prompt) + req.max_new_tokens) // self.block_size)
-                if len(self.free_blocks) < n_pages:
+                n = len(req.prompt)
+                bs_pg = self.block_size
+                n_pages = -(-(n + req.max_new_tokens) // bs_pg)
+                # --- automatic prefix caching -------------------------------
+                # reuse the longest cached full-block chain: seed a contiguous
+                # seg cache with the chain's KV, then compute ONLY a
+                # chunk-bucketed suffix. The chunk covers [base, n) where
+                # base = n - Cb, so validity stays contiguous (Pallas-legal);
+                # full blocks below base share pages, the boundary block is
+                # rewritten into a private page from the seeded values.
+                chain, reused = self._prefix_lookup(req.prompt)
+                reused = min(reused, n - 1)  # >=1 token must produce logits
+                base = 0
+                if reused > 0:
+                    Cb = bucket_length(n - reused)
+                    if Cb < bucket and n - Cb >= bs_pg:
+                        base = n - Cb  # chunk recomputes [base, n)
+                n_shared = base // bs_pg  # full blocks this request shares
+                n_seed = -(-base // bs_pg)  # chain pages the seed reads
+                n_fresh = n_pages - n_shared
+                cached_chain = sum(
+                    1 for p in chain[:n_seed] if p in self.cached_pages
+                )
+                if self._allocatable() - cached_chain < n_fresh:
                     self.queue.appendleft(req)  # no memory — wait for frees
                     return
-                # prefill into a throwaway contiguous cache, then page it in
-                seg = kvc.init_cache(self.cfg, 1, bucket, jnp.dtype(self.cfg.dtype))
-                logits, seg = self._prefill_fn(bucket)(
-                    self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
-                )
-                self._rng, sub = jax.random.split(self._rng)
-                first = self._sample_one(logits, sub, req)
-                pages = [self.free_blocks.pop() for _ in range(n_pages)]
+                for p in chain[:n_seed]:  # pin before eviction can touch them
+                    self._claim_page(p)
+                fresh = [self._alloc_page() for _ in range(n_fresh)]
                 row = np.zeros(self.max_pages, np.int32)
-                row[: n_pages] = pages
+                row[:n_pages] = chain[:n_shared] + fresh
                 self.block_table[slot] = row
-                # prompts are left-padded in the slab; pages want tokens from 0
+                for p in fresh:
+                    self.page_rc[p] += 1
                 from lia_tpu.ops import paged as pg
 
-                pad = bucket - len(req.prompt)
-                seg_k = jnp.roll(seg.k[:, 0], -pad, axis=2)  # [L, H, S, D]
-                seg_v = jnp.roll(seg.v[:, 0], -pad, axis=2)
                 if "page_prompt" not in self._compiled:
                     self._compiled["page_prompt"] = jax.jit(
                         pg.write_prompt_all_layers, donate_argnums=(0, 1)
                     )
+                if base > 0:
+                    seed_row = np.zeros(self.max_pages, np.int32)
+                    seed_row[:n_seed] = chain[:n_seed]
+                    seed_key = ("seed", bucket)
+                    if seed_key not in self._compiled:
+                        self._compiled[seed_key] = jax.jit(
+                            partial(pg.seed_prefix_cache, bucket=bucket)
+                        )
+                    seg = self._compiled[seed_key](
+                        self.k_pool, self.v_pool, jnp.asarray(seed_row),
+                        jnp.asarray(base, jnp.int32),
+                    )
+                    suffix = np.asarray(req.prompt[base:], np.int32)[None]
+                    logits, seg = self._chunk_fn(Cb)(
+                        self.params, jnp.asarray(suffix),
+                        jnp.ones((1, Cb), bool), seg,
+                    )
+                    seg_k, seg_v = seg.k[:, 0], seg.v[:, 0]
+                    write_start = n_shared * bs_pg
+                    self.prefix_hits += 1
+                    self.prefix_tokens_reused += base
+                else:
+                    # full prefill into a throwaway contiguous cache
+                    seg = kvc.init_cache(self.cfg, 1, bucket, jnp.dtype(self.cfg.dtype))
+                    logits, seg = self._prefill_fn(bucket)(
+                        self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
+                    )
+                    # prompts are left-padded in the slab; pages want tokens from 0
+                    pad = bucket - n
+                    seg_k = jnp.roll(seg.k[:, 0], -pad, axis=2)  # [L, H, S, D]
+                    seg_v = jnp.roll(seg.v[:, 0], -pad, axis=2)
+                    write_start = 0
+                self._rng, sub = jax.random.split(self._rng)
+                first = self._sample_one(logits, sub, req)
                 self.k_pool, self.v_pool = self._compiled["page_prompt"](
                     self.k_pool, self.v_pool, seg_k, seg_v,
-                    jnp.asarray(row), jnp.asarray(len(req.prompt), jnp.int32),
+                    jnp.asarray(row), jnp.asarray(n, jnp.int32),
+                    jnp.asarray(write_start, jnp.int32),
                 )
                 if self._sync_pools:
                     jax.block_until_ready((self.k_pool, self.v_pool))
-                self.kv_lengths[slot] = len(req.prompt)
+                # unpin the boundary chain page (read transiently by the seed)
+                self._release_pages(chain[n_shared:n_seed])
+                self._register_prefix(req.prompt, row)
+                self.kv_lengths[slot] = n
             elif self.sched is not None:
                 logits, seg_state = self.sched.prefill_pass(tokens, mask, self.max_len)
                 self._rng, sub = jax.random.split(self._rng)
@@ -418,10 +542,8 @@ class ContinuousBatcher:
             self.done.append(req)
             self.slot_req[slot] = None
             self.active[slot] = False
-            if self.paged:  # release this request's pages back to the pool
-                self.free_blocks.extend(
-                    int(b) for b in self.block_table[slot] if b != 0
-                )
+            if self.paged:  # drop refcounts; prefix pages stay cached
+                self._release_pages(self.block_table[slot])
                 self.block_table[slot] = 0
                 self.kv_lengths[slot] = 0
 
@@ -493,10 +615,14 @@ class ContinuousBatcher:
         total_tokens = sum(len(r.output) for r in self.done)
         t0 = min(r.submitted_at for r in self.done)
         t1 = max(r.finished_at for r in self.done)
-        return {
+        out = {
             "requests": float(len(self.done)),
             "total_tokens": float(total_tokens),
             "tokens_per_s": total_tokens / max(t1 - t0, 1e-9),
             "mean_ttft_s": float(np.mean(ttfts)) if ttfts else 0.0,
             "decode_steps": float(self._steps),
         }
+        if self.paged:
+            out["prefix_hits"] = float(self.prefix_hits)
+            out["prefix_tokens_reused"] = float(self.prefix_tokens_reused)
+        return out

@@ -167,13 +167,15 @@ def write_prompt_all_layers(
     seg_v: jnp.ndarray,
     block_table_row: jnp.ndarray,  # [P] int32
     length,  # valid tokens
+    start=0,  # first position to commit (prefix-cache admission skips the
+    # shared pages: positions < start already live in cached pages)
 ):
     """Admission write: ONE scatter per plane commits all layers' prompt KV
     into the sequence's pages (invalid positions land in the null page 0)."""
     L, H, S, D = seg_k.shape
     bs = k_pool.shape[3]
     pos = jnp.arange(S, dtype=jnp.int32)
-    valid = pos < length
+    valid = (pos >= start) & (pos < length)
     blk = jnp.where(valid, jnp.take(block_table_row, pos // bs), 0)
     off = pos % bs
     l_idx = jnp.arange(L, dtype=jnp.int32)[:, None]
@@ -185,6 +187,38 @@ def write_prompt_all_layers(
         )
 
     return scatter(k_pool, seg_k), scatter(v_pool, seg_v)
+
+
+def seed_prefix_cache(
+    k_pool: jnp.ndarray,  # [L, nb, H, bs, D]
+    v_pool: jnp.ndarray,
+    block_table_row: jnp.ndarray,  # [P] int32 — pages covering [0, base)
+    base,  # traced scalar: reused prefix tokens
+    bucket: int,  # static seg size (>= the full prompt length)
+):
+    """Gather a cached prefix chain into a contiguous [1, bucket] seg cache.
+
+    Automatic-prefix-caching admission (vLLM APC analog; the reference has no
+    equivalent — its PagedAttention op stops at reshape_and_cache): the first
+    ``base`` slots hold KV gathered from the shared pages, ``length``/``mask``
+    mark them valid, and :func:`lia_tpu.models.transformer.prefill_chunk` then
+    computes only the prompt's suffix against this context. Validity stays
+    contiguous [0, base) so the Pallas chunk kernel remains legal.
+    """
+    from lia_tpu.ops.kv_cache import KVCache
+
+    L, nb, H, bs, D = k_pool.shape
+    Pb = -(-bucket // bs)  # static page count covering the seg
+    row = block_table_row[:Pb]
+
+    def gather(pool):
+        pages = jnp.take(pool, row, axis=1)  # [L, Pb, H, bs, D]
+        seq = pages.transpose(0, 2, 1, 3, 4).reshape(L, H, Pb * bs, D)
+        return seq[:, None, :, :bucket, :]  # [L, 1, H, bucket, D]
+
+    base = jnp.asarray(base, jnp.int32)
+    mask = (jnp.arange(bucket, dtype=jnp.int32) < base)[None]
+    return KVCache(k=gather(k_pool), v=gather(v_pool), length=base, mask=mask)
 
 
 def write_token_all_layers(

@@ -181,3 +181,59 @@ def test_write_prompt_paged(rng):
         )
     # positions >= length landed in the reserved null page 0 only
     np.testing.assert_allclose(np.asarray(out.k)[1], 0.0)
+
+
+def test_seed_prefix_cache_roundtrip(rng):
+    """write_prompt_all_layers -> seed_prefix_cache reproduces the original
+    prefix KV as a contiguous seg cache (APC admission seed)."""
+    L, nb, H, bs, D = 3, 9, 2, 8, 16
+    n, base, bucket = 29, 21, 32  # base intentionally not block-aligned
+    k_pool = jnp.zeros((L, nb, H, bs, D), jnp.float32)
+    v_pool = jnp.zeros((L, nb, H, bs, D), jnp.float32)
+    seg_k = jnp.asarray(rng.standard_normal((L, H, bucket, D)), jnp.float32)
+    seg_v = jnp.asarray(rng.standard_normal((L, H, bucket, D)), jnp.float32)
+    row = np.zeros(8, np.int32)
+    row[: -(-n // bs)] = [4, 2, 7, 1]
+    k_pool, v_pool = paged.write_prompt_all_layers(
+        k_pool, v_pool, seg_k, seg_v, jnp.asarray(row), n
+    )
+    seed = paged.seed_prefix_cache(
+        k_pool, v_pool, jnp.asarray(row), jnp.asarray(base, jnp.int32), bucket
+    )
+    np.testing.assert_allclose(np.asarray(seed.k[:, 0, :, :base]), np.asarray(seg_k[:, :, :base]))
+    np.testing.assert_allclose(np.asarray(seed.v[:, 0, :, :base]), np.asarray(seg_v[:, :, :base]))
+    assert int(seed.length) == base
+    np.testing.assert_array_equal(
+        np.asarray(seed.mask[0]), np.arange(bucket) < base
+    )
+
+
+def test_write_prompt_start_skips_shared_pages(rng):
+    """start>0 leaves pages below the boundary untouched (shared prefix pages
+    must never be rewritten by a reusing request)."""
+    L, nb, H, bs, D = 2, 7, 2, 8, 16
+    n, start = 27, 16  # blocks 0,1 shared; write covers [16, 27)
+    k_pool = jnp.asarray(rng.standard_normal((L, nb, H, bs, D)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((L, nb, H, bs, D)), jnp.float32)
+    k0, v0 = k_pool, v_pool
+    seg_k = jnp.asarray(rng.standard_normal((L, H, 32, D)), jnp.float32)
+    seg_v = jnp.asarray(rng.standard_normal((L, H, 32, D)), jnp.float32)
+    row = np.zeros(8, np.int32)
+    row[: -(-n // bs)] = [5, 3, 6, 2]
+    k1, v1 = paged.write_prompt_all_layers(
+        k_pool, v_pool, seg_k, seg_v, jnp.asarray(row), n,
+        start=jnp.asarray(start, jnp.int32),
+    )
+    # shared pages (5, 3) untouched; null page 0 absorbs out-of-range writes
+    for p in (5, 3):
+        np.testing.assert_array_equal(np.asarray(k1[:, p]), np.asarray(k0[:, p]))
+        np.testing.assert_array_equal(np.asarray(v1[:, p]), np.asarray(v0[:, p]))
+    # written region matches the seg values
+    for pos in range(start, n):
+        blk, off = row[pos // bs], pos % bs
+        np.testing.assert_array_equal(
+            np.asarray(k1[:, blk, :, off]), np.asarray(seg_k[:, :, pos])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(v1[:, blk, :, off]), np.asarray(seg_v[:, :, pos])
+        )

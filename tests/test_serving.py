@@ -275,3 +275,108 @@ def test_per_request_stop_tokens():
     done = sorted(eng.run(), key=lambda r: r.req_id)
     assert done[0].output == ref[:4]  # truncated at (and including) the stop
     assert done[1].output == ref
+
+
+# -- automatic prefix caching (paged mode) ----------------------------------
+
+
+def _paged_pool_accounting_clean(cb):
+    """After all requests finish: every page is either free or prefix-cached,
+    refcounts are zero, and nothing leaked (null page 0 excluded)."""
+    assert not cb.active.any() and not cb.queue
+    assert (cb.page_rc == 0).all()
+    assert len(cb.free_blocks) + len(cb.cached_pages) == cb.num_blocks - 1
+
+
+def test_prefix_cache_repeat_prompt(model):
+    """Resubmitting a long prompt hits the prefix cache (seed + suffix chunk)
+    and generates the identical greedy continuation."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=5)
+    prompt = [((7 * i) % 300) + 2 for i in range(40)]  # 5 full blocks @ bs=8
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, paged=True, block_size=8
+    )
+    first = cb.submit(prompt)
+    cb.run()
+    assert cb.prefix_hits == 0
+    second = cb.submit(prompt)
+    done = {r.req_id: r.output for r in cb.run()}
+    assert cb.prefix_hits == 1
+    # n=40, reused=min(40,39)=39 -> Cb=16, base=24: 3 shared blocks
+    assert cb.prefix_tokens_reused == 24
+    assert done[second] == done[first]
+    _paged_pool_accounting_clean(cb)
+
+
+def test_prefix_cache_shared_system_prompt(model):
+    """Different requests sharing a long system prefix reuse its pages while
+    the first request is still active; outputs match uncached serving."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=5)
+    sys_prefix = [((11 * i) % 300) + 2 for i in range(40)]
+    prompts = [sys_prefix + [401, 402, 403], sys_prefix + [404, 405, 406, 407]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, paged=True, block_size=8
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (prefix-shared)"
+    assert cb.prefix_hits == 1  # second admission reused the first's blocks
+    assert cb.prefix_tokens_reused > 0
+    _paged_pool_accounting_clean(cb)
+
+
+def test_prefix_cache_unaligned_boundary(model):
+    """base not block-aligned: the boundary block is rewritten privately from
+    the seeded values (chain page pinned only during the seed)."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=4)
+    prompt = [((13 * i) % 300) + 2 for i in range(44)]  # n=44: base=28, 28%8=4
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    r0 = ref.submit(prompt)
+    ref_out = {r.req_id: r.output for r in ref.run()}[r0]
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, paged=True, block_size=8
+    )
+    a = cb.submit(prompt)
+    cb.run()
+    b = cb.submit(prompt)
+    out = {r.req_id: r.output for r in cb.run()}
+    assert out[a] == ref_out and out[b] == ref_out
+    assert cb.prefix_hits == 1 and cb.prefix_tokens_reused == 28
+    _paged_pool_accounting_clean(cb)
+
+
+def test_prefix_cache_eviction_under_pressure(model):
+    """Cached (refcount-0) prefix pages are reclaimed FIFO when the pool runs
+    dry; correctness is unaffected, the hit just disappears."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=4)
+    p1 = [((7 * i) % 300) + 2 for i in range(40)]
+    p2 = [((17 * i) % 300) + 9 for i in range(40)]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=1, max_len=128, gen=gen)
+    ref_ids = [ref.submit(p) for p in (p1, p2, p1)]
+    ref_out = {r.req_id: r.output for r in ref.run()}
+
+    # pool: 10 usable pages; each request needs ceil(44/8)=6, p1 caches 5 ->
+    # admitting p2 must evict part of p1's cached chain
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=1, max_len=128, gen=gen,
+        paged=True, block_size=8, num_blocks=11,
+    )
+    ids = [cb.submit(p) for p in (p1, p2, p1)]
+    out = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ref_ids):
+        assert out[i] == ref_out[j], f"request {i} (eviction)"
+    _paged_pool_accounting_clean(cb)
