@@ -92,8 +92,9 @@ class ContinuousBatcher:
         ``prefill_chunk``: admission processes at most ONE chunk of this many
         prompt tokens per engine step, so running requests keep decoding while
         a long prompt prefills (bounds the TTFT inflation a synchronous
-        admission prefill causes — the round-1 weak spot). Resident slab mode
-        only."""
+        admission prefill causes — the round-1 weak spot). Composes with paged
+        mode (pages reserved up front; a prefix-cache hit seeds the seg and
+        only the uncached suffix is chunked)."""
         self.cfg = cfg
         self.gen = gen
         self.B = max_batch
@@ -194,8 +195,8 @@ class ContinuousBatcher:
             )
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
-        if prefill_chunk is not None and (self.sched is not None or mesh is not None or paged):
-            raise ValueError("prefill_chunk composes with resident slab serving only")
+        if prefill_chunk is not None and (self.sched is not None or mesh is not None):
+            raise ValueError("prefill_chunk composes with resident (slab or paged) serving only")
         self.prefill_chunk = prefill_chunk
         self._pending = None  # in-flight chunked admission state
         self.queue: Deque[Request] = deque()
@@ -260,6 +261,92 @@ class ContinuousBatcher:
             if key not in self.prefix_map:
                 self.prefix_map[key] = page
                 self.page_key[page] = key
+
+    def _paged_admission_plan(self, req: Request, span_of):
+        """Reserve pages for one admission, reusing the cached prefix chain.
+
+        ``span_of(suffix_len)`` maps the uncached suffix length to the static
+        recompute span Cs (the chunk covers [n-Cs, n) with all-real tokens —
+        extending DOWN keeps cache validity contiguous, so the Pallas chunk
+        kernel stays legal). Returns ``(row, chain, base, n_shared, n_seed)``
+        or None on page backpressure (caller requeues).
+        """
+        n = len(req.prompt)
+        bs_pg = self.block_size
+        n_pages = -(-(n + req.max_new_tokens) // bs_pg)
+        chain, reused = self._prefix_lookup(req.prompt)
+        reused = min(reused, n - 1)  # >=1 token must produce logits
+        base = 0
+        if reused > 0:
+            span = span_of(n - reused)
+            if n - span >= bs_pg:  # at least one full shared block
+                base = n - span
+        n_shared = base // bs_pg  # full blocks this request shares
+        n_seed = -(-base // bs_pg)  # chain pages the seed reads
+        n_fresh = n_pages - n_shared
+        cached_chain = sum(1 for p in chain[:n_seed] if p in self.cached_pages)
+        if self._allocatable() - cached_chain < n_fresh:
+            return None
+        for p in chain[:n_seed]:  # pin before eviction can touch them
+            self._claim_page(p)
+        fresh = [self._alloc_page() for _ in range(n_fresh)]
+        row = np.zeros(self.max_pages, np.int32)
+        row[:n_pages] = chain[:n_shared] + fresh
+        for p in fresh:
+            self.page_rc[p] += 1
+        return row, chain, base, n_shared, n_seed
+
+    def _paged_seed(self, row_chain: List[int], base: int, n_seed: int, bucket: int):
+        """Build the APC seed seg cache (prefix KV gathered from shared pages)."""
+        from lia_tpu.ops import paged as pg
+
+        seed_row = np.zeros(self.max_pages, np.int32)
+        seed_row[:n_seed] = row_chain[:n_seed]
+        seed_key = ("seed", bucket)
+        if seed_key not in self._compiled:
+            self._compiled[seed_key] = jax.jit(
+                partial(pg.seed_prefix_cache, bucket=bucket)
+            )
+        return self._compiled[seed_key](
+            self.k_pool, self.v_pool, jnp.asarray(seed_row),
+            jnp.asarray(base, jnp.int32),
+        )
+
+    def _paged_commit(self, req, slot, seg, row, chain, base, n_shared, n_seed, pad):
+        """Write a finished prompt's KV into its pages and register the prefix.
+
+        APC admissions (base>0) write [n_shared*bs, n) straight from the seg
+        (slot 0 == position 0); full prefills arrive left-padded and roll first.
+        """
+        from lia_tpu.ops import paged as pg
+
+        n = len(req.prompt)
+        if "page_prompt" not in self._compiled:
+            self._compiled["page_prompt"] = jax.jit(
+                pg.write_prompt_all_layers, donate_argnums=(0, 1)
+            )
+        if base > 0:
+            seg_k, seg_v = seg.k[:, 0], seg.v[:, 0]
+            write_start = n_shared * self.block_size
+            self.prefix_hits += 1
+            self.prefix_tokens_reused += base
+        else:
+            # prompts are left-padded in the slab; pages want tokens from 0
+            seg_k = jnp.roll(seg.k[:, 0], -pad, axis=2)  # [L, H, S, D]
+            seg_v = jnp.roll(seg.v[:, 0], -pad, axis=2)
+            write_start = 0
+        self.k_pool, self.v_pool = self._compiled["page_prompt"](
+            self.k_pool, self.v_pool, seg_k, seg_v,
+            jnp.asarray(row), jnp.asarray(n, jnp.int32),
+            jnp.asarray(write_start, jnp.int32),
+        )
+        if self._sync_pools:
+            jax.block_until_ready((self.k_pool, self.v_pool))
+        # unpin the boundary chain page (read transiently by the seed)
+        self._release_pages(chain[n_shared:n_seed])
+        self._register_prefix(req.prompt, row)
+        self.block_table[slot] = row
+        self.kv_lengths[slot] = n
 
     # -- compiled fns ---------------------------------------------------------
 
@@ -356,7 +443,9 @@ class ContinuousBatcher:
 
     def _admit_chunked(self) -> None:
         """Process at most ONE prompt chunk per engine step; decode continues
-        between chunks (chunked/piggybacked prefill)."""
+        between chunks (chunked/piggybacked prefill). In paged mode the pages
+        are reserved up front, a cached prefix seeds the seg (APC), and only
+        the uncached suffix is chunked."""
         C = self.prefill_chunk
         if self._pending is None:
             if not self.queue or self.active.all():
@@ -364,21 +453,38 @@ class ContinuousBatcher:
             slot = int(np.flatnonzero(~self.active)[0])
             req = self.queue.popleft()
             n = len(req.prompt)
-            total = -(-n // C) * C
+            plan = None
+            if self.paged:
+                plan = self._paged_admission_plan(req, lambda s: -(-s // C) * C)
+                if plan is None:
+                    if not self.active.any():  # nothing will ever free pages
+                        raise ValueError(
+                            f"request {req.req_id} needs more KV pages than the pool holds"
+                        )
+                    self.queue.appendleft(req)  # no pages — wait for frees
+                    return
+            base = plan[2] if plan is not None else 0
+            total = -(-(n - base) // C) * C  # chunked span (all-real if base>0)
             if total + req.max_new_tokens > self.max_len:
                 raise ValueError(
                     f"request {req.req_id} needs {total + req.max_new_tokens} slots > max_len {self.max_len}"
                 )
-            toks = np.full(total, self.gen.pad_token_id, np.int32)
-            toks[total - n:] = np.asarray(req.prompt, np.int32)  # left-pad chunk 0
-            mask = np.zeros(total, bool)
-            mask[total - n:] = True
-            seg = kvc.init_cache(
-                self.cfg, 1, self.max_len, jnp.dtype(self.cfg.dtype),
-                quantized=not isinstance(self.cache.k, jnp.ndarray),
-            )
-            self._pending = [req, slot, seg, toks, mask, 0]
-        req, slot, seg, toks, mask, off = self._pending
+            if base > 0:
+                toks = np.asarray(req.prompt[base:], np.int32)  # == total tokens
+                mask = np.ones(total, bool)
+                seg = self._paged_seed(plan[1], base, plan[4], self.max_len)
+            else:
+                toks = np.full(total, self.gen.pad_token_id, np.int32)
+                toks[total - n:] = np.asarray(req.prompt, np.int32)  # left-pad chunk 0
+                mask = np.zeros(total, bool)
+                mask[total - n:] = True
+                seg = kvc.init_cache(
+                    self.cfg, 1, self.max_len, jnp.dtype(self.cfg.dtype),
+                    quantized=self.cache is not None
+                    and not isinstance(self.cache.k, jnp.ndarray),
+                )
+            self._pending = [req, slot, seg, toks, mask, 0, plan]
+        req, slot, seg, toks, mask, off, plan = self._pending
         logits, seg = self._chunk_fn(C)(
             self.params,
             jnp.asarray(toks[off : off + C])[None],
@@ -387,13 +493,20 @@ class ContinuousBatcher:
         )
         off += C
         if off < len(toks):
-            self._pending = [req, slot, seg, toks, mask, off]
+            self._pending = [req, slot, seg, toks, mask, off, plan]
             return
         # final chunk: sample the first token and splice the segment in
         self._pending = None
         self._rng, sub = jax.random.split(self._rng)
         first = self._sample_one(logits, sub, req)
-        self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
+        if self.paged:
+            row, chain, base, n_shared, n_seed = plan
+            self._paged_commit(
+                req, slot, seg, row, chain, base, n_shared, n_seed,
+                pad=len(toks) - len(req.prompt) if base == 0 else 0,
+            )
+        else:
+            self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
         req.first_token_at = time.perf_counter()
         req.output.append(first)
         self.slot_req[slot] = req
@@ -418,90 +531,39 @@ class ContinuousBatcher:
             tokens, mask = pack_prompts([req.prompt], self.gen.pad_token_id, bucket=bucket)
             if self.paged:
                 n = len(req.prompt)
-                bs_pg = self.block_size
-                n_pages = -(-(n + req.max_new_tokens) // bs_pg)
-                # --- automatic prefix caching -------------------------------
-                # reuse the longest cached full-block chain: seed a contiguous
-                # seg cache with the chain's KV, then compute ONLY a
-                # chunk-bucketed suffix. The chunk covers [base, n) where
-                # base = n - Cb, so validity stays contiguous (Pallas-legal);
-                # full blocks below base share pages, the boundary block is
-                # rewritten into a private page from the seeded values.
-                chain, reused = self._prefix_lookup(req.prompt)
-                reused = min(reused, n - 1)  # >=1 token must produce logits
-                base = 0
-                if reused > 0:
-                    Cb = bucket_length(n - reused)
-                    if Cb < bucket and n - Cb >= bs_pg:
-                        base = n - Cb  # chunk recomputes [base, n)
-                n_shared = base // bs_pg  # full blocks this request shares
-                n_seed = -(-base // bs_pg)  # chain pages the seed reads
-                n_fresh = n_pages - n_shared
-                cached_chain = sum(
-                    1 for p in chain[:n_seed] if p in self.cached_pages
-                )
-                if self._allocatable() - cached_chain < n_fresh:
+                # --- automatic prefix caching: reuse the longest cached
+                # full-block chain, recompute only a bucket-sized suffix.
+                plan = self._paged_admission_plan(req, bucket_length)
+                if plan is None:
+                    if not self.active.any():  # nothing will ever free pages
+                        raise ValueError(
+                            f"request {req.req_id} needs more KV pages than the pool holds"
+                        )
                     self.queue.appendleft(req)  # no memory — wait for frees
                     return
-                for p in chain[:n_seed]:  # pin before eviction can touch them
-                    self._claim_page(p)
-                fresh = [self._alloc_page() for _ in range(n_fresh)]
-                row = np.zeros(self.max_pages, np.int32)
-                row[:n_pages] = chain[:n_shared] + fresh
-                self.block_table[slot] = row
-                for p in fresh:
-                    self.page_rc[p] += 1
-                from lia_tpu.ops import paged as pg
-
-                if "page_prompt" not in self._compiled:
-                    self._compiled["page_prompt"] = jax.jit(
-                        pg.write_prompt_all_layers, donate_argnums=(0, 1)
-                    )
+                row, chain, base, n_shared, n_seed = plan
                 if base > 0:
-                    seed_row = np.zeros(self.max_pages, np.int32)
-                    seed_row[:n_seed] = chain[:n_seed]
-                    seed_key = ("seed", bucket)
-                    if seed_key not in self._compiled:
-                        self._compiled[seed_key] = jax.jit(
-                            partial(pg.seed_prefix_cache, bucket=bucket)
-                        )
-                    seg = self._compiled[seed_key](
-                        self.k_pool, self.v_pool, jnp.asarray(seed_row),
-                        jnp.asarray(base, jnp.int32),
-                    )
+                    # seed [0, base) from shared pages; chunk-prefill [base, n)
+                    Cb = n - base
+                    seg = self._paged_seed(chain, base, n_seed, bucket)
                     suffix = np.asarray(req.prompt[base:], np.int32)[None]
                     logits, seg = self._chunk_fn(Cb)(
                         self.params, jnp.asarray(suffix),
                         jnp.ones((1, Cb), bool), seg,
                     )
-                    seg_k, seg_v = seg.k[:, 0], seg.v[:, 0]
-                    write_start = n_shared * bs_pg
-                    self.prefix_hits += 1
-                    self.prefix_tokens_reused += base
+                    pad = 0
                 else:
                     # full prefill into a throwaway contiguous cache
                     seg = kvc.init_cache(self.cfg, 1, bucket, jnp.dtype(self.cfg.dtype))
                     logits, seg = self._prefill_fn(bucket)(
                         self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
                     )
-                    # prompts are left-padded in the slab; pages want tokens from 0
                     pad = bucket - n
-                    seg_k = jnp.roll(seg.k[:, 0], -pad, axis=2)  # [L, H, S, D]
-                    seg_v = jnp.roll(seg.v[:, 0], -pad, axis=2)
-                    write_start = 0
                 self._rng, sub = jax.random.split(self._rng)
                 first = self._sample_one(logits, sub, req)
-                self.k_pool, self.v_pool = self._compiled["page_prompt"](
-                    self.k_pool, self.v_pool, seg_k, seg_v,
-                    jnp.asarray(row), jnp.asarray(n, jnp.int32),
-                    jnp.asarray(write_start, jnp.int32),
+                self._paged_commit(
+                    req, slot, seg, row, chain, base, n_shared, n_seed, pad
                 )
-                if self._sync_pools:
-                    jax.block_until_ready((self.k_pool, self.v_pool))
-                # unpin the boundary chain page (read transiently by the seed)
-                self._release_pages(chain[n_shared:n_seed])
-                self._register_prefix(req.prompt, row)
-                self.kv_lengths[slot] = n
             elif self.sched is not None:
                 logits, seg_state = self.sched.prefill_pass(tokens, mask, self.max_len)
                 self._rng, sub = jax.random.split(self._rng)

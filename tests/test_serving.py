@@ -380,3 +380,48 @@ def test_prefix_cache_eviction_under_pressure(model):
     for i, j in zip(ids, ref_ids):
         assert out[i] == ref_out[j], f"request {i} (eviction)"
     _paged_pool_accounting_clean(cb)
+
+
+def test_chunked_paged_admission_with_prefix_cache(model):
+    """prefill_chunk composes with paged mode: pages reserved up front, chunks
+    interleave with decode, and a prefix-cache hit seeds the seg and chunks
+    only the uncached suffix. Outputs match slab serving."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=5)
+    sys_prefix = [((11 * i) % 300) + 2 for i in range(40)]
+    prompts = [
+        [5, 9, 23, 41],
+        sys_prefix + [401, 402, 403],
+        [8, 8, 8],
+        sys_prefix + [404, 405, 406, 407],
+    ]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        paged=True, block_size=8, prefill_chunk=16,
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (chunked+paged)"
+    # 4th prompt shares the 2nd's 40-token prefix: n=44, suffix=4 -> one
+    # 16-token chunk, base=28 -> 3 shared blocks
+    assert cb.prefix_hits == 1 and cb.prefix_tokens_reused == 28
+    _paged_pool_accounting_clean(cb)
+
+
+def test_chunked_paged_pool_too_small_raises(model):
+    """A request that can never fit the pool raises instead of spinning."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=4)
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        paged=True, block_size=8, num_blocks=3,  # 2 usable pages
+    )
+    cb.submit(list(range(2, 40)))  # needs ceil(42/8)=6 pages
+    with pytest.raises(ValueError, match="pool"):
+        cb.run()
