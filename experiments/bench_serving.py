@@ -38,7 +38,9 @@ IN_LEN = int(os.environ.get("IN_LEN", "128"))
 OUT_LEN = int(os.environ.get("OUT_LEN", "64"))
 
 
-def run_once(paged: bool) -> dict:
+def run_once(paged: bool, shared_prefix: int = 0) -> dict:
+    """``shared_prefix``: first N tokens identical across requests (system
+    prompt) — exercises automatic prefix caching in paged mode."""
     cfg = get_config(MODEL)
     params = init_dummy_params(cfg)
     gen = GenerationConfig(max_new_tokens=OUT_LEN)
@@ -47,26 +49,42 @@ def run_once(paged: bool) -> dict:
         gen=gen, paged=paged,
     )
     rng = np.random.default_rng(0)
+    prefix = list(rng.integers(10, 30000, size=shared_prefix))
     lens = rng.integers(IN_LEN // 2, IN_LEN, size=N_REQ)
     t_submit = time.perf_counter()
     for n in lens:
-        eng.submit(list(rng.integers(10, 30000, size=int(n))))
+        tail = list(rng.integers(10, 30000, size=max(int(n) - shared_prefix, 4)))
+        eng.submit(prefix + tail)
     done = eng.run()
     wall = time.perf_counter() - t_submit
     total_tokens = sum(len(r.output) for r in done)
-    return {
+    ttfts = [r.ttft_s for r in done if r.ttft_s is not None]
+    out = {
         "paged": paged,
+        "shared_prefix": shared_prefix,
         "requests": len(done),
         "wall_s": round(wall, 3),
         "tokens": total_tokens,
         "tokens_per_s": round(total_tokens / wall, 2),
+        "mean_ttft_s": round(float(np.mean(ttfts)), 4) if ttfts else 0.0,
     }
+    if paged:
+        out["prefix_hits"] = eng.prefix_hits
+        out["prefix_tokens_reused"] = eng.prefix_tokens_reused
+    return out
 
 
 def main():
-    for paged in (False, True):
+    scenarios = [
+        {"paged": False},
+        {"paged": True},
+        # shared system prompt: APC reuses its pages + skips its prefill
+        {"paged": False, "shared_prefix": 3 * IN_LEN // 4},
+        {"paged": True, "shared_prefix": 3 * IN_LEN // 4},
+    ]
+    for sc in scenarios:
         t0 = time.perf_counter()
-        res = run_once(paged)
+        res = run_once(**sc)
         res["incl_compile_s"] = round(time.perf_counter() - t0, 1)
         print(json.dumps({"bench": "serving", "model": MODEL, **res}), flush=True)
 
