@@ -45,11 +45,21 @@ class SystemProfile:
     h2d_bw: float = 8e9  # host→HBM staging bandwidth
     host_flops: float = 150e9  # XLA:CPU matmul FLOP/s
     host_mem_bw: float = 20e9  # host DRAM bandwidth
-    op_overhead_s: float = 15e-6  # per-XLA-op launch cost inside compiled loops
+    # Effective per-op cost inside compiled decode loops. NOT a raw launch
+    # overhead (round 2 retracted that reading): it absorbs the ~30µs scan
+    # fixed cost, ~4µs/pallas_call and sub-roofline small-op dispatch, fit so
+    # bf16 predictions land on the measured OPT-1.3B b8 step time.
+    op_overhead_s: float = 15e-6
     ops_per_layer: float = 7.0  # launches per decoder layer (qkv×3, attn, wo, mlp×2)
     ops_per_step: float = 5.0  # embed + lm_head + sampling + cache commit
-    woq_bw_derate: float = 0.55  # WOQ kernels' achieved fraction of hbm_bw at
-    # small M (measured: int8 fused dequant-matmul ~206 GB/s of 700 effective)
+    # Per-format achieved fractions of hbm_bw for weight reads, fit against the
+    # measured round-2 model-level step times (RESULTS.md):
+    # - dynamic-act int8 (int8×int8 MXU dots, no dequant): ~560-610 GB/s
+    # - int8 fused dequant-matmul: int8→bf16 convert bound, ~420-450 GB/s
+    # - int4 dequant (half-split unpack): ~220 GB/s on int4 bytes
+    dyn_bw_derate: float = 0.84
+    woq_bw_derate: float = 0.62
+    woq_int4_bw_derate: float = 0.32
 
 
 class Microbench:
@@ -133,29 +143,43 @@ class CostModel:
 
     # -- per-layer times by plan -------------------------------------------------
 
+    def weight_bw_derate(self) -> float:
+        """Achieved fraction of hbm_bw for weight reads, by format (measured)."""
+        p, q = self.profile, self.quant
+        if q.weight_dtype not in ("int8", "int4"):
+            return 1.0
+        if q.act_quant == "dynamic":
+            return p.dyn_bw_derate
+        return p.woq_int4_bw_derate if q.weight_dtype == "int4" else p.woq_bw_derate
+
     def tpu_layer_time(self, B: int, S: int, s_ctx: int, weights_resident: bool) -> float:
         p = self.profile
         flops = self.layer_flops(B, S, s_ctx)
-        w_bw = p.hbm_bw * (
-            p.woq_bw_derate if self.quant.weight_dtype in ("int8", "int4") else 1.0
-        )
+        w_bw = p.hbm_bw * self.weight_bw_derate()
         bytes_t = (
             self.weight_bytes_per_layer() / w_bw
             + self.kv_bytes_per_layer(B, s_ctx) / p.hbm_bw
         )
         t = max(flops / p.tpu_flops, bytes_t)
-        t += p.ops_per_layer * p.op_overhead_s  # launch overhead (measured)
+        t += p.ops_per_layer * p.op_overhead_s  # effective per-op cost (see profile)
         if not weights_resident:
             # streamed: transfer overlapped with compute — bound by the slower
             t = max(t, self.weight_bytes_per_layer() / p.h2d_bw)
         return t
 
     def predict_decode_step(self, B: int, s_ctx: int, resident: bool = True) -> float:
-        """Full-model decode step-time prediction (validated vs measurements)."""
+        """Full-model decode step-time prediction (validated in
+        tests/test_cost_model.py against the measured RESULTS.md anchors)."""
         c, p = self.cfg, self.profile
         t = c.num_layers * self.tpu_layer_time(B, 1, s_ctx, resident)
-        head_bytes = c.vocab_size * c.embed_dim * 2
-        t += head_bytes / p.hbm_bw + p.ops_per_step * p.op_overhead_s
+        per_param = {"int8": 1.0, "int4": 0.5}.get(self.quant.weight_dtype, 2.0)
+        if self.quant.enabled and self.quant.quant_lm_head:
+            head_bytes = c.vocab_size * c.embed_dim * per_param
+            head_bw = p.hbm_bw * self.weight_bw_derate()
+        else:
+            head_bytes = c.vocab_size * c.embed_dim * 2
+            head_bw = p.hbm_bw
+        t += head_bytes / head_bw + p.ops_per_step * p.op_overhead_s
         return t
 
     def host_layer_time(self, B: int, S: int, s_ctx: int) -> float:

@@ -46,8 +46,10 @@ def test_report_keys():
 
 def test_prediction_accuracy_vs_measured():
     """The default v5e profile must predict MEASURED decode step times within
-    ±40% (round-1 gap: defaults/derates never validated against reality).
-    Measurements from RESULTS.md, TPU v5e, fused decode, 256-in/272-ctx."""
+    -25%/+35% across every weight format (round-1 gap: defaults/derates never
+    validated against reality). Anchors: RESULTS.md round-2 table, TPU v5e,
+    fused decode, 256-in/272-ctx; per-format bw derates in SystemProfile were
+    fit against exactly these numbers, so this test pins model<->hardware drift."""
     from lia_tpu.config import QuantConfig
     from lia_tpu.models.registry import get_config
     from lia_tpu.runtime.cost_model import CostModel, SystemProfile
@@ -55,12 +57,22 @@ def test_prediction_accuracy_vs_measured():
     measured = [
         # (model, quant, batch, ctx, measured step seconds)
         ("opt-1.3b", QuantConfig(), 8, 272, 6.89e-3),
-        ("llama-3-8b", QuantConfig(weight_dtype="int8", group_size=128), 8, 272, 20.3e-3),
-        ("opt-6.7b", QuantConfig(weight_dtype="int8", group_size=128), 16, 272, 23.5e-3),
+        ("opt-6.7b", QuantConfig(weight_dtype="int8", act_quant="dynamic"),
+         16, 272, 16.12e-3),
+        ("opt-6.7b", QuantConfig(weight_dtype="int8", kv_cache_dtype="int8"),
+         16, 272, 20.10e-3),
+        ("llama-3-8b", QuantConfig(weight_dtype="int8", act_quant="dynamic",
+                                   kv_cache_dtype="int8"), 8, 272, 12.58e-3),
+        ("llama-3-8b", QuantConfig(weight_dtype="int8"), 8, 272, 18.93e-3),
+        ("llama-3-8b", QuantConfig(weight_dtype="int4", group_size=128),
+         8, 272, 18.44e-3),
     ]
     prof = SystemProfile()
     for name, qc, B, ctx, t_meas in measured:
         cm = CostModel(get_config(name), prof, qc)
         pred = cm.predict_decode_step(B, ctx)
         ratio = t_meas / pred
-        assert 0.6 <= ratio <= 1.4, f"{name}: predicted {pred*1e3:.2f} ms vs measured {t_meas*1e3:.2f} ms"
+        assert 0.75 <= ratio <= 1.35, (
+            f"{name} {qc.weight_dtype}/{qc.act_quant}: predicted "
+            f"{pred*1e3:.2f} ms vs measured {t_meas*1e3:.2f} ms"
+        )
