@@ -42,6 +42,8 @@ class Request:
     top_k: Optional[int] = None
     top_p: Optional[float] = None
     stop_token_ids: Optional[List[int]] = None  # extra per-request stops
+    repetition_penalty: Optional[float] = None  # needs engine processors on
+    min_new_tokens: Optional[int] = None  # needs engine processors on
     submitted_at: float = field(default_factory=time.perf_counter)
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
@@ -68,6 +70,7 @@ class ContinuousBatcher:
         block_size: int = 16,
         num_blocks: Optional[int] = None,
         prefill_chunk: Optional[int] = None,
+        enable_processors: Optional[bool] = None,
     ):
         """``mesh``: optional (1, tp) jax Mesh — weights and KV shard over the
         "model" axis (ICI tensor parallelism); the data axis must be 1 because
@@ -186,13 +189,24 @@ class ContinuousBatcher:
         self.s_topp = np.full(max_batch, gen.top_p, np.float32)
         self.s_greedy = np.full(max_batch, not gen.do_sample, bool)
         self._s_dev = None  # cached device copies of the slot params
-        from lia_tpu.engine.engine import _needs_processors
-
-        if _needs_processors(gen):
+        if gen.no_repeat_ngram_size > 0:
             raise NotImplementedError(
-                "repetition_penalty/min_new_tokens/no_repeat_ngram_size are "
-                "not wired into continuous-batching serving"
+                "no_repeat_ngram_size is not wired into continuous-batching "
+                "serving (needs per-slot ngram history)"
             )
+        # logits processors (repetition_penalty / min_new_tokens): a per-slot
+        # token-presence bitmap on device + per-slot penalty/EOS-suppression
+        # vectors, applied before every sampling warp (HF LogitsProcessorList
+        # parity, per-request params)
+        if enable_processors is None:
+            enable_processors = gen.repetition_penalty != 1.0 or (
+                gen.min_new_tokens > 0 and gen.eos_token_id is not None
+            )
+        self.use_processors = enable_processors
+        if enable_processors:
+            self.seen = jnp.zeros((max_batch, cfg.vocab_size), bool)
+            self.s_rep = np.full(max_batch, gen.repetition_penalty, np.float32)
+            self.s_minnew = np.full(max_batch, gen.min_new_tokens, np.int32)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
         if prefill_chunk is not None and (self.sched is not None or mesh is not None):
@@ -379,16 +393,26 @@ class ContinuousBatcher:
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
         stop_token_ids: Optional[Sequence[int]] = None,
+        repetition_penalty: Optional[float] = None,
+        min_new_tokens: Optional[int] = None,
     ) -> int:
         """Queue a request. Sampling kwargs override the engine's
         GenerationConfig PER REQUEST (mixed greedy/sampled batches decode
         together — :func:`lia_tpu.ops.sampling.sample_per_row`)."""
+        if (repetition_penalty is not None or min_new_tokens is not None) and (
+            not self.use_processors
+        ):
+            raise ValueError(
+                "per-request repetition_penalty/min_new_tokens need the engine "
+                "built with enable_processors=True (or processor defaults in gen)"
+            )
         rid = self._next_id
         self._next_id += 1
         self.queue.append(Request(
             rid, list(prompt), max_new_tokens or self.gen.max_new_tokens,
             do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p,
             stop_token_ids=list(stop_token_ids) if stop_token_ids else None,
+            repetition_penalty=repetition_penalty, min_new_tokens=min_new_tokens,
         ))
         return rid
 
@@ -401,7 +425,45 @@ class ContinuousBatcher:
         self.s_temp[slot] = g.temperature if req.temperature is None else req.temperature
         self.s_topk[slot] = g.top_k if req.top_k is None else req.top_k
         self.s_topp[slot] = g.top_p if req.top_p is None else req.top_p
+        if self.use_processors:
+            self.s_rep[slot] = (
+                g.repetition_penalty if req.repetition_penalty is None
+                else req.repetition_penalty
+            )
+            self.s_minnew[slot] = (
+                g.min_new_tokens if req.min_new_tokens is None else req.min_new_tokens
+            )
         self._s_dev = None  # invalidate the cached device copies
+
+    def _activate_slot(self, slot: int, req: Request, first: int) -> None:
+        """Common admission tail: record the first token and bring the slot up."""
+        req.first_token_at = time.perf_counter()
+        req.output.append(first)
+        self.slot_req[slot] = req
+        self.active[slot] = True
+        self._slot_sampling(slot, req)
+        if self.use_processors:
+            row = np.zeros((1, self.cfg.vocab_size), bool)
+            row[0, np.asarray(req.prompt, np.int64)] = True
+            row[0, first] = True
+            if "set_seen_row" not in self._compiled:
+                self._compiled["set_seen_row"] = jax.jit(
+                    lambda seen, r, s: jax.lax.dynamic_update_slice(seen, r, (s, 0)),
+                    donate_argnums=(0,),
+                )
+            self.seen = self._compiled["set_seen_row"](
+                self.seen, jnp.asarray(row), jnp.asarray(slot, jnp.int32)
+            )
+        self.tokens[slot] = first
+        self.logical_pos[slot] = len(req.prompt)
+        self._maybe_finish(slot, first)
+
+    def _process_rows_fn(self):
+        if "process_rows" not in self._compiled:
+            self._compiled["process_rows"] = jax.jit(partial(
+                sampling.process_logits_rows, eos_token_id=self.gen.eos_token_id
+            ))
+        return self._compiled["process_rows"]
 
     def _sample_rows(self, logits, sub):
         if self.s_greedy.all():
@@ -419,6 +481,18 @@ class ContinuousBatcher:
 
     def _sample_one(self, logits, sub, req: Request) -> int:
         g = self.gen
+        if self.use_processors:
+            row = np.zeros((1, self.cfg.vocab_size), bool)
+            row[0, np.asarray(req.prompt, np.int64)] = True
+            rep = (
+                g.repetition_penalty if req.repetition_penalty is None
+                else req.repetition_penalty
+            )
+            mn = g.min_new_tokens if req.min_new_tokens is None else req.min_new_tokens
+            logits = self._process_rows_fn()(
+                logits, jnp.asarray(row), jnp.asarray([rep], jnp.float32),
+                jnp.asarray([mn > 0 and g.eos_token_id is not None]),
+            )
         ds = g.do_sample if req.do_sample is None else req.do_sample
         if not ds:
             return int(jnp.argmax(logits[0]))
@@ -507,14 +581,7 @@ class ContinuousBatcher:
             )
         else:
             self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
-        req.first_token_at = time.perf_counter()
-        req.output.append(first)
-        self.slot_req[slot] = req
-        self.active[slot] = True
-        self._slot_sampling(slot, req)
-        self.tokens[slot] = first
-        self.logical_pos[slot] = len(req.prompt)
-        self._maybe_finish(slot, first)
+        self._activate_slot(slot, req, first)
 
     def _admit(self) -> None:
         if self.prefill_chunk is not None:
@@ -583,14 +650,7 @@ class ContinuousBatcher:
                 self._rng, sub = jax.random.split(self._rng)
                 first = self._sample_one(logits, sub, req)
                 self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
-            req.first_token_at = time.perf_counter()
-            req.output.append(first)
-            self.slot_req[slot] = req
-            self.active[slot] = True
-            self._slot_sampling(slot, req)
-            self.tokens[slot] = first
-            self.logical_pos[slot] = len(req.prompt)
-            self._maybe_finish(slot, first)
+            self._activate_slot(slot, req, first)
 
     def _maybe_finish(self, slot: int, tok: int) -> None:
         req = self.slot_req[slot]
@@ -652,7 +712,25 @@ class ContinuousBatcher:
                 self.cache,
                 jnp.asarray(self.active),
             )
+        if self.use_processors:
+            suppress = np.array([
+                bool(self.active[b])
+                and self.slot_req[b] is not None
+                and len(self.slot_req[b].output) < self.s_minnew[b]
+                for b in range(self.B)
+            ], bool)
+            logits = self._process_rows_fn()(
+                logits, self.seen, jnp.asarray(self.s_rep), jnp.asarray(suppress)
+            )
         toks = np.asarray(self._sample_rows(logits, sub))
+        if self.use_processors:
+            if "mark_seen" not in self._compiled:
+                self._compiled["mark_seen"] = jax.jit(
+                    sampling.mark_seen, donate_argnums=(0,)
+                )
+            self.seen = self._compiled["mark_seen"](
+                self.seen, jnp.asarray(toks), jnp.asarray(self.active)
+            )
         self._steps += 1
         for slot in np.flatnonzero(self.active):
             slot = int(slot)

@@ -131,6 +131,36 @@ def process_logits(
     return logits
 
 
+def process_logits_rows(
+    logits: jnp.ndarray,  # [B, V]
+    seen: jnp.ndarray,  # [B, V] bool — prompt+generated token presence per slot
+    rep_penalty: jnp.ndarray,  # [B] f32 (1.0 = off)
+    suppress_eos: jnp.ndarray,  # [B] bool — min_new_tokens not yet reached
+    eos_token_id: int | None,
+) -> jnp.ndarray:
+    """PER-ROW logits processors for continuous-batching serving: each slot
+    carries its own repetition penalty and EOS-suppression flag (the per-request
+    analog of :func:`process_logits`; reference runs HF's LogitsProcessorList
+    per generation — serving batches requests with different params)."""
+    x = logits.astype(jnp.float32)
+    pen = jnp.where(x > 0, x / rep_penalty[:, None], x * rep_penalty[:, None])
+    x = jnp.where(seen & (rep_penalty[:, None] != 1.0), pen, x)
+    if eos_token_id is not None:
+        eos_col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) == eos_token_id
+        x = jnp.where(eos_col & suppress_eos[:, None], NEG_INF, x)
+    return x.astype(logits.dtype)
+
+
+def mark_seen(
+    seen: jnp.ndarray,  # [B, V] bool
+    toks: jnp.ndarray,  # [B] i32 freshly emitted tokens
+    active: jnp.ndarray,  # [B] bool
+) -> jnp.ndarray:
+    """Record emitted tokens in the presence bitmap (inactive rows unchanged)."""
+    B = seen.shape[0]
+    return seen.at[jnp.arange(B), toks].max(active)
+
+
 def warp_logits(logits: jnp.ndarray, gen: GenerationConfig) -> jnp.ndarray:
     """Temperature/top-k/top-p warp ([..., V] → [..., V] warped logits).
 

@@ -425,3 +425,74 @@ def test_chunked_paged_pool_too_small_raises(model):
     cb.submit(list(range(2, 40)))  # needs ceil(42/8)=6 pages
     with pytest.raises(ValueError, match="pool"):
         cb.run()
+
+
+# -- logits processors in serving -------------------------------------------
+
+
+def test_serving_repetition_penalty_matches_engine(model):
+    """Serving with repetition_penalty generates exactly what the static
+    engine's (HF-golden-tested) processor path generates."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=6, repetition_penalty=1.4)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8, 12, 13]]
+
+    eng = InferenceEngine(cfg, params)
+    ref = [list(eng.generate([p], gen).sequences[0]) for p in prompts]
+
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=96, gen=gen)
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, r in zip(ids, ref):
+        assert by_id[i] == r, f"request {i} (serving rep-penalty)"
+
+
+def test_serving_min_new_tokens_and_per_request_override(model):
+    """min_new_tokens suppresses EOS per slot; per-request overrides compose
+    with engine defaults in one batch."""
+    cfg, params = model
+    base = GenerationConfig(max_new_tokens=6)
+    # find the greedy trajectory, then make one of its tokens the EOS so the
+    # default request stops early and the min_new_tokens request pushes past it
+    eng = InferenceEngine(cfg, params)
+    traj = list(eng.generate([[5, 9, 23, 41]], base).sequences[0])
+    eos = traj[2]
+    gen = GenerationConfig(max_new_tokens=6, eos_token_id=eos)
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=96, gen=gen, enable_processors=True
+    )
+    a = cb.submit([5, 9, 23, 41])  # stops at the eos (3 tokens)
+    b = cb.submit([5, 9, 23, 41], min_new_tokens=5)  # EOS banned until 5
+    done = {r.req_id: r.output for r in cb.run()}
+    assert done[a] == traj[:3]
+    assert len(done[b]) >= 5
+    assert eos not in done[b][:4]  # suppressed while < min_new_tokens
+
+
+def test_serving_per_request_processor_needs_optin(model):
+    cfg, params = model
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64)
+    with pytest.raises(ValueError, match="enable_processors"):
+        cb.submit([1, 2, 3], repetition_penalty=1.3)
+
+
+def test_serving_paged_with_processors(model):
+    """Processors compose with the paged path (and prefix caching)."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=5, repetition_penalty=1.3)
+    prompt = [((7 * i) % 300) + 2 for i in range(40)]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    r0 = ref.submit(prompt)
+    ref_out = {r.req_id: r.output for r in ref.run()}[r0]
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, paged=True, block_size=8
+    )
+    a = cb.submit(prompt)
+    cb.run()
+    b = cb.submit(prompt)  # prefix-cache hit; processors still apply
+    out = {r.req_id: r.output for r in cb.run()}
+    assert out[a] == ref_out and out[b] == ref_out
+    assert cb.prefix_hits == 1
