@@ -44,6 +44,7 @@ class Request:
     stop_token_ids: Optional[List[int]] = None  # extra per-request stops
     repetition_penalty: Optional[float] = None  # needs engine processors on
     min_new_tokens: Optional[int] = None  # needs engine processors on
+    no_repeat_ngram_size: Optional[int] = None  # needs engine processors on
     submitted_at: float = field(default_factory=time.perf_counter)
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
@@ -189,24 +190,23 @@ class ContinuousBatcher:
         self.s_topp = np.full(max_batch, gen.top_p, np.float32)
         self.s_greedy = np.full(max_batch, not gen.do_sample, bool)
         self._s_dev = None  # cached device copies of the slot params
-        if gen.no_repeat_ngram_size > 0:
-            raise NotImplementedError(
-                "no_repeat_ngram_size is not wired into continuous-batching "
-                "serving (needs per-slot ngram history)"
-            )
-        # logits processors (repetition_penalty / min_new_tokens): a per-slot
-        # token-presence bitmap on device + per-slot penalty/EOS-suppression
-        # vectors, applied before every sampling warp (HF LogitsProcessorList
+        # logits processors (repetition_penalty / min_new_tokens /
+        # no_repeat_ngram_size): a per-slot token-presence bitmap on device +
+        # per-slot penalty/EOS-suppression vectors + host-computed ngram ban
+        # lists, applied before every sampling warp (HF LogitsProcessorList
         # parity, per-request params)
         if enable_processors is None:
-            enable_processors = gen.repetition_penalty != 1.0 or (
-                gen.min_new_tokens > 0 and gen.eos_token_id is not None
+            enable_processors = (
+                gen.repetition_penalty != 1.0
+                or (gen.min_new_tokens > 0 and gen.eos_token_id is not None)
+                or gen.no_repeat_ngram_size > 0
             )
         self.use_processors = enable_processors
         if enable_processors:
             self.seen = jnp.zeros((max_batch, cfg.vocab_size), bool)
             self.s_rep = np.full(max_batch, gen.repetition_penalty, np.float32)
             self.s_minnew = np.full(max_batch, gen.min_new_tokens, np.int32)
+            self.s_ngram = np.full(max_batch, gen.no_repeat_ngram_size, np.int32)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
         if prefill_chunk is not None and (self.sched is not None or mesh is not None):
@@ -395,13 +395,16 @@ class ContinuousBatcher:
         stop_token_ids: Optional[Sequence[int]] = None,
         repetition_penalty: Optional[float] = None,
         min_new_tokens: Optional[int] = None,
+        no_repeat_ngram_size: Optional[int] = None,
     ) -> int:
         """Queue a request. Sampling kwargs override the engine's
         GenerationConfig PER REQUEST (mixed greedy/sampled batches decode
         together — :func:`lia_tpu.ops.sampling.sample_per_row`)."""
-        if (repetition_penalty is not None or min_new_tokens is not None) and (
-            not self.use_processors
-        ):
+        if (
+            repetition_penalty is not None
+            or min_new_tokens is not None
+            or no_repeat_ngram_size is not None
+        ) and not self.use_processors:
             raise ValueError(
                 "per-request repetition_penalty/min_new_tokens need the engine "
                 "built with enable_processors=True (or processor defaults in gen)"
@@ -413,6 +416,7 @@ class ContinuousBatcher:
             do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p,
             stop_token_ids=list(stop_token_ids) if stop_token_ids else None,
             repetition_penalty=repetition_penalty, min_new_tokens=min_new_tokens,
+            no_repeat_ngram_size=no_repeat_ngram_size,
         ))
         return rid
 
@@ -432,6 +436,10 @@ class ContinuousBatcher:
             )
             self.s_minnew[slot] = (
                 g.min_new_tokens if req.min_new_tokens is None else req.min_new_tokens
+            )
+            self.s_ngram[slot] = (
+                g.no_repeat_ngram_size if req.no_repeat_ngram_size is None
+                else req.no_repeat_ngram_size
             )
         self._s_dev = None  # invalidate the cached device copies
 
@@ -465,6 +473,35 @@ class ContinuousBatcher:
             ))
         return self._compiled["process_rows"]
 
+    @staticmethod
+    def _ngram_bans(seq: List[int], n: int) -> List[int]:
+        """HF NoRepeatNGram over one un-padded history: tokens that would
+        complete an n-gram already present in ``seq``."""
+        if n <= 0 or len(seq) < n - 1:
+            return []
+        if n == 1:
+            return sorted(set(seq))
+        tail = tuple(seq[len(seq) - (n - 1):])
+        return sorted({
+            seq[i + n - 1]
+            for i in range(len(seq) - n + 1)
+            if tuple(seq[i : i + n - 1]) == tail
+        })
+
+    def _apply_ngram_bans(self, logits, ban_rows: List[List[int]]):
+        """Upload the host-computed ban lists (width bucketed to bound
+        compiles) and NEG_INF them in one device scatter."""
+        K = max(len(b) for b in ban_rows)
+        if K == 0:
+            return logits
+        K = bucket_length(K, minimum=8)
+        arr = np.full((len(ban_rows), K), -1, np.int32)
+        for b, bans in enumerate(ban_rows):
+            arr[b, : len(bans)] = bans
+        if "ban_rows" not in self._compiled:
+            self._compiled["ban_rows"] = jax.jit(sampling.ban_tokens_rows)
+        return self._compiled["ban_rows"](logits, jnp.asarray(arr))
+
     def _sample_rows(self, logits, sub):
         if self.s_greedy.all():
             # default/all-greedy batches skip the per-row warp entirely (one
@@ -492,6 +529,13 @@ class ContinuousBatcher:
             logits = self._process_rows_fn()(
                 logits, jnp.asarray(row), jnp.asarray([rep], jnp.float32),
                 jnp.asarray([mn > 0 and g.eos_token_id is not None]),
+            )
+            ng = (
+                g.no_repeat_ngram_size if req.no_repeat_ngram_size is None
+                else req.no_repeat_ngram_size
+            )
+            logits = self._apply_ngram_bans(
+                logits, [self._ngram_bans(req.prompt, ng)]
             )
         ds = g.do_sample if req.do_sample is None else req.do_sample
         if not ds:
@@ -722,6 +766,17 @@ class ContinuousBatcher:
             logits = self._process_rows_fn()(
                 logits, self.seen, jnp.asarray(self.s_rep), jnp.asarray(suppress)
             )
+            if (self.s_ngram > 0).any():
+                ban_rows = [
+                    self._ngram_bans(
+                        self.slot_req[b].prompt + self.slot_req[b].output,
+                        int(self.s_ngram[b]),
+                    )
+                    if self.active[b] and self.slot_req[b] is not None
+                    else []
+                    for b in range(self.B)
+                ]
+                logits = self._apply_ngram_bans(logits, ban_rows)
         toks = np.asarray(self._sample_rows(logits, sub))
         if self.use_processors:
             if "mark_seen" not in self._compiled:

@@ -161,6 +161,21 @@ def mark_seen(
     return seen.at[jnp.arange(B), toks].max(active)
 
 
+def ban_tokens_rows(
+    logits: jnp.ndarray,  # [B, V]
+    banned: jnp.ndarray,  # [B, K] i32 token ids to ban per row (-1 = none)
+) -> jnp.ndarray:
+    """Set explicit per-row token bans to NEG_INF (serving's no-repeat-ngram:
+    the ban LIST is computed host-side from each slot's un-padded
+    prompt+output history, so the device op is one scatter)."""
+    B = logits.shape[0]
+    safe = jnp.where(banned >= 0, banned, 0)
+    fill = jnp.where(banned >= 0, NEG_INF, jnp.inf).astype(jnp.float32)
+    mask = jnp.full(logits.shape, jnp.inf, jnp.float32)
+    mask = mask.at[jnp.arange(B)[:, None], safe].min(fill)
+    return jnp.where(mask <= NEG_INF, NEG_INF, logits)
+
+
 def warp_logits(logits: jnp.ndarray, gen: GenerationConfig) -> jnp.ndarray:
     """Temperature/top-k/top-p warp ([..., V] → [..., V] warped logits).
 

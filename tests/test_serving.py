@@ -496,3 +496,43 @@ def test_serving_paged_with_processors(model):
     out = {r.req_id: r.output for r in cb.run()}
     assert out[a] == ref_out and out[b] == ref_out
     assert cb.prefix_hits == 1
+
+
+def test_serving_no_repeat_ngram_matches_engine(model):
+    """Serving's host-computed ngram bans match the engine's in-graph
+    (HF-golden-tested) ban_repeated_ngrams on un-padded single prompts."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params)
+    # prompts avoid pad id 1 so padded-engine vs un-padded-serving histories
+    # agree on every scanned window
+    prompts = [[5, 9, 5, 9, 23], [8, 8, 8, 8, 8, 12, 13], [100, 7, 3]]
+    for n in (1, 2, 3):
+        gen = GenerationConfig(max_new_tokens=6, no_repeat_ngram_size=n)
+        ref = [list(eng.generate([p], gen).sequences[0]) for p in prompts]
+        cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=96, gen=gen)
+        ids = [cb.submit(p) for p in prompts]
+        by_id = {r.req_id: r.output for r in cb.run()}
+        for i, r in zip(ids, ref):
+            assert by_id[i] == r, f"request {i} (serving ngram={n})"
+
+
+def test_serving_per_request_ngram(model):
+    """Per-request no_repeat_ngram_size: banned request diverges from the
+    default request in the same batch; default matches plain serving."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=6)
+    prompt = [5, 9, 5, 9, 23]
+
+    plain = ContinuousBatcher(cfg, params, max_batch=2, max_len=96, gen=gen)
+    p0 = plain.submit(prompt)
+    plain_out = {r.req_id: r.output for r in plain.run()}[p0]
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=96, gen=gen, enable_processors=True
+    )
+    a = cb.submit(prompt)
+    b = cb.submit(prompt, no_repeat_ngram_size=1)  # every token unique
+    done = {r.req_id: r.output for r in cb.run()}
+    assert done[a] == plain_out
+    assert len(set(done[b])) == len(done[b])  # n=1: no token repeats
+    assert not set(done[b]) & set(prompt)  # prompt tokens banned too
