@@ -72,6 +72,8 @@ class ContinuousBatcher:
         num_blocks: Optional[int] = None,
         prefill_chunk: Optional[int] = None,
         enable_processors: Optional[bool] = None,
+        speculate_k: Optional[int] = None,
+        speculate_ngram: int = 3,
     ):
         """``mesh``: optional (1, tp) jax Mesh — weights and KV shard over the
         "model" axis (ICI tensor parallelism); the data axis must be 1 because
@@ -207,6 +209,24 @@ class ContinuousBatcher:
             self.s_rep = np.full(max_batch, gen.repetition_penalty, np.float32)
             self.s_minnew = np.full(max_batch, gen.min_new_tokens, np.int32)
             self.s_ngram = np.full(max_batch, gen.no_repeat_ngram_size, np.int32)
+        # prompt-lookup speculative decoding (greedy-exact): each engine step
+        # verifies k proposals + 1 bonus token per active slot in ONE chunked
+        # pass over the ragged slab cache (lookahead._verify_fn already takes
+        # [B] bases), so accepted runs advance slots unevenly — exactly what
+        # continuous batching's per-slot lengths express
+        self.speculate_k = speculate_k
+        self.speculate_ngram = speculate_ngram
+        if speculate_k is not None:
+            if paged or self.sched is not None or mesh is not None or prefill_chunk:
+                raise NotImplementedError(
+                    "speculative serving runs on the resident slab path"
+                )
+            if self.use_processors:
+                raise NotImplementedError(
+                    "speculation does not compose with logits processors"
+                )
+            if gen.do_sample:
+                raise NotImplementedError("speculative serving is greedy-exact only")
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
         if prefill_chunk is not None and (self.sched is not None or mesh is not None):
@@ -409,6 +429,8 @@ class ContinuousBatcher:
                 "per-request repetition_penalty/min_new_tokens need the engine "
                 "built with enable_processors=True (or processor defaults in gen)"
             )
+        if self.speculate_k is not None and do_sample:
+            raise ValueError("speculative serving is greedy-exact only")
         rid = self._next_id
         self._next_id += 1
         self.queue.append(Request(
@@ -635,9 +657,10 @@ class ContinuousBatcher:
             slot = int(np.flatnonzero(~self.active)[0])
             req = self.queue.popleft()
             bucket = bucket_length(len(req.prompt))
-            if bucket + req.max_new_tokens > self.max_len:
+            slack = self.speculate_k + 1 if self.speculate_k is not None else 0
+            if bucket + req.max_new_tokens + slack > self.max_len:
                 raise ValueError(
-                    f"request {req.req_id} needs {bucket + req.max_new_tokens} slots > max_len {self.max_len}"
+                    f"request {req.req_id} needs {bucket + req.max_new_tokens + slack} slots > max_len {self.max_len}"
                 )
             tokens, mask = pack_prompts([req.prompt], self.gen.pad_token_id, bucket=bucket)
             if self.paged:
@@ -713,12 +736,71 @@ class ContinuousBatcher:
                 self.block_table[slot] = 0
                 self.kv_lengths[slot] = 0
 
+    def _spec_step(self) -> None:
+        """One speculative iteration: propose k tokens per active slot from its
+        own history (prompt lookup), verify all k+1 in one chunked ragged pass,
+        accept the longest argmax-matching prefix + the bonus token."""
+        from lia_tpu.engine import lookahead as la
+
+        k = self.speculate_k
+        C = k + 1
+        g = self.gen
+        active = self.active.copy()
+        props = np.stack([
+            la.propose_ngram(
+                self.slot_req[b].prompt + self.slot_req[b].output,
+                self.speculate_ngram, k, g.pad_token_id,
+            )
+            if active[b] and self.slot_req[b] is not None
+            else [g.pad_token_id] * k
+            for b in range(self.B)
+        ]).astype(np.int32)
+        chunk = np.concatenate([self.tokens[:, None].astype(np.int32), props], axis=1)
+        positions = (
+            self.logical_pos[:, None].astype(np.int32)
+            + np.arange(C, dtype=np.int32)[None, :]
+        )
+        vkey = ("spec_verify", C)
+        if vkey not in self._compiled:
+            self._compiled[vkey] = la._verify_fn(self.cfg)
+            self._compiled["spec_advance"] = la._accept_fn()
+        greedy, self.cache = self._compiled[vkey](
+            self.params, jnp.asarray(chunk), jnp.asarray(positions), self.cache
+        )
+        greedy = np.asarray(greedy)
+        self._steps += 1
+        accept = np.zeros(self.B, np.int32)
+        for b in np.flatnonzero(active):
+            b = int(b)
+            req = self.slot_req[b]
+            a = 0
+            while a < k and props[b, a] == greedy[b, a]:
+                a += 1
+            new_toks = [int(t) for t in chunk[b, 1 : a + 1]] + [int(greedy[b, a])]
+            new_toks = new_toks[: req.max_new_tokens - len(req.output)]
+            stops = set() if g.eos_token_id is None else {g.eos_token_id}
+            if req.stop_token_ids:
+                stops |= set(req.stop_token_ids)
+            for j, t in enumerate(new_toks):
+                if t in stops:
+                    new_toks = new_toks[: j + 1]
+                    break
+            accept[b] = len(new_toks)
+            req.output.extend(new_toks)
+            self.tokens[b] = new_toks[-1]
+            self.logical_pos[b] += len(new_toks)
+            self._maybe_finish(b, new_toks[-1])
+        self.cache = self._compiled["spec_advance"](self.cache, jnp.asarray(accept))
+
     def step(self) -> bool:
         """One engine iteration: admit waiting requests, then one decode step.
         Returns False when there is nothing left to do."""
         self._admit()
         if not self.active.any():
             return bool(self.queue) or self._pending is not None
+        if self.speculate_k is not None:
+            self._spec_step()
+            return True
         self._rng, sub = jax.random.split(self._rng)
         if self.paged:
             from lia_tpu.ops import paged as pg

@@ -536,3 +536,64 @@ def test_serving_per_request_ngram(model):
     assert done[a] == plain_out
     assert len(set(done[b])) == len(done[b])  # n=1: no token repeats
     assert not set(done[b]) & set(prompt)  # prompt tokens banned too
+
+
+# -- speculative decoding in serving ----------------------------------------
+
+
+def test_speculative_serving_matches_plain(model):
+    """Prompt-lookup speculation in continuous batching is greedy-exact: same
+    per-request tokens as plain serving, in fewer verify steps on repetitive
+    prompts."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=8)
+    prompts = [
+        [5, 9, 23, 41, 5, 9, 23, 41, 5, 9],  # repetitive: proposals land
+        [100, 7, 3],
+        [8, 8, 8, 8, 8, 12, 13],
+        [50, 60, 7, 9, 11, 50, 60, 7, 9],
+    ]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, speculate_k=4
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (speculative serving)"
+    total = sum(len(o) for o in by_id.values())
+    # each verify step emits >=1 token/slot; repetition must beat 1:1
+    assert cb._steps < total / 1.0
+    assert cb.stats()["decode_steps"] == cb._steps
+
+
+def test_speculative_serving_stop_tokens(model):
+    """A stop token inside an accepted run truncates that request exactly
+    there (no tokens past the stop leak out)."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=8)
+    prompt = [5, 9, 23, 41, 5, 9, 23, 41, 5, 9]
+    solo = ContinuousBatcher(cfg, params, max_batch=1, max_len=128, gen=gen)
+    solo.submit(prompt)
+    ref = solo.run()[0].output
+    stop = ref[4]
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=1, max_len=128, gen=gen, speculate_k=4
+    )
+    cb.submit(prompt, stop_token_ids=[stop])
+    out = cb.run()[0].output
+    assert out == ref[: ref.index(stop) + 1]
+
+
+def test_speculative_serving_guards(model):
+    cfg, params = model
+    with pytest.raises(NotImplementedError, match="slab"):
+        ContinuousBatcher(cfg, params, paged=True, speculate_k=4)
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, speculate_k=4)
+    with pytest.raises(ValueError, match="greedy"):
+        cb.submit([1, 2, 3], do_sample=True)
