@@ -220,9 +220,10 @@ def _draft_loop_fn(cfg: ModelConfig, k: int):
     emits proposals [B, k]. The cache advances k+1 slots — the caller rewinds
     it to the verified prefix afterwards."""
 
-    def f(params, pending, n_real, cache):  # pending/n_real: [B] int32
+    def f(params, pending, n_real, cache, active=None):  # pending/n_real: [B]
         B = pending.shape[0]
-        active = jnp.ones((B,), jnp.bool_)
+        if active is None:  # batch mode: every row drafts (serving passes the
+            active = jnp.ones((B,), jnp.bool_)  # live slot mask instead)
 
         def body(carry, i):
             tok, c = carry

@@ -74,6 +74,7 @@ class ContinuousBatcher:
         enable_processors: Optional[bool] = None,
         speculate_k: Optional[int] = None,
         speculate_ngram: int = 3,
+        draft: Optional[tuple] = None,  # (draft ModelConfig, draft host params)
     ):
         """``mesh``: optional (1, tp) jax Mesh — weights and KV shard over the
         "model" axis (ICI tensor parallelism); the data axis must be 1 because
@@ -227,6 +228,27 @@ class ContinuousBatcher:
                 )
             if gen.do_sample:
                 raise NotImplementedError("speculative serving is greedy-exact only")
+        # two-model speculation: a draft model proposes the k tokens instead of
+        # prompt lookup; the draft keeps its own ragged slab cache per slot
+        # (holding each slot's history[:-1]) and rewinds to the verified prefix
+        # after every acceptance
+        self.draft = draft
+        if draft is not None:
+            if speculate_k is None:
+                raise ValueError("draft serving requires speculate_k")
+            self.dcfg, dparams = draft
+            if runtime is None or runtime.fuse_projections:
+                from lia_tpu.ops.fuse import fuse_projections
+
+                dparams = fuse_projections(self.dcfg, dparams)
+            self.dparams = jax.device_put(dparams)
+            self.dcache = kvc.init_cache(
+                self.dcfg, max_batch, max_len, jnp.dtype(self.dcfg.dtype)
+            )
+            self.dcache = self.dcache._replace(
+                length=jnp.zeros((max_batch,), jnp.int32)
+            )
+            self.dlen = np.zeros(max_batch, np.int64)  # host mirror of lengths
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
         if prefill_chunk is not None and (self.sched is not None or mesh is not None):
@@ -717,6 +739,26 @@ class ContinuousBatcher:
                 self._rng, sub = jax.random.split(self._rng)
                 first = self._sample_one(logits, sub, req)
                 self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
+                if self.draft is not None:
+                    dkey = ("dprefill", bucket)
+                    if dkey not in self._compiled:
+                        self._compiled[dkey] = jax.jit(
+                            partial(T.prefill, self.dcfg), donate_argnums=(3,)
+                        )
+                    dseg = kvc.init_cache(
+                        self.dcfg, 1, self.max_len, jnp.dtype(self.dcfg.dtype)
+                    )
+                    _, dseg = self._compiled[dkey](
+                        self.dparams, jnp.asarray(tokens), jnp.asarray(mask), dseg
+                    )
+                    if "dinsert" not in self._compiled:
+                        self._compiled["dinsert"] = jax.jit(
+                            kvc.insert_slot, donate_argnums=(0,)
+                        )
+                    self.dcache = self._compiled["dinsert"](
+                        self.dcache, dseg, jnp.asarray(slot, jnp.int32)
+                    )
+                    self.dlen[slot] = bucket
             self._activate_slot(slot, req, first)
 
     def _maybe_finish(self, slot: int, tok: int) -> None:
@@ -746,15 +788,28 @@ class ContinuousBatcher:
         C = k + 1
         g = self.gen
         active = self.active.copy()
-        props = np.stack([
-            la.propose_ngram(
-                self.slot_req[b].prompt + self.slot_req[b].output,
-                self.speculate_ngram, k, g.pad_token_id,
+        if self.draft is not None:
+            dk = ("spec_draft", k)
+            if dk not in self._compiled:
+                self._compiled[dk] = la._draft_loop_fn(self.dcfg, k)
+            props_dev, self.dcache = self._compiled[dk](
+                self.dparams,
+                jnp.asarray(self.tokens.astype(np.int32)),
+                jnp.asarray(self.logical_pos.astype(np.int32)),
+                self.dcache,
+                jnp.asarray(active),
             )
-            if active[b] and self.slot_req[b] is not None
-            else [g.pad_token_id] * k
-            for b in range(self.B)
-        ]).astype(np.int32)
+            props = np.asarray(props_dev)
+        else:
+            props = np.stack([
+                la.propose_ngram(
+                    self.slot_req[b].prompt + self.slot_req[b].output,
+                    self.speculate_ngram, k, g.pad_token_id,
+                )
+                if active[b] and self.slot_req[b] is not None
+                else [g.pad_token_id] * k
+                for b in range(self.B)
+            ]).astype(np.int32)
         chunk = np.concatenate([self.tokens[:, None].astype(np.int32), props], axis=1)
         positions = (
             self.logical_pos[:, None].astype(np.int32)
@@ -791,6 +846,15 @@ class ContinuousBatcher:
             self.logical_pos[b] += len(new_toks)
             self._maybe_finish(b, new_toks[-1])
         self.cache = self._compiled["spec_advance"](self.cache, jnp.asarray(accept))
+        if self.draft is not None:
+            # the draft loop advanced active rows k+1 slots; rewind each slot
+            # to its verified prefix (history[:-1] invariant)
+            if "spec_rewind" not in self._compiled:
+                self._compiled["spec_rewind"] = la._rewind_fn()
+            self.dlen = self.dlen + accept
+            self.dcache = self._compiled["spec_rewind"](
+                self.dcache, jnp.asarray(self.dlen, jnp.int32)
+            )
 
     def step(self) -> bool:
         """One engine iteration: admit waiting requests, then one decode step.

@@ -597,3 +597,40 @@ def test_speculative_serving_guards(model):
     cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, speculate_k=4)
     with pytest.raises(ValueError, match="greedy"):
         cb.submit([1, 2, 3], do_sample=True)
+
+
+def test_draft_speculative_serving_matches_plain(model):
+    """Two-model speculation in serving: the draft keeps a per-slot ragged
+    cache (rewound each step); output is greedy-exact vs plain serving. A
+    same-weights draft predicts perfectly, so steps collapse."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=8)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8, 12, 13]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    # perfect draft (same weights): every proposal accepted
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        speculate_k=4, draft=(cfg, params),
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (draft serving)"
+    # 8 tokens at 5/step -> 2 verify passes per request; 3 requests over 2
+    # slots with admission churn: must be well under 1 step/token
+    assert cb._steps <= 8
+
+    # imperfect draft (different weights): proposals mostly miss, output still exact
+    dparams = init_dummy_params(cfg, seed=99, scale=0.12)
+    cb2 = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        speculate_k=4, draft=(cfg, dparams),
+    )
+    ids2 = [cb2.submit(p) for p in prompts]
+    by_id2 = {r.req_id: r.output for r in cb2.run()}
+    for i, j in zip(ids2, ids_ref):
+        assert by_id2[i] == ref_by_id[j], f"request {i} (imperfect draft)"
