@@ -950,9 +950,18 @@ class ContinuousBatcher:
         return self.done
 
     def stats(self) -> Dict[str, float]:
+        """Aggregate serving metrics over finished requests. TTFT percentiles
+        + per-request TPOT (time per output token after the first) mirror the
+        reference's first-token vs p90/p99 2nd+-token latency split
+        (run_generation.py:337-354), per REQUEST rather than per iteration."""
         if not self.done:
             return {}
-        ttfts = [r.ttft_s for r in self.done if r.ttft_s is not None]
+        ttfts = np.array([r.ttft_s for r in self.done if r.ttft_s is not None])
+        tpots = np.array([
+            (r.finished_at - r.first_token_at) / (len(r.output) - 1)
+            for r in self.done
+            if r.first_token_at is not None and len(r.output) > 1
+        ])
         total_tokens = sum(len(r.output) for r in self.done)
         t0 = min(r.submitted_at for r in self.done)
         t1 = max(r.finished_at for r in self.done)
@@ -960,9 +969,14 @@ class ContinuousBatcher:
             "requests": float(len(self.done)),
             "total_tokens": float(total_tokens),
             "tokens_per_s": total_tokens / max(t1 - t0, 1e-9),
-            "mean_ttft_s": float(np.mean(ttfts)) if ttfts else 0.0,
             "decode_steps": float(self._steps),
         }
+        for name, arr in (("ttft_s", ttfts), ("tpot_s", tpots)):
+            if arr.size:
+                out[f"mean_{name}"] = float(arr.mean())
+                out[f"p50_{name}"] = float(np.percentile(arr, 50))
+                out[f"p90_{name}"] = float(np.percentile(arr, 90))
+                out[f"p99_{name}"] = float(np.percentile(arr, 99))
         if self.paged:
             out["prefix_hits"] = float(self.prefix_hits)
             out["prefix_tokens_reused"] = float(self.prefix_tokens_reused)
