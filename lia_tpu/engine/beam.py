@@ -63,15 +63,29 @@ def beam_select(
     scores: jnp.ndarray,  # [B, nb]
     finished: jnp.ndarray,  # [B, nb]
     rng: jnp.ndarray | None = None,  # PRNG key => stochastic beams (_beam_sample)
+    proc: tuple | None = None,  # (seen [B*nb,V], hist [B*nb,L], cur_len, n_gen)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Beam expansion math shared by the fused resident scan and the
     scheduler's stepwise loop. Returns (next_tok [B*nb], scores, finished,
-    flat_src [B*nb] — source batch row per winner)."""
+    flat_src [B*nb] — source batch row per winner).
+
+    ``proc`` carries per-beam logits-processor state; HF beam_search applies
+    its LogitsProcessorList to the LOG-SOFTMAX scores (not raw logits), so the
+    repetition penalty always multiplies (scores <= 0) — matched here by
+    processing after the softmax."""
+    from lia_tpu.ops import sampling
+
     B, nb = scores.shape
     V = vocab_size
     if gen.do_sample and gen.temperature != 1.0:
         logits = logits / jnp.maximum(gen.temperature, 1e-6)
-    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, nb, V)
+    lp_flat = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if proc is not None:
+        seen, hist, cur_len, n_gen = proc
+        lp_flat = sampling.process_logits(
+            lp_flat, gen, seen, n_gen, history=hist, cur_len=cur_len
+        )
+    logprobs = lp_flat.reshape(B, nb, V)
 
     if gen.eos_token_id is not None:
         # frozen beams may only emit pad with no score change
@@ -109,14 +123,34 @@ def beam_step(
     scores: jnp.ndarray,  # [B, nb]
     finished: jnp.ndarray,  # [B, nb]
     rng: jnp.ndarray | None = None,  # PRNG key => stochastic beams (_beam_sample)
+    proc: tuple | None = None,
 ) -> Tuple[jnp.ndarray, kvc.KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One expansion step. Returns (next_tokens, cache, scores, finished, beam_src)."""
+    """One expansion step. Returns (next_tokens, cache, scores, finished,
+    beam_src, proc) — processor state reordered with the winning beams and
+    updated with the fresh tokens."""
+    from lia_tpu.ops import sampling
+
     logits, cache = T.decode_step(cfg, params, tokens[:, None], positions[:, None], cache)
     next_tok, new_scores, finished, flat_src = beam_select(
-        gen, cfg.vocab_size, logits, scores, finished, rng
+        gen, cfg.vocab_size, logits, scores, finished, rng, proc=proc
     )
     cache = kvc.beam_reorder(cache, flat_src)
-    return next_tok, cache, new_scores, finished, flat_src
+    proc = reorder_proc(proc, flat_src, next_tok)
+    return next_tok, cache, new_scores, finished, flat_src, proc
+
+
+def reorder_proc(proc: tuple | None, flat_src: jnp.ndarray, next_tok: jnp.ndarray):
+    """Gather processor state rows by the winning beams and record the fresh
+    tokens (seen-set, ngram history at ``cur_len``)."""
+    from lia_tpu.ops import sampling
+
+    if proc is None:
+        return None
+    seen, hist, cur_len, n_gen = proc
+    seen = sampling.update_seen(jnp.take(seen, flat_src, axis=0), next_tok)
+    hist = jnp.take(hist, flat_src, axis=0)
+    hist = jax.lax.dynamic_update_slice(hist, next_tok[:, None], (0, cur_len))
+    return (seen, hist, cur_len + 1, n_gen + 1)
 
 
 def make_beam_decoder(cfg: ModelConfig, gen: GenerationConfig, num_steps: int):
@@ -125,26 +159,34 @@ def make_beam_decoder(cfg: ModelConfig, gen: GenerationConfig, num_steps: int):
     With ``gen.do_sample`` the scan is the ``_beam_sample`` variant (per-step
     Gumbel perturbation from a split PRNG key)."""
 
-    def fused(params, tok0, pos0, cache, scores0, finished0, rng0):
+    from lia_tpu.engine.engine import _needs_processors
+
+    proc_on = _needs_processors(gen)
+
+    def fused(params, tok0, pos0, cache, scores0, finished0, rng0,
+              seen0, phist0, cur_len0):
         B_nb = tok0.shape[0]
         # history[i] = i-th generated token; reordered with the beams every step
         history0 = jnp.full((B_nb, num_steps + 1), gen.pad_token_id, jnp.int32)
         history0 = history0.at[:, 0].set(tok0)
 
         def step(carry, i):
-            tok, pos, cache, scores, finished, history, rng = carry
+            tok, pos, cache, scores, finished, history, rng, seen, phist = carry
             rng, sub = jax.random.split(rng)
-            ntok, cache, scores, finished, src = beam_step(
+            proc = (seen, phist, cur_len0 + i, i + 1) if proc_on else None
+            ntok, cache, scores, finished, src, proc = beam_step(
                 cfg, gen, params, tok, pos, cache, scores, finished,
-                rng=sub if gen.do_sample else None,
+                rng=sub if gen.do_sample else None, proc=proc,
             )
+            if proc_on:
+                seen, phist = proc[0], proc[1]
             history = jnp.take(history, src, axis=0)  # reorder past tokens too
             history = jax.lax.dynamic_update_slice(history, ntok[:, None], (0, i + 1))
-            return (ntok, pos + 1, cache, scores, finished, history, rng), None
+            return (ntok, pos + 1, cache, scores, finished, history, rng, seen, phist), None
 
-        (tok, pos, cache, scores, finished, history, rng), _ = jax.lax.scan(
+        (tok, pos, cache, scores, finished, history, rng, seen, phist), _ = jax.lax.scan(
             step,
-            (tok0, pos0, cache, scores0, finished0, history0, rng0),
+            (tok0, pos0, cache, scores0, finished0, history0, rng0, seen0, phist0),
             jnp.arange(num_steps),
         )
         return history, scores

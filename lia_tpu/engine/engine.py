@@ -354,11 +354,6 @@ class InferenceEngine:
         the beam shuffle gathers BOTH cache segments (reorder_state)."""
         from lia_tpu.engine import beam as beam_mod
 
-        if _needs_processors(gen):
-            raise NotImplementedError(
-                "repetition_penalty/min_new_tokens/no_repeat_ngram_size are "
-                "not wired into beam search"
-            )
         cfg = self.cfg
         nb = gen.num_beams
         expanded = [p for p in prompts for _ in range(nb)]
@@ -377,15 +372,31 @@ class InferenceEngine:
             quantized=self.runtime.quant.kv_cache_dtype == "int8",
         )
 
+        proc = _needs_processors(gen)
         t0 = time.perf_counter()
         logits, cache = self._get_prefill()(
             self.params, jnp.asarray(tokens), jnp.asarray(mask), cache
         )
+        # per-beam processor state (HF beam_search runs LogitsProcessorList on
+        # the log-softmax scores; state rows reorder with the winning beams)
+        seen = (
+            sampling.seen_from_prompt(jnp.asarray(tokens), jnp.asarray(mask), cfg.vocab_size)
+            if proc else jnp.zeros((Bnb, 1), jnp.bool_)
+        )
+        phist = (
+            jnp.concatenate(
+                [jnp.asarray(tokens),
+                 jnp.full((Bnb, gen.max_new_tokens), gen.pad_token_id, jnp.int32)], axis=1
+            ) if proc else jnp.zeros((Bnb, 1), jnp.int32)
+        )
         # first expansion from the prompt's last token
         scores0, finished0 = beam_mod.init_beam_state(B, nb)
-        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(
-            B, nb, cfg.vocab_size
-        )
+        lp_flat = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        if proc:
+            lp_flat = sampling.process_logits(
+                lp_flat, gen, seen, 0, history=phist, cur_len=S
+            )
+        logprobs = lp_flat.reshape(B, nb, cfg.vocab_size)
         flat = (scores0[:, :, None] + logprobs).reshape(B, nb * cfg.vocab_size)
         select = flat
         if gen.do_sample:
@@ -404,7 +415,13 @@ class InferenceEngine:
         beam_src = (idx // cfg.vocab_size).astype(jnp.int32)
         first = (idx % cfg.vocab_size).astype(jnp.int32)
         base = (jnp.arange(B, dtype=jnp.int32) * nb)[:, None]
-        cache = kvc.beam_reorder(cache, (base + beam_src).reshape(-1))
+        flat_src0 = (base + beam_src).reshape(-1)
+        cache = kvc.beam_reorder(cache, flat_src0)
+        if proc:
+            seen, phist, _, _ = beam_mod.reorder_proc(
+                (seen, phist, jnp.asarray(S, jnp.int32), 0), flat_src0,
+                first.reshape(-1),
+            )
         finished = (
             (first == gen.eos_token_id)
             if gen.eos_token_id is not None
@@ -423,7 +440,8 @@ class InferenceEngine:
         t0 = time.perf_counter()
         rng, sub = jax.random.split(jax.random.PRNGKey(seed + 1))
         history, final_scores = self._compiled[key](
-            self.params, first.reshape(-1), positions, cache, scores, finished, sub
+            self.params, first.reshape(-1), positions, cache, scores, finished, sub,
+            seen, phist, jnp.asarray(S + 1, jnp.int32),
         )
         history = np.asarray(history).reshape(B, nb, -1)
         final_scores = np.asarray(final_scores)
@@ -443,32 +461,49 @@ class InferenceEngine:
         B = Bnb // nb
         sched = self.scheduler
         rng = jax.random.PRNGKey(seed)
+        use_proc = _needs_processors(gen)
 
         select = jax.jit(
             partial(beam_mod.beam_select, gen, cfg.vocab_size), static_argnums=()
         )
+        proc = None
+        if use_proc:
+            proc = (
+                sampling.seen_from_prompt(
+                    jnp.asarray(tokens), jnp.asarray(mask), cfg.vocab_size
+                ),
+                jnp.concatenate(
+                    [jnp.asarray(tokens),
+                     jnp.full((Bnb, gen.max_new_tokens), gen.pad_token_id, jnp.int32)],
+                    axis=1,
+                ),
+                jnp.asarray(S, jnp.int32),
+                0,
+            )
 
         t0 = time.perf_counter()
         logits, state = sched.prefill_pass(tokens, mask, max_len)
         scores0, finished = beam_mod.init_beam_state(B, nb)
         rng, sub = jax.random.split(rng)
         tok, scores, finished, src = select(
-            logits, scores0, finished, sub if gen.do_sample else None
+            logits, scores0, finished, sub if gen.do_sample else None, proc=proc
         )
         state = sched.reorder_state(state, src)
+        proc = beam_mod.reorder_proc(proc, src, tok)
         history = np.asarray(tok)[:, None]
         tok.block_until_ready()
         lat.record(time.perf_counter() - t0)
 
         pos = jnp.asarray(np.asarray(mask).sum(1), jnp.int32)
-        for _ in range(gen.max_new_tokens - 1):
+        for i in range(gen.max_new_tokens - 1):
             t0 = time.perf_counter()
             logits, state = sched.decode_pass(tok, pos, state)
             rng, sub = jax.random.split(rng)
             tok, scores, finished, src = select(
-                logits, scores, finished, sub if gen.do_sample else None
+                logits, scores, finished, sub if gen.do_sample else None, proc=proc
             )
             state = sched.reorder_state(state, src)
+            proc = beam_mod.reorder_proc(proc, src, tok)
             history = np.concatenate(
                 [np.asarray(history)[np.asarray(src)], np.asarray(tok)[:, None]], axis=1
             )

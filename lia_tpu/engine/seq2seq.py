@@ -87,20 +87,39 @@ class Seq2SeqEngine:
     # -- fused on-device generation loop --------------------------------
     def _fused_loop(self, T_new: int, gen: GenerationConfig):
         cfg = self.cfg
+        from lia_tpu.engine.engine import _needs_processors
+
+        proc_on = _needs_processors(gen)
 
         def run(params, enc_mask, cross_k, cross_v, start_tokens, self_k, self_v, seed):
+            B = start_tokens.shape[0]
+            # processor state over DECODER ids (HF T5: input_ids start at the
+            # decoder_start token, so it participates in penalties/ngrams)
+            seen0 = jnp.zeros((B, cfg.vocab_size if proc_on else 1), jnp.bool_)
+            hist0 = jnp.full((B, T_new + 1 if proc_on else 1), gen.pad_token_id, jnp.int32)
+            if proc_on:
+                seen0 = sampling.update_seen(seen0, start_tokens[:, 0])
+                hist0 = hist0.at[:, 0].set(start_tokens[:, 0])
+
             def body(carry, step):
-                tokens, sk, sv, key = carry
+                tokens, sk, sv, key, seen, hist = carry
                 logits, sk, sv = M.decode_step(
                     cfg, params, tokens, step, sk, sv, cross_k, cross_v, enc_mask
                 )
+                if proc_on:
+                    logits = sampling.process_logits(
+                        logits, gen, seen, step, history=hist, cur_len=step + 1
+                    )
                 key, sub = jax.random.split(key)
                 nxt = sampling.sample(logits, sub, gen)[:, None].astype(jnp.int32)
-                return (nxt, sk, sv, key), nxt[:, 0]
+                if proc_on:
+                    seen = sampling.update_seen(seen, nxt[:, 0])
+                    hist = jax.lax.dynamic_update_slice(hist, nxt, (0, step + 1))
+                return (nxt, sk, sv, key, seen, hist), nxt[:, 0]
 
             key = jax.random.PRNGKey(seed)
-            (_, _, _, _), toks = jax.lax.scan(
-                body, (start_tokens, self_k, self_v, key),
+            (_, _, _, _, _, _), toks = jax.lax.scan(
+                body, (start_tokens, self_k, self_v, key, seen0, hist0),
                 jnp.arange(T_new, dtype=jnp.int32),
             )
             return toks.T  # [B, T_new]
@@ -120,13 +139,6 @@ class Seq2SeqEngine:
         cfg = self.cfg
         if gen.num_beams > 1:
             raise ValueError("use generate_beam() for num_beams > 1")
-        from lia_tpu.engine.engine import _needs_processors
-
-        if _needs_processors(gen):
-            raise NotImplementedError(
-                "repetition_penalty/min_new_tokens/no_repeat_ngram_size are "
-                "not wired into the seq2seq engine"
-            )
         tokens, mask = pack_encoder_inputs(prompts, cfg.pad_token_id)
         B = tokens.shape[0]
         T_new = gen.max_new_tokens
@@ -139,7 +151,7 @@ class Seq2SeqEngine:
         sk, sv = self._self_cache(B, T_new)
         start = jnp.full((B, 1), cfg.pad_token_id, jnp.int32)  # decoder_start_token
 
-        key = (B, T_new, gen.do_sample, gen.temperature, gen.top_k, gen.top_p)
+        key = (B, gen, T_new)  # gen is a frozen dataclass: hashable compile key
         if key not in self._fused:
             self._fused[key] = self._fused_loop(T_new, gen)
         toks = self._fused[key](
@@ -160,6 +172,10 @@ class Seq2SeqEngine:
         cfg = self.cfg
         from lia_tpu.engine import beam as beam_mod
 
+        from lia_tpu.engine.engine import _needs_processors
+
+        proc_on = _needs_processors(gen)
+
         def run(params, enc_mask, ck, cv, sk, sv, seed):
             Bnb = enc_mask.shape[0]
             B = Bnb // nb
@@ -169,18 +185,30 @@ class Seq2SeqEngine:
                 cfg, params, start, jnp.int32(0), sk, sv, ck, cv, enc_mask
             )
             scores, finished = beam_mod.init_beam_state(B, nb)
+            proc = None
+            if proc_on:
+                seen0 = sampling.update_seen(
+                    jnp.zeros((Bnb, cfg.vocab_size), jnp.bool_), start[:, 0]
+                )
+                phist0 = jnp.full((Bnb, T_new + 1), gen.pad_token_id, jnp.int32)
+                phist0 = phist0.at[:, 0].set(start[:, 0])
+                proc = (seen0, phist0, jnp.int32(1), 0)
             key, sub = jax.random.split(key)
             tok, scores, finished, src = beam_mod.beam_select(
                 gen, cfg.vocab_size, logits, scores, finished,
-                sub if gen.do_sample else None,
+                sub if gen.do_sample else None, proc=proc,
             )
+            proc = beam_mod.reorder_proc(proc, src, tok)
             sk = jnp.take(sk, src, axis=1)
             sv = jnp.take(sv, src, axis=1)
             history = jnp.full((Bnb, T_new), gen.pad_token_id, jnp.int32)
             history = history.at[:, 0].set(tok)
+            if not proc_on:  # constant-structure scan carry
+                proc = (jnp.zeros((Bnb, 1), jnp.bool_), jnp.zeros((Bnb, 1), jnp.int32),
+                        jnp.int32(0), 0)
 
             def step(carry, i):
-                tok, sk, sv, scores, finished, history, key = carry
+                tok, sk, sv, scores, finished, history, key, proc = carry
                 logits, sk, sv = M.decode_step(
                     cfg, params, tok[:, None], i, sk, sv, ck, cv, enc_mask
                 )
@@ -188,15 +216,18 @@ class Seq2SeqEngine:
                 ntok, scores, finished, src = beam_mod.beam_select(
                     gen, cfg.vocab_size, logits, scores, finished,
                     sub if gen.do_sample else None,
+                    proc=proc if proc_on else None,
                 )
+                if proc_on:
+                    proc = beam_mod.reorder_proc(proc, src, ntok)
                 sk = jnp.take(sk, src, axis=1)
                 sv = jnp.take(sv, src, axis=1)
                 history = jnp.take(history, src, axis=0)
                 history = jax.lax.dynamic_update_slice(history, ntok[:, None], (0, i))
-                return (ntok, sk, sv, scores, finished, history, key), None
+                return (ntok, sk, sv, scores, finished, history, key, proc), None
 
-            (tok, sk, sv, scores, finished, history, key), _ = jax.lax.scan(
-                step, (tok, sk, sv, scores, finished, history, key),
+            (tok, sk, sv, scores, finished, history, key, proc), _ = jax.lax.scan(
+                step, (tok, sk, sv, scores, finished, history, key, proc),
                 jnp.arange(1, T_new, dtype=jnp.int32),
             )
             return history.reshape(B, nb, T_new), scores
@@ -216,13 +247,6 @@ class Seq2SeqEngine:
         winning beams each step (same zero-copy gather as the decoder-only
         engine)."""
         cfg = self.cfg
-        from lia_tpu.engine.engine import _needs_processors
-
-        if _needs_processors(gen):
-            raise NotImplementedError(
-                "repetition_penalty/min_new_tokens/no_repeat_ngram_size are "
-                "not wired into seq2seq beam search"
-            )
         nb = gen.num_beams
         tokens, mask = pack_encoder_inputs(prompts, cfg.pad_token_id)
         B = tokens.shape[0]
@@ -238,8 +262,7 @@ class Seq2SeqEngine:
 
         sk, sv = self._self_cache(B * nb, T_new)
 
-        key = ("beam", B, nb, T_new, gen.do_sample, gen.temperature,
-               gen.eos_token_id, gen.pad_token_id)
+        key = ("beam", B, gen, T_new)
         if key not in self._fused:
             self._fused[key] = self._beam_loop(T_new, gen, nb)
         from lia_tpu.engine.beam import select_best

@@ -42,18 +42,8 @@ def _place(cfg: ModelConfig, params_host: Any, mesh):
 
 
 def _reject_unsupported(gen: GenerationConfig) -> None:
-    """The VLM engines sample from raw model distributions; raise instead of
-    silently dropping beam/processor requests (parity with InferenceEngine's
-    explicit num_beams guard)."""
-    from lia_tpu.engine.engine import _needs_processors
-
     if gen.num_beams > 1:
         raise NotImplementedError("beam search is not wired into the VLM engines")
-    if _needs_processors(gen):
-        raise NotImplementedError(
-            "repetition_penalty/min_new_tokens/no_repeat_ngram_size are not "
-            "wired into the VLM engines"
-        )
 
 
 class GitEngine:
@@ -74,6 +64,9 @@ class GitEngine:
 
     def _loop(self, S_txt: int, cache_len: int, T_new: int, gen: GenerationConfig):
         cfg = self.cfg
+        from lia_tpu.engine.engine import _needs_processors
+
+        proc_on = _needs_processors(gen)
 
         def run(params, pixels, tokens, text_mask, seed):
             img = G.image_prefix(cfg, params, pixels)
@@ -81,21 +74,48 @@ class GitEngine:
             logits, kc, vc = G.prefill(cfg, params, img, tokens, text_mask, cache_len)
             key = jax.random.PRNGKey(seed)
             key, sub = jax.random.split(key)
+            B = tokens.shape[0]
+            # processor state over TEXT ids (HF input_ids; image tokens excluded)
+            seen = (
+                sampling.seen_from_prompt(tokens, text_mask, cfg.vocab_size)
+                if proc_on else jnp.zeros((B, 1), jnp.bool_)
+            )
+            hist = (
+                jnp.concatenate(
+                    [tokens, jnp.full((B, T_new), gen.pad_token_id, jnp.int32)], axis=1
+                ) if proc_on else jnp.zeros((B, 1), jnp.int32)
+            )
+            if proc_on:
+                logits = sampling.process_logits(
+                    logits, gen, seen, 0, history=hist, cur_len=S_txt
+                )
             t0 = sampling.sample(logits, sub, gen).astype(jnp.int32)
+            if proc_on:
+                seen = sampling.update_seen(seen, t0)
+                hist = hist.at[:, S_txt].set(t0)
 
             def body(carry, i):
-                tok, kc, vc, key = carry
+                tok, kc, vc, key, seen, hist = carry
                 logits, kc, vc = G.decode_step(
                     cfg, params, tok[:, None], S_txt + i, S_img + S_txt + i, kc, vc
                 )
+                if proc_on:
+                    logits = sampling.process_logits(
+                        logits, gen, seen, i + 1, history=hist, cur_len=S_txt + i + 1
+                    )
                 key, sub = jax.random.split(key)
                 nxt = sampling.sample(logits, sub, gen).astype(jnp.int32)
-                return (nxt, kc, vc, key), nxt
+                if proc_on:
+                    seen = sampling.update_seen(seen, nxt)
+                    hist = jax.lax.dynamic_update_slice(
+                        hist, nxt[:, None], (0, S_txt + i + 1)
+                    )
+                return (nxt, kc, vc, key, seen, hist), nxt
 
             # step i feeds token i and emits token i+1: T_new-1 forwards after
             # the prefill-sampled first token — no discarded final forward
-            (_, _, _, _), rest = jax.lax.scan(
-                body, (t0, kc, vc, key), jnp.arange(T_new - 1, dtype=jnp.int32)
+            (_, _, _, _, _, _), rest = jax.lax.scan(
+                body, (t0, kc, vc, key, seen, hist), jnp.arange(T_new - 1, dtype=jnp.int32)
             )
             return jnp.concatenate([t0[None, :], rest], axis=0).T  # [B, T_new]
 
@@ -122,7 +142,7 @@ class GitEngine:
         T_new = gen.max_new_tokens
         lat = LatencyStats()
 
-        key = (B, S_txt, T_new, gen.do_sample, gen.temperature, gen.top_k, gen.top_p)
+        key = (B, S_txt, gen, T_new)  # gen: frozen dataclass, hashable
         if key not in self._fused:
             self._fused[key] = self._loop(S_txt, cache_len, T_new, gen)
         t0 = time.perf_counter()
@@ -189,24 +209,46 @@ class LlavaEngine:
 
     def _loop(self, T_new: int, gen: GenerationConfig):
         cfg = self.cfg
+        from lia_tpu.engine.engine import _needs_processors
 
-        def run(params, logits0, cache, positions0, seed):
+        proc_on = _needs_processors(gen)
+
+        def run(params, logits0, cache, positions0, seed, seen0, hist0, cur_len0):
             key = jax.random.PRNGKey(seed)
             key, sub = jax.random.split(key)
+            if proc_on:
+                logits0 = sampling.process_logits(
+                    logits0, gen, seen0, 0, history=hist0, cur_len=cur_len0
+                )
             t0 = sampling.sample(logits0, sub, gen).astype(jnp.int32)
+            if proc_on:
+                seen0 = sampling.update_seen(seen0, t0)
+                hist0 = jax.lax.dynamic_update_slice(
+                    hist0, t0[:, None], (0, cur_len0)
+                )
 
             def body(carry, i):
-                tok, cache, key = carry
+                tok, cache, key, seen, hist = carry
                 logits, cache = T.decode_step(
                     cfg, params, tok[:, None], positions0 + i, cache
                 )
+                if proc_on:
+                    logits = sampling.process_logits(
+                        logits, gen, seen, i + 1, history=hist,
+                        cur_len=cur_len0 + i + 1,
+                    )
                 key, sub = jax.random.split(key)
                 nxt = sampling.sample(logits, sub, gen).astype(jnp.int32)
-                return (nxt, cache, key), nxt
+                if proc_on:
+                    seen = sampling.update_seen(seen, nxt)
+                    hist = jax.lax.dynamic_update_slice(
+                        hist, nxt[:, None], (0, cur_len0 + i + 1)
+                    )
+                return (nxt, cache, key, seen, hist), nxt
 
             # T_new-1 forwards after the prefill-sampled first token
-            (_, _, _), rest = jax.lax.scan(
-                body, (t0, cache, key), jnp.arange(T_new - 1, dtype=jnp.int32)
+            (_, _, _, _, _), rest = jax.lax.scan(
+                body, (t0, cache, key, seen0, hist0), jnp.arange(T_new - 1, dtype=jnp.int32)
             )
             return jnp.concatenate([t0[None, :], rest], axis=0).T
 
@@ -248,10 +290,36 @@ class LlavaEngine:
         logits, cache = self._prefill(self.params, embeds, jnp.asarray(mask), cache)
         positions0 = jnp.asarray(mask.sum(1).astype(np.int32))[:, None]  # [B, 1]
 
-        key = (B, S, gen.max_new_tokens, gen.do_sample, gen.temperature, gen.top_k, gen.top_p)
+        from lia_tpu.engine.engine import _needs_processors
+
+        if _needs_processors(gen):
+            # processor history over the UN-expanded ids (HF input_ids carry
+            # one <image> token), left-padded so cur_len stays a scalar
+            S_u = max(len(p) for p in prompts)
+            utoks = np.full((B, S_u), cfg.pad_token_id, np.int32)
+            umask = np.zeros((B, S_u), bool)
+            for b, p in enumerate(prompts):
+                utoks[b, S_u - len(p):] = p
+                umask[b, S_u - len(p):] = True
+            seen0 = sampling.seen_from_prompt(
+                jnp.asarray(utoks), jnp.asarray(umask), cfg.vocab_size
+            )
+            hist0 = jnp.concatenate(
+                [jnp.asarray(utoks),
+                 jnp.full((B, gen.max_new_tokens), gen.pad_token_id, jnp.int32)],
+                axis=1,
+            )
+            cur_len0 = jnp.asarray(S_u, jnp.int32)
+        else:
+            seen0 = jnp.zeros((B, 1), jnp.bool_)
+            hist0 = jnp.zeros((B, 1), jnp.int32)
+            cur_len0 = jnp.asarray(0, jnp.int32)
+        key = (B, S, gen, gen.max_new_tokens)  # gen: frozen dataclass, hashable
         if key not in self._fused:
             self._fused[key] = self._loop(gen.max_new_tokens, gen)
-        toks = self._fused[key](self.params, logits, cache, positions0, seed)
+        toks = self._fused[key](
+            self.params, logits, cache, positions0, seed, seen0, hist0, cur_len0
+        )
         out = np.asarray(toks)
         lat.record(time.perf_counter() - t0)
         if gen.eos_token_id is not None:

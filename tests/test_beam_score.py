@@ -91,3 +91,90 @@ def test_length_penalty_prefers_shorter_finished_beam():
     gen_lp = GenerationConfig(eos_token_id=2, length_penalty=1.0)
     # normalized: -4/2 = -2.0 vs -5/5 = -1.0 → beam 1 wins under lp=1
     np.testing.assert_array_equal(select_best(history, scores, gen_lp)[0], history[0, 1])
+
+
+# -- logits processors in beam search ---------------------------------------
+
+
+def test_beam1_with_mask_processors_equals_greedy(eng):
+    """num_beams=1 with min_new_tokens + no_repeat_ngram reduces exactly to
+    the (HF-golden-tested) greedy processor path: -inf masks are invariant to
+    the logits-vs-logprobs domain difference."""
+    prompts = [[5, 9, 5, 9, 23], [100, 7, 3]]
+    gen = GenerationConfig(
+        max_new_tokens=6, no_repeat_ngram_size=2, min_new_tokens=4, eos_token_id=2
+    )
+    greedy = eng.generate(prompts, gen)
+    beam = eng.generate_beam(prompts, gen.replace(num_beams=1))
+    np.testing.assert_array_equal(beam.sequences, greedy.sequences)
+
+
+def test_beam_processors_match_hf():
+    """Beam search with repetition penalty + no-repeat-ngram matches HF
+    transformers' beam_search on the same tiny OPT (no EOS, fixed length, so
+    the BeamSearchScorer reduces to our frozen-beam semantics)."""
+    torch = pytest.importorskip("torch")
+    from transformers import OPTConfig, OPTForCausalLM
+
+    from lia_tpu.models.registry import get_config as _gc
+    from lia_tpu.utils.checkpoint import params_from_hf_state_dict
+
+    cfg = _gc("opt-tiny").replace(dtype="float32")
+    hf_cfg = OPTConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        ffn_dim=cfg.ffn_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        do_layer_norm_before=True, word_embed_proj_dim=cfg.hidden_size,
+        activation_function="relu",
+    )
+    torch.manual_seed(0)
+    hf = OPTForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_hf_state_dict(cfg, sd)
+
+    prompts = [[5, 9, 5, 9, 23, 41], [100, 7, 3, 100, 7]]
+    n_new = 6
+    import torch as _t
+
+    toks = [_t.tensor([p]) for p in prompts]
+    hf_out = []
+    for t in toks:  # one prompt at a time: no padding skew in HF beam scores
+        with _t.no_grad():
+            o = hf.generate(
+                t, max_new_tokens=n_new, min_new_tokens=n_new, num_beams=3,
+                do_sample=False, repetition_penalty=1.5, no_repeat_ngram_size=2,
+                eos_token_id=None, pad_token_id=1, early_stopping=False,
+                length_penalty=1.0,
+            )
+        hf_out.append(o[0, t.shape[1]:].numpy())
+
+    eng2 = InferenceEngine(cfg, params)
+    gen = GenerationConfig(
+        max_new_tokens=n_new, num_beams=3, repetition_penalty=1.5,
+        no_repeat_ngram_size=2, eos_token_id=None, pad_token_id=1,
+        length_penalty=0.0,
+    )
+    for p, want in zip(prompts, hf_out):
+        got = eng2.generate_beam([p], gen).sequences[0]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_beam_processors_scheduler_matches_resident():
+    """Tiered (streamed) beam search applies processors bit-identically to
+    the resident fused beam scan."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=11, scale=0.02)
+    prompts = [[5, 9, 5, 9, 23], [100, 7, 3]]
+    gen = GenerationConfig(
+        max_new_tokens=6, num_beams=3, repetition_penalty=1.4,
+        no_repeat_ngram_size=2, min_new_tokens=3, eos_token_id=2,
+    )
+    res = InferenceEngine(cfg, params).generate_beam(prompts, gen).sequences
+    sched = InferenceEngine(
+        cfg, params,
+        RuntimeConfig(hbm_percentage=50, prefill_policy=0, decode_policy=0),
+    ).generate_beam(prompts, gen).sequences
+    np.testing.assert_array_equal(res, sched)

@@ -96,3 +96,30 @@ def test_greedy_caption_matches_hf(git_pair):
     )
     T_hf = hf_out.shape[1]
     np.testing.assert_array_equal(res.sequences[:, :T_hf], hf_out)
+
+
+def test_processors_match_hf(git_pair):
+    """GIT generation with repetition_penalty + no_repeat_ngram matches HF
+    (processors run over the text ids, image tokens excluded)."""
+    cfg, hf, params = git_pair
+    px = _pixels(cfg, seed=6)
+    n_new = 8
+    with torch.no_grad():
+        hf_out = hf.generate(
+            pixel_values=torch.tensor(px),
+            input_ids=torch.tensor([[101]] * 2),
+            attention_mask=torch.ones(2, 1, dtype=torch.long),
+            max_new_tokens=n_new, do_sample=False,
+            repetition_penalty=1.5, no_repeat_ngram_size=2,
+        ).numpy()[:, 1:]
+
+    eng = GitEngine(cfg, params)
+    res = eng.generate(
+        px,
+        GenerationConfig(
+            max_new_tokens=n_new, eos_token_id=102, pad_token_id=0,
+            repetition_penalty=1.5, no_repeat_ngram_size=2,
+        ),
+    )
+    T_hf = hf_out.shape[1]
+    np.testing.assert_array_equal(res.sequences[:, :T_hf], hf_out)

@@ -144,3 +144,35 @@ def test_single_image_token_expansion(llava_pair):
     a = eng.generate(px, prompts, gen)
     b = eng.generate(px, compact, gen)
     np.testing.assert_array_equal(a.sequences, b.sequences)
+
+
+def test_processors_match_hf(llava_pair):
+    """LLaVA generation with repetition_penalty + no_repeat_ngram matches HF
+    (history over un-expanded ids — one <image> token, HF input_ids form)."""
+    cfg, hf, params = llava_pair
+    px, prompts = _inputs(cfg, seed=9)
+    n_new = 8
+    maxlen = max(len(p) for p in prompts)
+    tokens = np.zeros((len(prompts), maxlen), np.int64)
+    attn = np.zeros((len(prompts), maxlen), np.int64)
+    for b, p in enumerate(prompts):
+        tokens[b, maxlen - len(p):] = p
+        attn[b, maxlen - len(p):] = 1
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(attn),
+            pixel_values=torch.tensor(px),
+            max_new_tokens=n_new, do_sample=False, pad_token_id=0,
+            repetition_penalty=1.5, no_repeat_ngram_size=2,
+        ).numpy()[:, maxlen:]
+
+    eng = LlavaEngine(cfg, params)
+    res = eng.generate(
+        px, prompts,
+        GenerationConfig(
+            max_new_tokens=n_new, pad_token_id=0,
+            repetition_penalty=1.5, no_repeat_ngram_size=2,
+        ),
+    )
+    np.testing.assert_array_equal(res.sequences, hf_out)

@@ -197,3 +197,52 @@ def test_beam_scores_at_least_greedy(t5_pair):
     lg = eng.loglikelihood(prompts, [list(map(int, g[0]))])[0]
     lb = eng.loglikelihood(prompts, [list(map(int, bm[0]))])[0]
     assert lb >= lg - 1e-4
+
+
+def test_greedy_processors_match_hf(t5_pair):
+    """Seq2seq greedy with repetition_penalty + no_repeat_ngram + min_new
+    matches HF T5 generate (processors run over decoder ids incl. the start
+    token, HF convention)."""
+    cfg, hf, params = t5_pair
+    prompts, tokens, mask = _enc_inputs(cfg, lens=(9, 5), seed=4)
+    n_new = 8
+    with torch.no_grad():
+        hf_out = hf.generate(
+            torch.tensor(tokens, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            max_new_tokens=n_new, min_new_tokens=4, do_sample=False,
+            repetition_penalty=1.5, no_repeat_ngram_size=2,
+        ).numpy()[:, 1:]
+
+    eng = Seq2SeqEngine(cfg, params)
+    res = eng.generate(
+        prompts,
+        GenerationConfig(
+            max_new_tokens=n_new, eos_token_id=1, pad_token_id=0,
+            repetition_penalty=1.5, no_repeat_ngram_size=2, min_new_tokens=4,
+        ),
+    )
+    T_hf = hf_out.shape[1]
+    np.testing.assert_array_equal(res.sequences[:, :T_hf], hf_out)
+
+
+def test_beam_processors_run_and_change_output(t5_pair):
+    """Seq2seq beam search composes with processors: ngram-banned beams
+    contain no repeated bigram; output differs from the unprocessed beam."""
+    cfg, hf, params = t5_pair
+    prompts, _, _ = _enc_inputs(cfg, lens=(9, 5), seed=4)
+    eng = Seq2SeqEngine(cfg, params)
+    base = eng.generate_beam(
+        prompts, GenerationConfig(max_new_tokens=8, num_beams=3, eos_token_id=None)
+    ).sequences
+    got = eng.generate_beam(
+        prompts,
+        GenerationConfig(
+            max_new_tokens=8, num_beams=3, eos_token_id=None,
+            no_repeat_ngram_size=1,  # every decoder token unique (incl. start=0)
+        ),
+    ).sequences
+    assert not np.array_equal(base, got)
+    for row in got:
+        assert len(set(row.tolist())) == len(row)
+        assert 0 not in row  # start token banned from step 1 on
