@@ -43,7 +43,19 @@ def _place(cfg: ModelConfig, params_host: Any, mesh):
 
 def _reject_unsupported(gen: GenerationConfig) -> None:
     if gen.num_beams > 1:
-        raise NotImplementedError("beam search is not wired into the VLM engines")
+        raise ValueError("use generate_beam() for num_beams > 1")
+
+
+def _beam_proc_init(gen, tokens, mask, vocab, T_new, proc_on):
+    """Per-beam processor state over (already beam-expanded) text ids."""
+    Bnb = tokens.shape[0]
+    if not proc_on:
+        return None
+    seen = sampling.seen_from_prompt(tokens, mask, vocab)
+    hist = jnp.concatenate(
+        [tokens, jnp.full((Bnb, T_new), gen.pad_token_id, jnp.int32)], axis=1
+    )
+    return (seen, hist, jnp.asarray(tokens.shape[1], jnp.int32), 0)
 
 
 class GitEngine:
@@ -157,6 +169,104 @@ class GitEngine:
                 if hits.size:
                     out[b, hits[0] + 1:] = gen.pad_token_id
         return GenerationResult(sequences=out, latency=lat)
+
+    def _beam_loop(self, S_txt: int, cache_len: int, T_new: int,
+                   gen: GenerationConfig, nb: int):
+        cfg = self.cfg
+        from lia_tpu.engine import beam as beam_mod
+        from lia_tpu.engine.engine import _needs_processors
+
+        proc_on = _needs_processors(gen)
+
+        def run(params, pixels, tokens, text_mask, seed):
+            # tokens/text_mask arrive beam-expanded [B*nb, S_txt]; the image
+            # encodes once at B and repeats across beams
+            img = G.image_prefix(cfg, params, pixels)
+            img = jnp.repeat(img, nb, axis=0)
+            S_img = img.shape[1]
+            logits, kc, vc = G.prefill(cfg, params, img, tokens, text_mask, cache_len)
+            Bnb = tokens.shape[0]
+            B = Bnb // nb
+            key = jax.random.PRNGKey(seed)
+            scores, finished = beam_mod.init_beam_state(B, nb)
+            proc = _beam_proc_init(gen, tokens, text_mask, cfg.vocab_size, T_new, proc_on)
+            key, sub = jax.random.split(key)
+            tok, scores, finished, src = beam_mod.beam_select(
+                gen, cfg.vocab_size, logits, scores, finished,
+                sub if gen.do_sample else None, proc=proc,
+            )
+            proc = beam_mod.reorder_proc(proc, src, tok)
+            kc = jnp.take(kc, src, axis=1)
+            vc = jnp.take(vc, src, axis=1)
+            history = jnp.full((Bnb, T_new), gen.pad_token_id, jnp.int32)
+            history = history.at[:, 0].set(tok)
+            if not proc_on:  # constant-structure scan carry
+                proc = (jnp.zeros((Bnb, 1), jnp.bool_),
+                        jnp.zeros((Bnb, 1), jnp.int32), jnp.int32(0), 0)
+
+            def step(carry, i):
+                tok, kc, vc, scores, finished, history, key, proc = carry
+                logits, kc, vc = G.decode_step(
+                    cfg, params, tok[:, None], S_txt + i, S_img + S_txt + i, kc, vc
+                )
+                key, sub = jax.random.split(key)
+                ntok, scores, finished, src = beam_mod.beam_select(
+                    gen, cfg.vocab_size, logits, scores, finished,
+                    sub if gen.do_sample else None,
+                    proc=proc if proc_on else None,
+                )
+                if proc_on:
+                    proc = beam_mod.reorder_proc(proc, src, ntok)
+                kc = jnp.take(kc, src, axis=1)
+                vc = jnp.take(vc, src, axis=1)
+                history = jnp.take(history, src, axis=0)
+                history = jax.lax.dynamic_update_slice(history, ntok[:, None], (0, i + 1))
+                return (ntok, kc, vc, scores, finished, history, key, proc), None
+
+            (tok, kc, vc, scores, finished, history, key, proc), _ = jax.lax.scan(
+                step, (tok, kc, vc, scores, finished, history, key, proc),
+                jnp.arange(T_new - 1, dtype=jnp.int32),
+            )
+            return history.reshape(B, nb, T_new), scores
+
+        return jax.jit(run)
+
+    def generate_beam(
+        self,
+        pixels: np.ndarray,  # [B, C, H, W]
+        gen: GenerationConfig,
+        prompts: Optional[Sequence[Sequence[int]]] = None,
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Beam-search captioning (the reference's GIT runner decodes with
+        num_beams=4 by default — run_generation.py generate_kwargs)."""
+        from lia_tpu.engine import beam as beam_mod
+
+        cfg = self.cfg
+        nb = gen.num_beams
+        B = pixels.shape[0]
+        if prompts is None:
+            prompts = [[101]] * B  # BOS (BERT [CLS])
+        S_txt = len(prompts[0])
+        assert all(len(p) == S_txt for p in prompts), "uniform prompt length required"
+        tokens = np.repeat(np.asarray(prompts, np.int32), nb, axis=0)
+        mask = np.ones((B * nb, S_txt), bool)
+        n_patches = (cfg.vision_image_size // cfg.vision_patch) ** 2
+        cache_len = 1 + n_patches + S_txt + gen.max_new_tokens
+        T_new = gen.max_new_tokens
+        lat = LatencyStats()
+
+        key = ("beam", B, S_txt, gen, T_new)
+        if key not in self._fused:
+            self._fused[key] = self._beam_loop(S_txt, cache_len, T_new, gen, nb)
+        t0 = time.perf_counter()
+        history, scores = self._fused[key](
+            self.params, jnp.asarray(pixels), jnp.asarray(tokens),
+            jnp.asarray(mask), seed,
+        )
+        seqs = beam_mod.select_best(np.asarray(history), np.asarray(scores), gen)
+        lat.record(time.perf_counter() - t0)
+        return GenerationResult(sequences=seqs, latency=lat)
 
 
 class LlavaEngine:
@@ -328,3 +438,133 @@ class LlavaEngine:
                 if hits.size:
                     out[b, hits[0] + 1:] = gen.pad_token_id
         return GenerationResult(sequences=out, latency=lat)
+
+    # -- beam search ------------------------------------------------------
+
+    def _beam_loop(self, T_new: int, gen: GenerationConfig, nb: int):
+        cfg = self.cfg
+        from lia_tpu.engine import beam as beam_mod
+        from lia_tpu.engine.engine import _needs_processors
+
+        proc_on = _needs_processors(gen)
+
+        def run(params, logits0, cache, positions0, seed, seen0, hist0, cur_len0):
+            Bnb = logits0.shape[0]
+            B = Bnb // nb
+            key = jax.random.PRNGKey(seed)
+            scores, finished = beam_mod.init_beam_state(B, nb)
+            proc = (seen0, hist0, cur_len0, 0) if proc_on else None
+            key, sub = jax.random.split(key)
+            tok, scores, finished, src = beam_mod.beam_select(
+                gen, cfg.vocab_size, logits0, scores, finished,
+                sub if gen.do_sample else None, proc=proc,
+            )
+            proc = beam_mod.reorder_proc(proc, src, tok)
+            cache = kvc.beam_reorder(cache, src)
+            history = jnp.full((Bnb, T_new), gen.pad_token_id, jnp.int32)
+            history = history.at[:, 0].set(tok)
+            if not proc_on:  # constant-structure scan carry
+                proc = (jnp.zeros((Bnb, 1), jnp.bool_),
+                        jnp.zeros((Bnb, 1), jnp.int32), jnp.int32(0), 0)
+
+            def step(carry, i):
+                tok, cache, scores, finished, history, key, proc = carry
+                logits, cache = T.decode_step(
+                    cfg, params, tok[:, None], positions0 + i, cache
+                )
+                key, sub = jax.random.split(key)
+                ntok, scores, finished, src = beam_mod.beam_select(
+                    gen, cfg.vocab_size, logits, scores, finished,
+                    sub if gen.do_sample else None,
+                    proc=proc if proc_on else None,
+                )
+                if proc_on:
+                    proc = beam_mod.reorder_proc(proc, src, ntok)
+                cache = kvc.beam_reorder(cache, src)
+                history = jnp.take(history, src, axis=0)
+                history = jax.lax.dynamic_update_slice(history, ntok[:, None], (0, i + 1))
+                return (ntok, cache, scores, finished, history, key, proc), None
+
+            (tok, cache, scores, finished, history, key, proc), _ = jax.lax.scan(
+                step, (tok, cache, scores, finished, history, key, proc),
+                jnp.arange(T_new - 1, dtype=jnp.int32),
+            )
+            return history.reshape(B, nb, T_new), scores
+
+        return jax.jit(run)
+
+    def generate_beam(
+        self,
+        pixels: np.ndarray,  # [B, C, H, W]
+        prompts: Sequence[Sequence[int]],
+        gen: GenerationConfig,
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Beam search over the multimodal prefix (image features encode once
+        per image and repeat across beams; the slab cache reorders with the
+        winning beams like the decoder-only engine)."""
+        from lia_tpu.engine import beam as beam_mod
+        from lia_tpu.engine.engine import _needs_processors
+
+        cfg = self.cfg
+        nb = gen.num_beams
+        expanded = [self._expand(p) for p in prompts]
+        B = len(expanded)
+        Bnb = B * nb
+        S = bucket_length(max(len(p) for p in expanded))
+        tokens = np.full((B, S), cfg.pad_token_id, np.int32)
+        mask = np.zeros((B, S), bool)
+        img_pos = np.zeros((B, self.num_patches), np.int32)
+        for b, p in enumerate(expanded):
+            tokens[b, S - len(p):] = p
+            mask[b, S - len(p):] = True
+            img_pos[b] = S - len(p) + np.flatnonzero(np.asarray(p) == cfg.image_token_id)
+        tokens = np.repeat(tokens, nb, axis=0)
+        mask = np.repeat(mask, nb, axis=0)
+        img_pos = np.repeat(img_pos, nb, axis=0)
+
+        lat = LatencyStats()
+        t0 = time.perf_counter()
+        feats = self._features(self.params, jnp.asarray(pixels))  # [B, np, H]
+        feats = jnp.repeat(feats, nb, axis=0)
+        embeds = jnp.take(self.params["embed_tokens"], jnp.asarray(tokens), axis=0,
+                          mode="clip").astype(jnp.dtype(cfg.dtype))
+        bidx = jnp.arange(Bnb, dtype=jnp.int32)[:, None]
+        embeds = embeds.at[bidx, jnp.asarray(img_pos)].set(feats)
+
+        max_len = -(-(S + gen.max_new_tokens) // 128) * 128
+        cache = kvc.init_cache(cfg, Bnb, max_len, jnp.dtype(cfg.dtype))
+        logits, cache = self._prefill(self.params, embeds, jnp.asarray(mask), cache)
+        positions0 = jnp.asarray(mask.sum(1).astype(np.int32))[:, None]  # [Bnb, 1]
+
+        if _needs_processors(gen):
+            S_u = max(len(p) for p in prompts)
+            utoks = np.full((B, S_u), cfg.pad_token_id, np.int32)
+            umask = np.zeros((B, S_u), bool)
+            for b, p in enumerate(prompts):
+                utoks[b, S_u - len(p):] = p
+                umask[b, S_u - len(p):] = True
+            utoks = np.repeat(utoks, nb, axis=0)
+            umask = np.repeat(umask, nb, axis=0)
+            seen0 = sampling.seen_from_prompt(
+                jnp.asarray(utoks), jnp.asarray(umask), cfg.vocab_size
+            )
+            hist0 = jnp.concatenate(
+                [jnp.asarray(utoks),
+                 jnp.full((Bnb, gen.max_new_tokens), gen.pad_token_id, jnp.int32)],
+                axis=1,
+            )
+            cur_len0 = jnp.asarray(S_u, jnp.int32)
+        else:
+            seen0 = jnp.zeros((Bnb, 1), jnp.bool_)
+            hist0 = jnp.zeros((Bnb, 1), jnp.int32)
+            cur_len0 = jnp.asarray(0, jnp.int32)
+        key = ("beam", B, S, gen, gen.max_new_tokens)
+        if key not in self._fused:
+            self._fused[key] = self._beam_loop(gen.max_new_tokens, gen, nb)
+        history, scores = self._fused[key](
+            self.params, logits, cache, positions0, seed, seen0, hist0, cur_len0
+        )
+        seqs = beam_mod.select_best(np.asarray(history), np.asarray(scores), gen)
+        lat.record(time.perf_counter() - t0)
+        return GenerationResult(sequences=seqs, latency=lat)

@@ -123,3 +123,31 @@ def test_processors_match_hf(git_pair):
     )
     T_hf = hf_out.shape[1]
     np.testing.assert_array_equal(res.sequences[:, :T_hf], hf_out)
+
+
+def test_beam_matches_hf(git_pair):
+    """GIT beam captioning (the reference runner's default decode is
+    num_beams=4) matches HF beam search (no EOS -> fixed length, scorer
+    reduces to frozen-beam semantics)."""
+    cfg, hf, params = git_pair
+    px = _pixels(cfg, seed=6)
+    n_new = 6
+    with torch.no_grad():
+        hf_out = hf.generate(
+            pixel_values=torch.tensor(px),
+            input_ids=torch.tensor([[101]] * 2),
+            attention_mask=torch.ones(2, 1, dtype=torch.long),
+            max_new_tokens=n_new, num_beams=3, do_sample=False,
+            eos_token_id=None, pad_token_id=0, early_stopping=False,
+            length_penalty=1.0,
+        ).numpy()[:, 1:]
+
+    eng = GitEngine(cfg, params)
+    res = eng.generate_beam(
+        px,
+        GenerationConfig(
+            max_new_tokens=n_new, num_beams=3, eos_token_id=None,
+            pad_token_id=0, length_penalty=0.0,
+        ),
+    )
+    np.testing.assert_array_equal(res.sequences, hf_out)

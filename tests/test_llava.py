@@ -176,3 +176,35 @@ def test_processors_match_hf(llava_pair):
         ),
     )
     np.testing.assert_array_equal(res.sequences, hf_out)
+
+
+def test_beam_matches_hf(llava_pair):
+    """LLaVA beam search matches HF (fixed length, no EOS)."""
+    cfg, hf, params = llava_pair
+    px, prompts = _inputs(cfg, seed=9)
+    n_new = 6
+    maxlen = max(len(p) for p in prompts)
+    tokens = np.zeros((len(prompts), maxlen), np.int64)
+    attn = np.zeros((len(prompts), maxlen), np.int64)
+    for b, p in enumerate(prompts):
+        tokens[b, maxlen - len(p):] = p
+        attn[b, maxlen - len(p):] = 1
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(attn),
+            pixel_values=torch.tensor(px),
+            max_new_tokens=n_new, num_beams=3, do_sample=False,
+            eos_token_id=None, pad_token_id=0, early_stopping=False,
+            length_penalty=1.0,
+        ).numpy()[:, maxlen:]
+
+    eng = LlavaEngine(cfg, params)
+    res = eng.generate_beam(
+        px, prompts,
+        GenerationConfig(
+            max_new_tokens=n_new, num_beams=3, eos_token_id=None,
+            pad_token_id=0, length_penalty=0.0,
+        ),
+    )
+    np.testing.assert_array_equal(res.sequences, hf_out)
