@@ -147,8 +147,10 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
         # half-split: byte r holds (lo = row r, hi = row K/2 + r). The kernel
         # then runs TWO plain matmuls (x[:, :K/2] @ lo, x[:, K/2:] @ hi) with
         # no concat/interleave relayout at all — the reassembly shuffle is what
-        # dominated the round-1 int4 kernel. Groups must not straddle K/2.
-        assert g == K or (K // 2) % g == 0, f"group {g} must divide K/2={K//2}"
+        # dominated the round-1 int4 kernel. Packing is row-based and valid for
+        # any group layout; paths that need half-aligned groups (the W4A8 dyn
+        # dots, the Pallas kernel) guard on that in quantized_matmul and fall
+        # back to the dequantize path when groups straddle K/2.
         b = (q + 8).astype(np.uint8)
         bh = b.reshape(*lead, K, N)
         packed = (bh[..., : K // 2, :] & 0xF) | (bh[..., K // 2 :, :] << 4)
