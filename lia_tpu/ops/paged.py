@@ -10,9 +10,11 @@ Reference equivalent: csrc/cpu/aten/PagedAttention.cpp:57-65 (`reshape_and_cache
   sequence ``b`` lives at ``(table[b, t // bs], :, t % bs, :)``;
 - :func:`reshape_and_cache` scatters fresh tokens through a flat slot mapping;
 - :func:`paged_attention` gathers a sequence's blocks and runs the framework's
-  masked attention (XLA gather + the jnp golden path; a Pallas gather-fused
-  kernel is the planned follow-up — the contiguous decode kernel covers today's
-  serving engine, which uses slot-per-sequence allocation instead of paging).
+  masked attention (XLA gather + the jnp golden path — the reference semantics
+  oracle);
+- :func:`paged_attention_pallas` (below) is the production path: a Pallas
+  kernel that walks the block table with scalar-prefetched index maps, reading
+  KV blocks straight from the pool with no gather/copy.
 
 This provides drop-in API parity for engines that allocate KV in pages (prefix
 sharing, fragmentation control) — complementary to the slab cache in

@@ -9,11 +9,12 @@ module unpacks the AutoGPTQ tensor format —
   scales:  f16/f32 [K/g, N]
   g_idx:   int32 [K]        (optional K→group permutation, act-order)
 
-— into fp32, then re-quantizes into the framework's symmetric
-:class:`~lia_tpu.ops.quant.QuantizedWeight` int4 form consumed by the Pallas
-fused dequant-matmul. The sym-requantization step introduces a small extra error
-versus native asymmetric GPTQ (zero-point-aware kernel: planned follow-up); pass
-``keep_fp=True`` to ingest at full precision instead.
+— and ingests it losslessly into the framework's asymmetric
+:class:`~lia_tpu.ops.quant.QuantizedWeight` ``woq_int4z`` form (zero-point-aware
+Pallas kernel in :mod:`lia_tpu.ops.pallas_matmul`), preserving the checkpoint's
+exact dequantized values. Act-order checkpoints (non-trivial ``g_idx``) fall
+back to dequantize + symmetric int4 re-quantization; ``keep_fp=True`` ingests
+at full precision instead.
 """
 
 from __future__ import annotations
