@@ -83,7 +83,7 @@ def build_params(cfg, fp_params, name):
 
 def main():
     cfg = get_config(MODEL).replace(dtype="float32")
-    fp_params = init_dummy_params(cfg, seed=3, scale=0.08)
+    fp_params = init_dummy_params(cfg, seed=3, scale=float(os.environ.get("SCALE", "0.08")))
 
     # probe set from the fp model: fixed prompts, greedy 8-token continuations
     fp_engine = InferenceEngine(cfg, fp_params)
