@@ -42,9 +42,9 @@ def main():
 
     # greedy control at B0*NB sequences
     prompts_full = [list(rng.integers(10, 30000, size=N_IN)) for _ in range(B0 * NB)]
-    eng.generate(prompts_full, gen)  # compile + warm
+    eng.generate(prompts_full, gen, fused=True)  # compile + warm
     t0 = time.perf_counter()
-    res = eng.generate(prompts_full, gen)
+    res = eng.generate(prompts_full, gen, fused=True)
     greedy_step = res.summary(B0 * NB)["avg_2nd_token_latency_s"]
     print(json.dumps({"mode": "greedy", "rows": B0 * NB,
                       "ms_per_step": round(greedy_step * 1e3, 3)}), flush=True)

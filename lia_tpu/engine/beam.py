@@ -127,14 +127,31 @@ def beam_step(
 ) -> Tuple[jnp.ndarray, kvc.KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One expansion step. Returns (next_tokens, cache, scores, finished,
     beam_src, proc) — processor state reordered with the winning beams and
-    updated with the fresh tokens."""
+    updated with the fresh tokens.
+
+    ``cache`` may be a plain :class:`~lia_tpu.ops.kv_cache.KVCache` (expanded
+    batch, whole-cache gather on reorder — the golden path) or a
+    :class:`~lia_tpu.ops.kv_cache.BeamKVCache` (shared prompt + per-beam tail;
+    reorder gathers only the tail — the production path)."""
     from lia_tpu.ops import sampling
 
-    logits, cache = T.decode_step(cfg, params, tokens[:, None], positions[:, None], cache)
+    grouped = isinstance(cache, kvc.BeamKVCache)
+    if grouped:
+        logits, cache = T.beam_decode_step(
+            cfg, params, tokens[:, None], positions[:, None], cache
+        )
+    else:
+        logits, cache = T.decode_step(
+            cfg, params, tokens[:, None], positions[:, None], cache
+        )
     next_tok, new_scores, finished, flat_src = beam_select(
         gen, cfg.vocab_size, logits, scores, finished, rng, proc=proc
     )
-    cache = kvc.beam_reorder(cache, flat_src)
+    cache = (
+        kvc.beam_tail_reorder(cache, flat_src)
+        if grouped
+        else kvc.beam_reorder(cache, flat_src)
+    )
     proc = reorder_proc(proc, flat_src, next_tok)
     return next_tok, cache, new_scores, finished, flat_src, proc
 

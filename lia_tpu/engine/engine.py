@@ -343,9 +343,17 @@ class InferenceEngine:
         prompts: Sequence[Sequence[int]],
         gen: GenerationConfig,
         seed: int = 0,
+        grouped: bool | None = None,
     ) -> GenerationResult:
         """Beam-search generation (reference parity: _beam_search with iakv
         beam_idx reorder). Returns the best beam per prompt.
+
+        ``grouped=True`` (default, resident path) uses the
+        :class:`~lia_tpu.ops.kv_cache.BeamKVCache` layout: the prompt is
+        prefilled and stored ONCE per input (1/nb of the prefill compute and
+        prompt-KV memory of the expanded layout) and the per-step beam shuffle
+        gathers only the generated tail. ``grouped=False`` is the expanded
+        whole-cache-gather golden path (bit-identical results).
 
         Composes with the tiered/streamed scheduler: the reference's generation
         modes all work under any policy
@@ -356,36 +364,59 @@ class InferenceEngine:
 
         cfg = self.cfg
         nb = gen.num_beams
-        expanded = [p for p in prompts for _ in range(nb)]
-        tokens, mask = pack_prompts(expanded, gen.pad_token_id)
-        Bnb, S = tokens.shape
-        B = Bnb // nb
-        max_len = -(-(S + gen.max_new_tokens) // 128) * 128
         lat = LatencyStats()
+        quantized_kv = self.runtime.quant.kv_cache_dtype == "int8"
+        if grouped is None:
+            grouped = True  # BeamKVCache has bf16 AND int8-KV kernels
 
         if self.scheduler is not None:
+            expanded = [p for p in prompts for _ in range(nb)]
+            tokens, mask = pack_prompts(expanded, gen.pad_token_id)
+            S = tokens.shape[1]
+            max_len = -(-(S + gen.max_new_tokens) // 128) * 128
             return self._generate_beam_scheduled(
                 tokens, mask, gen, max_len, lat, seed
             )
-        cache = kvc.init_cache(
-            cfg, Bnb, max_len, jnp.dtype(cfg.dtype),
-            quantized=self.runtime.quant.kv_cache_dtype == "int8",
-        )
+
+        if grouped:
+            tokens, mask = pack_prompts(prompts, gen.pad_token_id)  # [B, S]
+            B, S = tokens.shape
+            Bnb = B * nb
+            prompt_slots = -(-S // 128) * 128
+            cache = kvc.init_cache(
+                cfg, B, prompt_slots, jnp.dtype(cfg.dtype), quantized=quantized_kv
+            )
+            # per-beam logits-processor state still lives at Bnb rows
+            etokens = np.repeat(np.asarray(tokens), nb, axis=0)
+            emask = np.repeat(np.asarray(mask), nb, axis=0)
+        else:
+            expanded = [p for p in prompts for _ in range(nb)]
+            tokens, mask = pack_prompts(expanded, gen.pad_token_id)
+            Bnb, S = tokens.shape
+            B = Bnb // nb
+            max_len = -(-(S + gen.max_new_tokens) // 128) * 128
+            cache = kvc.init_cache(
+                cfg, Bnb, max_len, jnp.dtype(cfg.dtype), quantized=quantized_kv
+            )
+            etokens, emask = np.asarray(tokens), np.asarray(mask)
 
         proc = _needs_processors(gen)
         t0 = time.perf_counter()
         logits, cache = self._get_prefill()(
             self.params, jnp.asarray(tokens), jnp.asarray(mask), cache
         )
+        if grouped:
+            cache = kvc.beam_cache_from_prefill(cache, nb, gen.max_new_tokens)
+            logits = jnp.repeat(logits, nb, axis=0)  # [Bnb, V] beam rows
         # per-beam processor state (HF beam_search runs LogitsProcessorList on
         # the log-softmax scores; state rows reorder with the winning beams)
         seen = (
-            sampling.seen_from_prompt(jnp.asarray(tokens), jnp.asarray(mask), cfg.vocab_size)
+            sampling.seen_from_prompt(jnp.asarray(etokens), jnp.asarray(emask), cfg.vocab_size)
             if proc else jnp.zeros((Bnb, 1), jnp.bool_)
         )
         phist = (
             jnp.concatenate(
-                [jnp.asarray(tokens),
+                [jnp.asarray(etokens),
                  jnp.full((Bnb, gen.max_new_tokens), gen.pad_token_id, jnp.int32)], axis=1
             ) if proc else jnp.zeros((Bnb, 1), jnp.int32)
         )
@@ -416,7 +447,10 @@ class InferenceEngine:
         first = (idx % cfg.vocab_size).astype(jnp.int32)
         base = (jnp.arange(B, dtype=jnp.int32) * nb)[:, None]
         flat_src0 = (base + beam_src).reshape(-1)
-        cache = kvc.beam_reorder(cache, flat_src0)
+        if not grouped:
+            # grouped: the tail is still empty and the prompt is shared per
+            # group, so the first expansion needs no cache shuffle at all
+            cache = kvc.beam_reorder(cache, flat_src0)
         if proc:
             seen, phist, _, _ = beam_mod.reorder_proc(
                 (seen, phist, jnp.asarray(S, jnp.int32), 0), flat_src0,
@@ -436,7 +470,7 @@ class InferenceEngine:
                 beam_mod.make_beam_decoder(cfg, gen, gen.max_new_tokens - 1),
                 donate_argnums=(3,),
             )
-        positions = jnp.asarray(np.asarray(mask).sum(1), jnp.int32)
+        positions = jnp.asarray(emask.sum(1), jnp.int32)  # [Bnb]
         t0 = time.perf_counter()
         rng, sub = jax.random.split(jax.random.PRNGKey(seed + 1))
         history, final_scores = self._compiled[key](
@@ -490,7 +524,18 @@ class InferenceEngine:
         )
         state = sched.reorder_state(state, src)
         proc = beam_mod.reorder_proc(proc, src, tok)
-        history = np.asarray(tok)[:, None]
+        # history stays on device: [Bnb, max_new], reordered by gather and
+        # appended with one dynamic_update_slice per step (no host round-trip
+        # in the bookkeeping; only the scheduler passes themselves are stepwise)
+        append = jax.jit(
+            lambda h, s, t, i: jax.lax.dynamic_update_slice(
+                jnp.take(h, s, axis=0), t[:, None], (0, i)
+            )
+        )
+        history = append(
+            jnp.full((Bnb, gen.max_new_tokens), gen.pad_token_id, jnp.int32),
+            jnp.arange(Bnb, dtype=jnp.int32), tok, jnp.zeros((), jnp.int32),
+        )
         tok.block_until_ready()
         lat.record(time.perf_counter() - t0)
 
@@ -504,15 +549,13 @@ class InferenceEngine:
             )
             state = sched.reorder_state(state, src)
             proc = beam_mod.reorder_proc(proc, src, tok)
-            history = np.concatenate(
-                [np.asarray(history)[np.asarray(src)], np.asarray(tok)[:, None]], axis=1
-            )
+            history = append(history, src, tok, jnp.asarray(i + 1, jnp.int32))
             tok.block_until_ready()
             lat.record(time.perf_counter() - t0)
             pos = pos + 1
 
         final_scores = np.asarray(scores)
-        history = history.reshape(B, nb, -1)
+        history = np.asarray(history).reshape(B, nb, -1)
         seqs = beam_mod.select_best(history, final_scores, gen)
         return GenerationResult(seqs, lat)
 

@@ -374,9 +374,10 @@ def _draft_loop_sampled_fn(cfg: ModelConfig, k: int, gen: GenerationConfig):
     residual resampling)."""
     from lia_tpu.ops import sampling
 
-    def f(params, pending, n_real, cache, key):
+    def f(params, pending, n_real, cache, key, active=None):
         B = pending.shape[0]
-        active = jnp.ones((B,), jnp.bool_)
+        if active is None:  # batch mode: every row drafts (serving passes the
+            active = jnp.ones((B,), jnp.bool_)  # live slot mask instead)
 
         def body(carry, i):
             tok, c, key = carry
@@ -456,6 +457,42 @@ def _sampled_accept_fn(k: int):
         qa = jnp.take_along_axis(qs, jnp.minimum(a, k - 1)[:, None, None], axis=1)[:, 0]
         qa = jnp.where((a < k)[:, None], qa, 0.0)
         residual = jnp.maximum(pa - qa, 0.0)
+        ssum = jnp.sum(residual, axis=1, keepdims=True)
+        dist = jnp.where(
+            ssum > 0, residual / jnp.maximum(ssum, 1e-20),
+            pa / jnp.maximum(jnp.sum(pa, 1, keepdims=True), 1e-20),
+        )
+        extra = jax.random.categorical(
+            key_r, jnp.log(jnp.maximum(dist, 1e-30)), axis=-1
+        )
+        return a.astype(jnp.int32), extra.astype(jnp.int32)
+
+    return jax.jit(f)
+
+
+def _lookup_accept_fn(k: int):
+    """Jitted acceptance for DETERMINISTIC proposals (prompt lookup): the
+    draft distribution is a point mass at the proposed token, so the Leviathan
+    rule reduces to accept-with-probability ``p(x)`` and the residual on first
+    rejection is ``p`` with the rejected token zeroed out (still provably
+    target-distributed). Distributions stay on device; only [B] counts/tokens
+    return to the host."""
+
+    def f(props, ps, key):  # [B, k] int32, [B, k+1, V] target warped probs
+        B, _, V = ps.shape
+        key_u, key_r = jax.random.split(key)
+        u = jax.random.uniform(key_u, (B, k))
+        bidx = jnp.arange(B)[:, None]
+        kidx = jnp.arange(k)[None, :]
+        px = ps[bidx, kidx, props]
+        acc = u < px  # q(x) == 1 for the proposed token
+        a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)  # [B]
+        pa = jnp.take_along_axis(ps, a[:, None, None], axis=1)[:, 0]  # [B, V]
+        rej = jnp.take_along_axis(props, jnp.minimum(a, k - 1)[:, None], axis=1)[:, 0]
+        drop = (a < k)[:, None] & (
+            jax.lax.broadcasted_iota(jnp.int32, (B, V), 1) == rej[:, None]
+        )
+        residual = jnp.where(drop, 0.0, pa)
         ssum = jnp.sum(residual, axis=1, keepdims=True)
         dist = jnp.where(
             ssum > 0, residual / jnp.maximum(ssum, 1e-20),

@@ -141,8 +141,8 @@ class ContinuousBatcher:
             self._cache_shardings = None
         self.paged = paged
         if paged:
-            if self.sched is not None or mesh is not None:
-                raise ValueError("paged serving is resident single-device for now")
+            if self.sched is not None:
+                raise ValueError("paged serving does not compose with the streaming scheduler yet")
             from lia_tpu.ops import paged as pg
 
             self.block_size = block_size
@@ -152,6 +152,17 @@ class ContinuousBatcher:
             shape = (cfg.num_layers, nb, cfg.num_kv_heads, block_size, cfg.head_dim)
             self.k_pool = jnp.zeros(shape, jnp.dtype(cfg.dtype))
             self.v_pool = jnp.zeros(shape, jnp.dtype(cfg.dtype))
+            if mesh is not None:
+                # TP paged pools: shard the KV-head axis over "model" (same
+                # axis the attention weights split on, so each shard's heads
+                # read only local pages); the block table / refcounts / prefix
+                # map are tiny replicated HOST state — the paged analog of the
+                # reference keeping its beam_idx/page tables on CPU
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                pool_sh = NamedSharding(mesh, P(None, None, "model", None, None))
+                self.k_pool = jax.device_put(self.k_pool, pool_sh)
+                self.v_pool = jax.device_put(self.v_pool, pool_sh)
             self.free_blocks = list(range(nb - 1, 0, -1))  # block 0 = null page
             # --- automatic prefix caching (vLLM APC analog; additive) ---
             # full prompt blocks register under a prefix-chain hash; pages stay
@@ -167,12 +178,17 @@ class ContinuousBatcher:
             self.block_table = np.zeros((max_batch, self.max_pages), np.int32)
             self.kv_lengths = np.zeros(max_batch, np.int32)
             self.cache = None
-            # XLA:CPU with forced multi-virtual-device + thread oversubscription
-            # intermittently corrupts a chain of in-flight pool updates when the
-            # host drops its only reference to the intermediate pools (observed
-            # only on the 8-virtual-device test backend; keeping references or
-            # serializing the chain is provably stable, and single-device TPU
-            # dispatch is unaffected). Serialize the pool chain on CPU.
+            # XLA:CPU concurrent-dispatch race (minimal repro + variant matrix:
+            # experiments/repro_sync_pools.py — ~10% of chained iterations):
+            # when a computation READING the pool (decode logits, APC seed) is
+            # dispatched and the next pool update is dispatched before it
+            # finishes, the reader's OUTPUT is intermittently wrong on the
+            # forced-8-virtual-device oversubscribed host. The pool itself is
+            # never corrupted, and donation is not required to trigger it
+            # (rate merely drops), so this is a backend execution race, not
+            # use-after-donate. Any serialization point fixes it; TPU's
+            # stream-ordered execution is structurally immune. Serialize the
+            # pool chain on CPU.
             self._sync_pools = jax.default_backend() == "cpu"
         elif self.sched is None:
             self.cache = kvc.init_cache(cfg, max_batch, max_len, jnp.dtype(cfg.dtype), quantized=kv_quantized)
@@ -226,8 +242,10 @@ class ContinuousBatcher:
                 raise NotImplementedError(
                     "speculation does not compose with logits processors"
                 )
-            if gen.do_sample:
-                raise NotImplementedError("speculative serving is greedy-exact only")
+            # gen.do_sample composes: proposals are accepted by the Leviathan
+            # rule against the target's warped distribution (prompt-lookup
+            # proposals use the point-mass special case), so outputs are
+            # distributed exactly as plain sampling under the engine-level warp
         # two-model speculation: a draft model proposes the k tokens instead of
         # prompt lookup; the draft keeps its own ragged slab cache per slot
         # (holding each slot's history[:-1]) and rewinds to the verified prefix
@@ -451,8 +469,14 @@ class ContinuousBatcher:
                 "per-request repetition_penalty/min_new_tokens need the engine "
                 "built with enable_processors=True (or processor defaults in gen)"
             )
-        if self.speculate_k is not None and do_sample:
-            raise ValueError("speculative serving is greedy-exact only")
+        if self.speculate_k is not None and any(
+            x is not None for x in (do_sample, temperature, top_k, top_p)
+        ):
+            raise ValueError(
+                "speculative serving samples under the ENGINE-level warp (the "
+                "acceptance math needs one shared p/q warp per verify pass); "
+                "per-request sampling overrides do not compose"
+            )
         rid = self._next_id
         self._next_id += 1
         self.queue.append(Request(
@@ -711,6 +735,8 @@ class ContinuousBatcher:
                 else:
                     # full prefill into a throwaway contiguous cache
                     seg = kvc.init_cache(self.cfg, 1, bucket, jnp.dtype(self.cfg.dtype))
+                    if self._cache_shardings is not None:
+                        seg = jax.device_put(seg, self._cache_shardings)
                     logits, seg = self._prefill_fn(bucket)(
                         self.params, jnp.asarray(tokens), jnp.asarray(mask), seg
                     )
@@ -779,26 +805,47 @@ class ContinuousBatcher:
                 self.kv_lengths[slot] = 0
 
     def _spec_step(self) -> None:
-        """One speculative iteration: propose k tokens per active slot from its
-        own history (prompt lookup), verify all k+1 in one chunked ragged pass,
-        accept the longest argmax-matching prefix + the bonus token."""
+        """One speculative iteration: propose k tokens per active slot (prompt
+        lookup or the draft model), verify all k+1 in one chunked ragged pass,
+        accept. Greedy requests take the longest argmax-matching prefix + the
+        bonus token (exact); sampled requests run Leviathan acceptance against
+        the target's warped distribution on device (prompt-lookup proposals
+        use the point-mass special case) — output distribution equals plain
+        sampling under the engine-level warp."""
         from lia_tpu.engine import lookahead as la
 
         k = self.speculate_k
         C = k + 1
         g = self.gen
+        sampled = g.do_sample
         active = self.active.copy()
+        if sampled:
+            self._rng, sub_d, sub_a = jax.random.split(self._rng, 3)
+        qs_dev = None
         if self.draft is not None:
-            dk = ("spec_draft", k)
-            if dk not in self._compiled:
-                self._compiled[dk] = la._draft_loop_fn(self.dcfg, k)
-            props_dev, self.dcache = self._compiled[dk](
-                self.dparams,
-                jnp.asarray(self.tokens.astype(np.int32)),
-                jnp.asarray(self.logical_pos.astype(np.int32)),
-                self.dcache,
-                jnp.asarray(active),
-            )
+            if sampled:
+                dk = ("spec_draft_sampled", k, g.temperature, g.top_k, g.top_p)
+                if dk not in self._compiled:
+                    self._compiled[dk] = la._draft_loop_sampled_fn(self.dcfg, k, g)
+                props_dev, qs_dev, self.dcache = self._compiled[dk](
+                    self.dparams,
+                    jnp.asarray(self.tokens.astype(np.int32)),
+                    jnp.asarray(self.logical_pos.astype(np.int32)),
+                    self.dcache,
+                    sub_d,
+                    jnp.asarray(active),
+                )
+            else:
+                dk = ("spec_draft", k)
+                if dk not in self._compiled:
+                    self._compiled[dk] = la._draft_loop_fn(self.dcfg, k)
+                props_dev, self.dcache = self._compiled[dk](
+                    self.dparams,
+                    jnp.asarray(self.tokens.astype(np.int32)),
+                    jnp.asarray(self.logical_pos.astype(np.int32)),
+                    self.dcache,
+                    jnp.asarray(active),
+                )
             props = np.asarray(props_dev)
         else:
             props = np.stack([
@@ -810,28 +857,54 @@ class ContinuousBatcher:
                 else [g.pad_token_id] * k
                 for b in range(self.B)
             ]).astype(np.int32)
+            props_dev = jnp.asarray(props)
         chunk = np.concatenate([self.tokens[:, None].astype(np.int32), props], axis=1)
         positions = (
             self.logical_pos[:, None].astype(np.int32)
             + np.arange(C, dtype=np.int32)[None, :]
         )
-        vkey = ("spec_verify", C)
-        if vkey not in self._compiled:
-            self._compiled[vkey] = la._verify_fn(self.cfg)
-            self._compiled["spec_advance"] = la._accept_fn()
-        greedy, self.cache = self._compiled[vkey](
-            self.params, jnp.asarray(chunk), jnp.asarray(positions), self.cache
-        )
-        greedy = np.asarray(greedy)
+        if sampled:
+            vkey = ("spec_verify_sampled", C, g.temperature, g.top_k, g.top_p)
+            if vkey not in self._compiled:
+                self._compiled[vkey] = la._verify_sampled_fn(self.cfg, g)
+                self._compiled["spec_advance"] = la._accept_fn()
+            ps, self.cache = self._compiled[vkey](
+                self.params, jnp.asarray(chunk), jnp.asarray(positions), self.cache
+            )
+            akey = ("spec_accept", k, self.draft is not None)
+            if akey not in self._compiled:
+                self._compiled[akey] = (
+                    la._sampled_accept_fn(k)
+                    if self.draft is not None
+                    else la._lookup_accept_fn(k)
+                )
+            if self.draft is not None:
+                a_dev, extra_dev = self._compiled[akey](props_dev, qs_dev, ps, sub_a)
+            else:
+                a_dev, extra_dev = self._compiled[akey](props_dev, ps, sub_a)
+            a_np, extra_np = np.asarray(a_dev), np.asarray(extra_dev)
+        else:
+            vkey = ("spec_verify", C)
+            if vkey not in self._compiled:
+                self._compiled[vkey] = la._verify_fn(self.cfg)
+                self._compiled["spec_advance"] = la._accept_fn()
+            greedy, self.cache = self._compiled[vkey](
+                self.params, jnp.asarray(chunk), jnp.asarray(positions), self.cache
+            )
+            greedy = np.asarray(greedy)
         self._steps += 1
         accept = np.zeros(self.B, np.int32)
         for b in np.flatnonzero(active):
             b = int(b)
             req = self.slot_req[b]
-            a = 0
-            while a < k and props[b, a] == greedy[b, a]:
-                a += 1
-            new_toks = [int(t) for t in chunk[b, 1 : a + 1]] + [int(greedy[b, a])]
+            if sampled:
+                a = int(a_np[b])
+                new_toks = [int(t) for t in props[b, :a]] + [int(extra_np[b])]
+            else:
+                a = 0
+                while a < k and props[b, a] == greedy[b, a]:
+                    a += 1
+                new_toks = [int(t) for t in chunk[b, 1 : a + 1]] + [int(greedy[b, a])]
             new_toks = new_toks[: req.max_new_tokens - len(req.output)]
             stops = set() if g.eos_token_id is None else {g.eos_token_id}
             if req.stop_token_ids:

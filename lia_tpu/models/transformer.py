@@ -584,6 +584,77 @@ def decode_layers_scan(
     return x, ck, cv
 
 
+def beam_decode_layers_scan(
+    cfg: ModelConfig,
+    layer_params: Params,
+    x: jnp.ndarray,  # [B0*nb, 1, H]
+    cache: "kvc.BeamKVCache",
+    bias,  # [B0*nb, N, S_p + T_max + 1] ALiBi bias or None
+    positions: jnp.ndarray,  # [B0*nb, 1]
+    n_layers: int,
+):
+    """Scan all decode layers over the grouped beam cache (read-only inside the
+    scan; one tail commit per step, same trade as :func:`decode_layers_scan`)."""
+    from lia_tpu.ops.quant import dequantize_kv, is_quantized_kv, quantize_kv
+
+    quantized = is_quantized_kv(cache.tail_k)
+
+    def body(h, inputs):
+        lp, idx = inputs
+        residual = h
+        q, k, v = attn_in(cfg, lp, h, positions)
+        if quantized:
+            # quantize first so attention sees exactly what later steps will
+            # read back from the tail (same convention as decode_layers_scan)
+            kq, vq = quantize_kv(k), quantize_kv(v)
+            kf, vf = dequantize_kv(kq, h.dtype), dequantize_kv(vq, h.dtype)
+        else:
+            kq, vq, kf, vf = k, v, k, v
+        attn_out = att.attend_decode_beam(q, kf, vf, cache, idx, bias=bias)
+        h = attn_post_mlp(cfg, lp, residual, attn_out)
+        return h, (kq, vq)
+
+    x, (k_stack, v_stack) = jax.lax.scan(
+        body, x, (layer_params, jnp.arange(n_layers, dtype=jnp.int32))
+    )
+    cache = kvc.beam_commit_token(cache, k_stack, v_stack)
+    return x, cache
+
+
+def _alibi_beam_bias(cfg: ModelConfig, cache: "kvc.BeamKVCache", positions: jnp.ndarray):
+    """ALiBi key-positional bias over the beam cache's [prompt | tail | fresh]
+    slot layout: [B0*nb, N, S_p + T_max + 1], or None for non-ALiBi models."""
+    if not cfg.alibi:
+        return None
+    B = positions.shape[0]
+    nb = cache.nb
+    group = jnp.arange(B, dtype=jnp.int32) // nb
+    pmask = jnp.take(cache.prompt_mask, group, axis=0)  # [B, S_p]
+    prompt_pos = (jnp.cumsum(pmask.astype(jnp.int32), axis=1) - 1) * pmask
+    real_len = jnp.sum(pmask.astype(jnp.int32), axis=1, keepdims=True)  # [B, 1]
+    T_max = cache.tail_k.q.shape[3] if hasattr(cache.tail_k, "q") else cache.tail_k.shape[3]
+    tail_pos = real_len + jnp.arange(T_max, dtype=jnp.int32)[None, :]
+    key_pos = jnp.concatenate([prompt_pos, tail_pos, positions.astype(jnp.int32)], axis=1)
+    return att.alibi_bias(att.alibi_slopes(cfg.num_heads), key_pos)
+
+
+def beam_decode_step(
+    cfg: ModelConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [B0*nb, 1]
+    positions: jnp.ndarray,  # [B0*nb, 1]
+    cache: "kvc.BeamKVCache",
+) -> Tuple[jnp.ndarray, "kvc.BeamKVCache"]:
+    """One beam decode step over the grouped cache; returns (logits, cache)."""
+    x = embed(cfg, params, tokens, positions)
+    bias = _alibi_beam_bias(cfg, cache, positions)
+    x, cache = beam_decode_layers_scan(
+        cfg, params["layers"], x, cache, bias, positions, cfg.num_layers
+    )
+    logits = lm_head(cfg, params, x)[:, 0, :]
+    return logits, cache
+
+
 def _alibi_decode_bias(cfg: ModelConfig, cache: kvc.KVCache, positions: jnp.ndarray):
     """Key-positional ALiBi bias over cache slots for one decode step, with the
     fresh token's slot (at ``cache.length``) pre-filled with its logical

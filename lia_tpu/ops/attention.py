@@ -360,6 +360,95 @@ def attend_decode_fresh(
     return attend_decode(q, kl, vl, inc_ctx)
 
 
+def attend_decode_beam(
+    q: jnp.ndarray,  # [B0*nb, 1, N, D]
+    k_fresh: jnp.ndarray,  # [B0*nb, N_kv, 1, D] (head-major)
+    v_fresh: jnp.ndarray,
+    cache,  # lia_tpu.ops.kv_cache.BeamKVCache
+    layer_idx,
+    bias: jnp.ndarray | None = None,  # [B0*nb, N, S_p + T_max + 1] (ALiBi):
+    # prompt slots, tail slots, then the fresh token's slot, in that order
+) -> jnp.ndarray:
+    """Grouped-beam decode attention: the group's shared prompt plane ∪ this
+    beam's generated tail ∪ the fresh token, one online softmax.
+
+    Fast path: :func:`lia_tpu.ops.pallas_attention.decode_beam_attention`
+    (prompt selected by a ``b // nb`` index map — zero copies). Fallback
+    (CPU / quantized KV / ALiBi / odd shapes): materialize the per-beam
+    concatenated view and run the jnp golden path.
+    """
+    from lia_tpu.ops import dispatch
+    from lia_tpu.ops.quant import dequantize_kv, is_quantized_kv
+
+    nb = cache.nb
+    quantized = is_quantized_kv(cache.prompt_k)
+    kp, vp, kt, vt = cache.prompt_k, cache.prompt_v, cache.tail_k, cache.tail_v
+    S_p = kp.q.shape[3] if quantized else kp.shape[3]
+    T_max = kt.q.shape[3] if quantized else kt.shape[3]
+    Nkv = kp.q.shape[2] if quantized else kp.shape[2]
+    prompt_starts = cache.prompt_len - jnp.sum(
+        cache.prompt_mask.astype(jnp.int32), axis=1
+    )  # [B0]
+    if (
+        bias is None
+        and dispatch.use_pallas()
+        and dispatch.stacked_kernel_enabled()
+        and dispatch.gqa_kernel_ok(q.shape[2], Nkv, q.shape[3])
+        and dispatch.pick_block(S_p, 512, minimum=64) is not None
+        and T_max % 8 == 0
+    ):
+        bk = dispatch.pick_block(S_p, 512, minimum=64)
+        if quantized:
+            from lia_tpu.ops.pallas_attention import decode_beam_attention_int8
+
+            kf = dequantize_kv(k_fresh, q.dtype) if is_quantized_kv(k_fresh) else k_fresh.astype(q.dtype)
+            vf = dequantize_kv(v_fresh, q.dtype) if is_quantized_kv(v_fresh) else v_fresh.astype(q.dtype)
+            return decode_beam_attention_int8(
+                q, kf, vf, kp.q, kp.s, vp.q, vp.s, kt.q, kt.s, vt.q, vt.s,
+                layer_idx, prompt_starts, cache.prompt_len, cache.tail_len, nb,
+                block_k=bk, interpret=dispatch.interpret_mode(),
+            )
+        from lia_tpu.ops.pallas_attention import decode_beam_attention
+
+        return decode_beam_attention(
+            q, k_fresh.astype(q.dtype), v_fresh.astype(q.dtype),
+            kp, vp, kt, vt, layer_idx, prompt_starts,
+            cache.prompt_len, cache.tail_len, nb,
+            block_k=bk,
+            interpret=dispatch.interpret_mode(),
+        )
+
+    # golden fallback: expand the prompt per beam and concatenate the segments
+    from lia_tpu.ops import kv_cache as kvc
+
+    B = q.shape[0]
+    kp_l = kvc.index_layer_kv(kp, layer_idx)
+    vp_l = kvc.index_layer_kv(vp, layer_idx)
+    kt_l = kvc.index_layer_kv(kt, layer_idx)
+    vt_l = kvc.index_layer_kv(vt, layer_idx)
+    if quantized:
+        kp_l, vp_l = dequantize_kv(kp_l, q.dtype), dequantize_kv(vp_l, q.dtype)
+        kt_l, vt_l = dequantize_kv(kt_l, q.dtype), dequantize_kv(vt_l, q.dtype)
+    group = jnp.arange(B, dtype=jnp.int32) // nb
+    k_all = jnp.concatenate(
+        [jnp.take(kp_l, group, axis=0), kt_l, k_fresh.astype(q.dtype)], axis=2
+    )  # [B, Nkv, S_p + T_max + 1, D]
+    v_all = jnp.concatenate(
+        [jnp.take(vp_l, group, axis=0), vt_l, v_fresh.astype(q.dtype)], axis=2
+    )
+    pos_t = jnp.arange(T_max)[None, :]
+    tail_valid = jnp.broadcast_to(pos_t < cache.tail_len, (B, T_max))
+    mask = jnp.concatenate(
+        [
+            jnp.take(cache.prompt_mask, group, axis=0),
+            tail_valid,
+            jnp.ones((B, 1), jnp.bool_),
+        ],
+        axis=1,
+    )[:, None, :]  # [B, 1, S_p + T_max + 1]
+    return attend(q, k_all, v_all, mask, bias=bias)
+
+
 def attend_decode_stacked(
     q: jnp.ndarray, k_cache_full, v_cache_full, layer_idx, ctx: DecodeAttn
 ) -> jnp.ndarray:

@@ -9,9 +9,10 @@ layout ``[max_len, bs, heads, head_dim]`` consumed by the C++ decode kernel
 Here the cache is a static-shape pytree ``[L, B, N_kv, S_max, D]`` (head-major: each
 head's [S_max, D] plane is contiguous for kernel DMA) updated in place via
 ``lax.dynamic_update_slice`` (XLA aliases the buffer under jit donation, so updates are
-truly in-place on TPU), and beam indirection becomes a batched gather over the batch axis
-instead of the reference's ``beam_idx`` table — no copy of past tokens is ever made at
-decode time, matching the reference's zero-copy beam reorder goal.
+truly in-place on TPU). Beam indirection uses :class:`BeamKVCache`: prompt KV is
+stored once per input group and shared by all beams through a static index-map
+relation (never copied), and the beam shuffle gathers only the small generated
+tail — the TPU-native answer to the reference's in-kernel ``beam_idx`` table.
 """
 
 from __future__ import annotations
@@ -170,14 +171,114 @@ def insert_slot(cache: KVCache, seg: KVCache, slot) -> KVCache:
 def beam_reorder(cache: KVCache, beam_idx: jnp.ndarray) -> KVCache:
     """Reorder the batch axis by ``beam_idx`` [B] (beam-search hypothesis shuffle).
 
-    The reference does this lazily with a ``beam_idx`` indirection table read inside
-    the C++ kernel; on TPU a gather over the batch axis compiles to an efficient
-    HBM-local shuffle and keeps every other op free of indirection.
+    Gathers the FULL cache — correct but O(cache) HBM traffic per step. The
+    production beam path uses :class:`BeamKVCache` (shared prompt + per-beam
+    tail) where the per-step gather touches only the generated tail; this
+    whole-cache variant remains the golden model and the scheduler's fallback.
     """
     return cache._replace(
         k=jax.tree.map(lambda a: jnp.take(a, beam_idx, axis=1), cache.k),
         v=jax.tree.map(lambda a: jnp.take(a, beam_idx, axis=1), cache.v),
         mask=jnp.take(cache.mask, beam_idx, axis=0),
+    )
+
+
+class BeamKVCache(NamedTuple):
+    """Grouped beam-search cache: the prompt's KV is stored ONCE per input
+    group and shared (read-only) by all ``nb`` beams; only the generated tail
+    is per-beam.
+
+    The reference reaches zero-copy beam reorder with a per-position
+    ``beam_idx`` table read inside its CPU kernel
+    (csrc/cpu/aten/kernels/MaskedMultiHeadAttentionKrnl.cpp, schema
+    MaskedMultiHeadAttention.cpp:63-70); per-position row indirection would
+    defeat TPU tile DMA, so the indirection is hoisted to source granularity:
+    prompt rows are group-indexed forever (beam ``b`` reads group ``b // nb``
+    — a static index-map relation, no data movement), and the beam shuffle
+    gathers only the [L, B·nb, N_kv, T_max, D] tail (hundreds of KB at
+    practical tail lengths, vs the full-cache gather's hundreds of MB).
+
+    ``prompt_k``/``prompt_v``: [L, B0, N_kv, S_p, D] (array or QuantizedKV);
+    ``tail_k``/``tail_v``: [L, B0*nb, N_kv, T_max, D];
+    ``prompt_len``: scalar (bucketed prompt length);
+    ``prompt_mask``: [B0, S_p] validity (left-padded prompts);
+    ``tail_len``: scalar — generated tokens committed so far (tail slots
+    [0, tail_len) are valid for every live beam).
+    """
+
+    prompt_k: Any
+    prompt_v: Any
+    prompt_len: jnp.ndarray  # scalar int32
+    prompt_mask: jnp.ndarray  # [B0, S_p] bool
+    tail_k: Any
+    tail_v: Any
+    tail_len: jnp.ndarray  # scalar int32
+    nb: int  # static
+
+
+# the beam width is structural (it fixes the group/beam shape relation), not data
+jax.tree_util.register_pytree_node(
+    BeamKVCache,
+    lambda c: (
+        (c.prompt_k, c.prompt_v, c.prompt_len, c.prompt_mask, c.tail_k, c.tail_v, c.tail_len),
+        c.nb,
+    ),
+    lambda nb, leaves: BeamKVCache(*leaves, nb),
+)
+
+
+def beam_cache_from_prefill(
+    cache: KVCache, nb: int, max_new_tokens: int
+) -> BeamKVCache:
+    """Build a grouped beam cache from a group-level prefill cache (batch B0).
+
+    The prefilled slab becomes the shared prompt segment as-is (no copy — the
+    arrays are reused); a fresh zeroed tail is allocated at ``B0*nb`` rows with
+    the tail slot count rounded up to a Mosaic-legal 128 multiple."""
+    t_max = -(-max_new_tokens // 128) * 128
+
+    def tail_like(plane):
+        if hasattr(plane, "q"):  # QuantizedKV
+            from lia_tpu.ops.quant import QuantizedKV
+
+            L, B0, Nkv, _, D = plane.q.shape
+            return QuantizedKV(
+                jnp.zeros((L, B0 * nb, Nkv, t_max, D), plane.q.dtype),
+                jnp.zeros((L, B0 * nb, Nkv, t_max), plane.s.dtype),
+            )
+        L, B0, Nkv, _, D = plane.shape
+        return jnp.zeros((L, B0 * nb, Nkv, t_max, D), plane.dtype)
+
+    return BeamKVCache(
+        prompt_k=cache.k,
+        prompt_v=cache.v,
+        prompt_len=cache.length,
+        prompt_mask=cache.mask,
+        tail_k=tail_like(cache.k),
+        tail_v=tail_like(cache.v),
+        tail_len=jnp.zeros((), jnp.int32),
+        nb=nb,
+    )
+
+
+def beam_tail_reorder(cache: BeamKVCache, flat_src: jnp.ndarray) -> BeamKVCache:
+    """Beam shuffle: gather ONLY the generated tail by ``flat_src`` [B0*nb].
+
+    ``flat_src`` stays within each group (beam_select guarantees
+    ``flat_src[b] // nb == b // nb``), so the shared prompt needs no touch."""
+    return cache._replace(
+        tail_k=jax.tree.map(lambda a: jnp.take(a, flat_src, axis=1), cache.tail_k),
+        tail_v=jax.tree.map(lambda a: jnp.take(a, flat_src, axis=1), cache.tail_v),
+    )
+
+
+def beam_commit_token(cache: BeamKVCache, k_stack: Any, v_stack: Any) -> BeamKVCache:
+    """Commit one decode step's fresh K/V for all layers into the tail
+    (the beam analog of :func:`write_token_all`) and advance ``tail_len``."""
+    return cache._replace(
+        tail_k=write_token_all(cache.tail_k, k_stack, cache.tail_len),
+        tail_v=write_token_all(cache.tail_v, v_stack, cache.tail_len),
+        tail_len=cache.tail_len + 1,
     )
 
 

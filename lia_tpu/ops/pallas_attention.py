@@ -623,6 +623,368 @@ def decode_attention_fresh(
 
 
 # ---------------------------------------------------------------------------
+# Grouped-beam decode: shared prompt plane + per-beam tail + fresh token
+# ---------------------------------------------------------------------------
+
+
+def _decode_beam_kernel(
+    idx_ref,  # [1] int32 scalar-prefetch — layer index
+    pstart_ref,  # [B0, 1] int32 SMEM — prompt first valid slot per GROUP
+    plen_ref,  # [1, 1] int32 SMEM — prompt valid length (uniform, bucketed)
+    tlen_ref,  # [1, 1] int32 SMEM — generated-tail length (EXCLUDING fresh)
+    q_ref,  # [1, Hs, 1, G*D]
+    kf_ref,  # [1, Hs, 1, D] — this step's fresh key (not yet in any cache)
+    vf_ref,
+    kp_ref,  # [1, Hs, S_p, D] — PROMPT plane of this beam's input group
+    vp_ref,
+    kt_ref,  # [1, Hs, T_max, D] — this beam's generated-tail plane
+    vt_ref,
+    o_ref,  # [1, Hs, 1, G*D]
+    *,
+    scale: float,
+    bkp: int,
+    bkt: int,
+    G: int,
+    nb: int,
+):
+    """Three-phase online softmax: group prompt ∪ beam tail ∪ fresh token.
+
+    Beam search never copies prompt KV: all ``nb`` beams of an input group read
+    the SAME prompt plane (the BlockSpec index map divides the batch index by
+    ``nb``, and the grid orders beams innermost so Mosaic's block-revisit
+    detection skips the re-DMA for ``nb-1`` of every ``nb`` cells). The
+    reference reaches the same goal with a per-position ``beam_idx`` table read
+    inside its CPU kernel (MaskedMultiHeadAttentionKrnl.cpp); per-position row
+    indirection would defeat TPU tile DMA, so the indirection is hoisted to the
+    *source* granularity instead: prompt rows are group-indexed forever, and
+    only the small generated tail is per-beam (reordered by a [B, T] gather at
+    each step — hundreds of KB, not the full cache).
+    """
+    Hs, D = kp_ref.shape[1], kp_ref.shape[3]
+    b = pl.program_id(1)
+    pstart = pstart_ref[b // nb, 0]
+    plen = plen_ref[0, 0]
+    tlen = tlen_ref[0, 0]
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
+
+    def make_body(k_src, v_src, bk, lo, hi):
+        def body(j, carry):
+            m, l, acc = carry
+            k = k_src[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+            v = v_src[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+            s = jnp.where((pos < hi) & (pos >= lo), s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            return m_new, l, acc
+
+        return body
+
+    # phase 1: the group's prompt, valid slots [pstart, plen)
+    carry = jax.lax.fori_loop(
+        0, pl.cdiv(plen, bkp), make_body(kp_ref, vp_ref, bkp, pstart, plen), (m0, l0, acc0)
+    )
+    # phase 2: this beam's generated tail, valid slots [0, tlen)
+    m, l, acc = jax.lax.fori_loop(
+        0, pl.cdiv(tlen, bkt), make_body(kt_ref, vt_ref, bkt, 0, tlen), carry
+    )
+    # phase 3: the fresh token (always valid)
+    kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)
+    vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
+    sf = jax.lax.dot_general(
+        q, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    m_new = jnp.maximum(m, sf)
+    p = jnp.exp(sf - m_new)
+    alpha = jnp.exp(m - m_new)
+    l = l * alpha + p
+    acc = acc * alpha + jax.lax.dot_general(
+        p, vf, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "scale", "block_k", "interpret")
+)
+def decode_beam_attention(
+    q: jnp.ndarray,  # [B0*nb, 1, N, D]
+    k_fresh: jnp.ndarray,  # [B0*nb, N_kv, 1, D] (head-major)
+    v_fresh: jnp.ndarray,
+    kp: jnp.ndarray,  # [L, B0, N_kv, S_p, D] — stacked GROUP prompt cache
+    vp: jnp.ndarray,
+    kt: jnp.ndarray,  # [L, B0*nb, N_kv, T_max, D] — stacked per-beam tail
+    vt: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # scalar int32
+    prompt_start: jnp.ndarray,  # [B0] first valid prompt slot per group
+    prompt_len: jnp.ndarray,  # scalar — valid prompt length
+    tail_len: jnp.ndarray,  # scalar — generated tokens so far (excl. fresh)
+    nb: int,
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Beam decode attention: shared-prompt + per-beam-tail + fresh merge."""
+    B, _, N, D = q.shape
+    L, B0, Nkv, S_p, _ = kp.shape
+    T_max = kt.shape[3]
+    G = N // Nkv
+    scale = scale if scale is not None else D**-0.5
+    interpret = _interpret_default() if interpret is None else interpret
+    bkp = min(block_k, S_p)
+    bkt = min(block_k, T_max)
+    assert S_p % bkp == 0 and T_max % bkt == 0
+
+    qg = q.reshape(B, Nkv, 1, G * D)
+    itemsize = jnp.dtype(kp.dtype).itemsize
+    budget = 4 * 1024 * 1024
+    per_head = 2 * (S_p + T_max) * D * itemsize
+    Hs = max(1, min(Nkv, budget // max(per_head, 1)))
+    while Nkv % Hs:
+        Hs -= 1
+
+    kp_flat = kp.reshape(L * B0, Nkv, S_p, D)
+    vp_flat = vp.reshape(L * B0, Nkv, S_p, D)
+    kt_flat = kt.reshape(L * B, Nkv, T_max, D)
+    vt_flat = vt.reshape(L * B, Nkv, T_max, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # beams innermost: nb consecutive cells share one prompt block, so the
+        # prompt's HBM traffic is 1/nb of the naive per-beam layout
+        grid=(Nkv // Hs, B),
+        in_specs=[
+            pl.BlockSpec((B0, 1), lambda h, b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda h, b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda h, b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hs, 1, G * D), lambda h, b, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda h, b, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda h, b, i: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (1, Hs, S_p, D), lambda h, b, i: (i[0] * B0 + b // nb, h, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, Hs, S_p, D), lambda h, b, i: (i[0] * B0 + b // nb, h, 0, 0)
+            ),
+            pl.BlockSpec((1, Hs, T_max, D), lambda h, b, i: (i[0] * B + b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, T_max, D), lambda h, b, i: (i[0] * B + b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda h, b, i: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_beam_kernel, scale=scale, bkp=bkp, bkt=bkt, G=G, nb=nb
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+        interpret=interpret,
+    )(
+        layer_idx.astype(jnp.int32)[None],
+        prompt_start.astype(jnp.int32)[:, None],
+        jnp.broadcast_to(prompt_len.astype(jnp.int32), (1, 1)),
+        jnp.broadcast_to(tail_len.astype(jnp.int32), (1, 1)),
+        qg,
+        k_fresh,
+        v_fresh,
+        kp_flat,
+        vp_flat,
+        kt_flat,
+        vt_flat,
+    )
+    return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)
+
+
+def _decode_beam_int8_kernel(
+    idx_ref,  # [1] int32 scalar-prefetch — layer index
+    pstart_ref,  # [B0, 1] int32 SMEM
+    plen_ref,  # [1, 1] int32 SMEM
+    tlen_ref,  # [1, 1] int32 SMEM
+    q_ref,  # [1, Hs, 1, G*D]
+    kf_ref,  # [1, Hs, 1, D] bf16 fresh (pre-dequantized to match storage)
+    vf_ref,
+    kp_ref,  # [1, Hs, S_p, D] int8 — group prompt plane
+    kps_ref,  # [1, Hs, S_p] f32 — per-token K scales
+    vp_ref,
+    vps_ref,
+    kt_ref,  # [1, Hs, T_max, D] int8 — per-beam tail plane
+    kts_ref,
+    vt_ref,
+    vts_ref,
+    o_ref,
+    *,
+    scale: float,
+    bkp: int,
+    bkt: int,
+    G: int,
+    nb: int,
+):
+    """INT8-KV grouped-beam decode: the three-phase online softmax of
+    :func:`_decode_beam_kernel` with the int8 dequant folded into the
+    score/prob matrices (D× fewer multiplies, int8-sized HBM reads) exactly as
+    :func:`_decode_fresh_int8_kernel` does for the flat cache."""
+    Hs, D = kp_ref.shape[1], kp_ref.shape[3]
+    b = pl.program_id(1)
+    pstart = pstart_ref[b // nb, 0]
+    plen = plen_ref[0, 0]
+    tlen = tlen_ref[0, 0]
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
+
+    def make_body(k_src, ks_src, v_src, vs_src, bk, lo, hi):
+        def body(j, carry):
+            m, l, acc = carry
+            k = k_src[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+            ks = ks_src[0, :, pl.ds(j * bk, bk)]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            s = s * ks[:, None, :]  # defer K dequant to the score matrix
+            pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+            s = jnp.where((pos < hi) & (pos >= lo), s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            v = v_src[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+            vs = vs_src[0, :, pl.ds(j * bk, bk)]
+            pv = p * vs[:, None, :]  # fold V dequant into the prob matrix
+            acc = acc * alpha + jax.lax.dot_general(
+                pv, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            return m_new, l, acc
+
+        return body
+
+    carry = jax.lax.fori_loop(
+        0, pl.cdiv(plen, bkp),
+        make_body(kp_ref, kps_ref, vp_ref, vps_ref, bkp, pstart, plen), (m0, l0, acc0)
+    )
+    m, l, acc = jax.lax.fori_loop(
+        0, pl.cdiv(tlen, bkt),
+        make_body(kt_ref, kts_ref, vt_ref, vts_ref, bkt, 0, tlen), carry
+    )
+    kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)
+    vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
+    sf = jax.lax.dot_general(
+        q, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    m_new = jnp.maximum(m, sf)
+    p = jnp.exp(sf - m_new)
+    alpha = jnp.exp(m - m_new)
+    l = l * alpha + p
+    acc = acc * alpha + jax.lax.dot_general(
+        p, vf, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "scale", "block_k", "interpret")
+)
+def decode_beam_attention_int8(
+    q: jnp.ndarray,  # [B0*nb, 1, N, D]
+    k_fresh: jnp.ndarray,  # [B0*nb, N_kv, 1, D] bf16 (pre-dequantized)
+    v_fresh: jnp.ndarray,
+    kpq: jnp.ndarray,  # [L, B0, N_kv, S_p, D] int8 — stacked group prompt
+    kps: jnp.ndarray,  # [L, B0, N_kv, S_p] f32
+    vpq: jnp.ndarray,
+    vps: jnp.ndarray,
+    ktq: jnp.ndarray,  # [L, B0*nb, N_kv, T_max, D] int8 — stacked tail
+    kts: jnp.ndarray,
+    vtq: jnp.ndarray,
+    vts: jnp.ndarray,
+    layer_idx: jnp.ndarray,
+    prompt_start: jnp.ndarray,  # [B0]
+    prompt_len: jnp.ndarray,  # scalar
+    tail_len: jnp.ndarray,  # scalar
+    nb: int,
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """INT8-KV grouped-beam decode attention."""
+    B, _, N, D = q.shape
+    L, B0, Nkv, S_p, _ = kpq.shape
+    T_max = ktq.shape[3]
+    G = N // Nkv
+    scale = scale if scale is not None else D**-0.5
+    interpret = _interpret_default() if interpret is None else interpret
+    bkp = min(block_k, S_p)
+    bkt = min(block_k, T_max)
+    assert S_p % bkp == 0 and T_max % bkt == 0
+
+    qg = q.reshape(B, Nkv, 1, G * D)
+    budget = 4 * 1024 * 1024
+    per_head = 2 * (S_p + T_max) * (D + 4)
+    Hs = max(1, min(Nkv, budget // max(per_head, 1)))
+    while Nkv % Hs:
+        Hs -= 1
+
+    flat_p = lambda a: a.reshape((L * B0,) + a.shape[2:])
+    flat_t = lambda a: a.reshape((L * B,) + a.shape[2:])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Nkv // Hs, B),
+        in_specs=[
+            pl.BlockSpec((B0, 1), lambda h, b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda h, b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda h, b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hs, 1, G * D), lambda h, b, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda h, b, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, 1, D), lambda h, b, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_p, D), lambda h, b, i: (i[0] * B0 + b // nb, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_p), lambda h, b, i: (i[0] * B0 + b // nb, h, 0)),
+            pl.BlockSpec((1, Hs, S_p, D), lambda h, b, i: (i[0] * B0 + b // nb, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S_p), lambda h, b, i: (i[0] * B0 + b // nb, h, 0)),
+            pl.BlockSpec((1, Hs, T_max, D), lambda h, b, i: (i[0] * B + b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, T_max), lambda h, b, i: (i[0] * B + b, h, 0)),
+            pl.BlockSpec((1, Hs, T_max, D), lambda h, b, i: (i[0] * B + b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, T_max), lambda h, b, i: (i[0] * B + b, h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda h, b, i: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_beam_int8_kernel, scale=scale, bkp=bkp, bkt=bkt, G=G, nb=nb
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+        interpret=interpret,
+    )(
+        layer_idx.astype(jnp.int32)[None],
+        prompt_start.astype(jnp.int32)[:, None],
+        jnp.broadcast_to(prompt_len.astype(jnp.int32), (1, 1)),
+        jnp.broadcast_to(tail_len.astype(jnp.int32), (1, 1)),
+        qg,
+        k_fresh,
+        v_fresh,
+        flat_p(kpq),
+        flat_p(kps),
+        flat_p(vpq),
+        flat_p(vps),
+        flat_t(ktq),
+        flat_t(kts),
+        flat_t(vtq),
+        flat_t(vts),
+    )
+    return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)
+
+
+# ---------------------------------------------------------------------------
 # INT8-KV stacked decode (dequant in-kernel; HBM reads stay int8-sized)
 # ---------------------------------------------------------------------------
 

@@ -178,3 +178,55 @@ def test_beam_processors_scheduler_matches_resident():
         RuntimeConfig(hbm_percentage=50, prefill_policy=0, decode_policy=0),
     ).generate_beam(prompts, gen).sequences
     np.testing.assert_array_equal(res, sched)
+
+
+# -- grouped beam cache (shared prompt + per-beam tail) ----------------------
+
+
+def test_grouped_beam_matches_expanded(eng):
+    """The BeamKVCache production path must reproduce the whole-cache-gather
+    golden path bit-for-bit (greedy beams, ragged prompts, EOS freezing)."""
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    gen = GenerationConfig(max_new_tokens=6, num_beams=4, eos_token_id=2)
+    a = eng.generate_beam(prompts, gen, grouped=True).sequences
+    b = eng.generate_beam(prompts, gen, grouped=False).sequences
+    np.testing.assert_array_equal(a, b)
+
+
+def test_grouped_beam_sample_matches_expanded(eng):
+    """Stochastic beams: same seed → same Gumbel draws → same sequences in
+    both cache layouts."""
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    gen = GenerationConfig(
+        max_new_tokens=5, num_beams=3, do_sample=True, temperature=1.5
+    )
+    a = eng.generate_beam(prompts, gen, seed=7, grouped=True).sequences
+    b = eng.generate_beam(prompts, gen, seed=7, grouped=False).sequences
+    np.testing.assert_array_equal(a, b)
+
+
+def test_grouped_beam_processors_match_expanded(eng):
+    prompts = [[5, 9, 5, 9, 23], [100, 7, 3]]
+    gen = GenerationConfig(
+        max_new_tokens=6, num_beams=3, repetition_penalty=1.4,
+        no_repeat_ngram_size=2, min_new_tokens=3, eos_token_id=2,
+    )
+    a = eng.generate_beam(prompts, gen, grouped=True).sequences
+    b = eng.generate_beam(prompts, gen, grouped=False).sequences
+    np.testing.assert_array_equal(a, b)
+
+
+def test_grouped_beam_int8_kv_matches_expanded():
+    """INT8 KV beams: the grouped fallback path quantizes fresh K/V before
+    attention exactly like the expanded path, so results must match."""
+    from lia_tpu.config import QuantConfig, RuntimeConfig
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=11, scale=0.02)
+    rt = RuntimeConfig(quant=QuantConfig(kv_cache_dtype="int8"))
+    e = InferenceEngine(cfg, params, rt)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    gen = GenerationConfig(max_new_tokens=5, num_beams=3)
+    a = e.generate_beam(prompts, gen, grouped=True).sequences
+    b = e.generate_beam(prompts, gen, grouped=False).sequences
+    np.testing.assert_array_equal(a, b)

@@ -308,3 +308,90 @@ def test_decode_window_drops_old_slots(rng):
     keep[:, :, length - W + 1 : length + 1] = True
     ref = att.attend(q, kc2, vc2, jnp.asarray(keep))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("gqa", [False, True])
+@pytest.mark.parametrize("tlen", [0, 3])
+def test_beam_decode_matches_concat_golden(rng, gqa, tlen):
+    """Grouped-beam kernel (shared prompt plane + per-beam tail + fresh merge)
+    vs the jnp concat golden: beams of one group must read the group's prompt
+    and their own tail."""
+    from lia_tpu.ops.pallas_attention import decode_beam_attention
+
+    L, B0, nb, N, D = 2, 2, 3, 4, 16
+    Nkv = 2 if gqa else N
+    G = N // Nkv
+    B = B0 * nb
+    S_p, T_max = 16, 8
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((L, B0, Nkv, S_p, D)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((L, B0, Nkv, S_p, D)), jnp.float32)
+    kt = jnp.asarray(rng.standard_normal((L, B, Nkv, T_max, D)), jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((L, B, Nkv, T_max, D)), jnp.float32)
+    plen = jnp.asarray(12, jnp.int32)  # prompt slots [pstart, 12) valid
+    pstart = jnp.asarray([2, 0], jnp.int32)
+    tl = jnp.asarray(tlen, jnp.int32)
+
+    layer = jnp.asarray(1, jnp.int32)
+    out = decode_beam_attention(
+        q, kf, vf, kp, vp, kt, vt, layer, pstart, plen, tl, nb,
+        block_k=8, interpret=True,
+    )
+
+    # golden: concat [group prompt | own tail | fresh] with validity mask
+    group = np.arange(B) // nb
+    k_all = jnp.concatenate([jnp.take(kp[1], group, axis=0), kt[1], kf], axis=2)
+    v_all = jnp.concatenate([jnp.take(vp[1], group, axis=0), vt[1], vf], axis=2)
+    pos_p = np.arange(S_p)[None, :]
+    pmask = (pos_p >= np.asarray(pstart)[group][:, None]) & (pos_p < 12)
+    tmask = np.broadcast_to(np.arange(T_max)[None, :] < tlen, (B, T_max))
+    mask = jnp.asarray(
+        np.concatenate([pmask, tmask, np.ones((B, 1), bool)], axis=1)
+    )[:, None, :]
+    ref = att.attend(q, k_all, v_all, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("tlen", [0, 3])
+def test_beam_decode_int8_matches_dequant_golden(rng, tlen):
+    """INT8-KV grouped-beam kernel (score/prob-matrix dequant) vs the jnp
+    golden over the dequantized concat view."""
+    from lia_tpu.ops.pallas_attention import decode_beam_attention_int8
+    from lia_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    L, B0, nb, N, D = 2, 2, 2, 4, 16
+    Nkv = N
+    B = B0 * nb
+    S_p, T_max = 16, 8
+    q = jnp.asarray(rng.standard_normal((B, 1, N, D)), jnp.float32)
+    kp = quantize_kv(jnp.asarray(rng.standard_normal((L, B0, Nkv, S_p, D)), jnp.float32))
+    vp = quantize_kv(jnp.asarray(rng.standard_normal((L, B0, Nkv, S_p, D)), jnp.float32))
+    kt = quantize_kv(jnp.asarray(rng.standard_normal((L, B, Nkv, T_max, D)), jnp.float32))
+    vt = quantize_kv(jnp.asarray(rng.standard_normal((L, B, Nkv, T_max, D)), jnp.float32))
+    kf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, Nkv, 1, D)), jnp.float32)
+    plen = jnp.asarray(12, jnp.int32)
+    pstart = jnp.asarray([2, 0], jnp.int32)
+    tl = jnp.asarray(tlen, jnp.int32)
+    layer = jnp.asarray(1, jnp.int32)
+
+    out = decode_beam_attention_int8(
+        q, kf, vf, kp.q, kp.s, vp.q, vp.s, kt.q, kt.s, vt.q, vt.s,
+        layer, pstart, plen, tl, nb, block_k=8, interpret=True,
+    )
+
+    group = np.arange(B) // nb
+    kp_d, vp_d = dequantize_kv(kp, jnp.float32), dequantize_kv(vp, jnp.float32)
+    kt_d, vt_d = dequantize_kv(kt, jnp.float32), dequantize_kv(vt, jnp.float32)
+    k_all = jnp.concatenate([jnp.take(kp_d[1], group, axis=0), kt_d[1], kf], axis=2)
+    v_all = jnp.concatenate([jnp.take(vp_d[1], group, axis=0), vt_d[1], vf], axis=2)
+    pos_p = np.arange(S_p)[None, :]
+    pmask = (pos_p >= np.asarray(pstart)[group][:, None]) & (pos_p < 12)
+    tmask = np.broadcast_to(np.arange(T_max)[None, :] < tlen, (B, T_max))
+    mask = jnp.asarray(
+        np.concatenate([pmask, tmask, np.ones((B, 1), bool)], axis=1)
+    )[:, None, :]
+    ref = att.attend(q, k_all, v_all, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)

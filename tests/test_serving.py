@@ -595,8 +595,98 @@ def test_speculative_serving_guards(model):
     with pytest.raises(NotImplementedError, match="slab"):
         ContinuousBatcher(cfg, params, paged=True, speculate_k=4)
     cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, speculate_k=4)
-    with pytest.raises(ValueError, match="greedy"):
+    with pytest.raises(ValueError, match="per-request sampling"):
         cb.submit([1, 2, 3], do_sample=True)
+    with pytest.raises(ValueError, match="per-request sampling"):
+        cb.submit([1, 2, 3], temperature=0.7)
+
+
+def test_speculative_serving_sampled_topk1_matches_greedy(model):
+    """speculation × sampling: with top_k=1 the warped target distribution is
+    a point mass, so Leviathan acceptance must reproduce greedy serving
+    bit-for-bit (prompt-lookup proposals)."""
+    cfg, params = model
+    prompts = [[5, 9, 23, 41, 5, 9, 23, 41, 5, 9], [100, 7, 3], [50, 60, 7, 9, 11]]
+    greedy_gen = GenerationConfig(max_new_tokens=8)
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=greedy_gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    gen = GenerationConfig(max_new_tokens=8, do_sample=True, top_k=1)
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, speculate_k=4
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (sampled-spec top_k=1)"
+
+
+def test_draft_speculative_serving_sampled_topk1_matches_greedy(model):
+    """speculation × sampling with a DRAFT model at top_k=1: the sampled
+    acceptance rule degenerates to exact-match greedy."""
+    cfg, params = model
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    greedy_gen = GenerationConfig(max_new_tokens=6)
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=greedy_gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    gen = GenerationConfig(max_new_tokens=6, do_sample=True, top_k=1)
+    dparams = init_dummy_params(cfg, seed=99, scale=0.12)
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        speculate_k=3, draft=(cfg, dparams),
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (sampled draft top_k=1)"
+
+
+def test_speculative_serving_sampled_runs_and_respects_stops(model):
+    """speculation × sampling at real temperature: valid tokens, correct
+    lengths, stop-token truncation still exact."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=8, do_sample=True, temperature=1.3)
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, speculate_k=4
+    )
+    prompts = [[5, 9, 23, 41, 5, 9, 23, 41], [100, 7, 3]]
+    for p in prompts:
+        cb.submit(p)
+    done = cb.run()
+    assert len(done) == 2
+    for r in done:
+        assert 1 <= len(r.output) <= 8
+        assert all(0 <= t < cfg.vocab_size for t in r.output)
+
+
+def test_lookup_accept_first_token_distribution():
+    """The point-mass Leviathan rule must leave the FIRST position distributed
+    exactly as the target: empirically compare accept/resample output against
+    p over many keys."""
+    import jax
+    import jax.numpy as jnp
+
+    from lia_tpu.engine.lookahead import _lookup_accept_fn
+
+    k, V, N = 2, 5, 4000
+    rng = np.random.default_rng(0)
+    p = rng.random((1, k + 1, V)).astype(np.float32)
+    p /= p.sum(-1, keepdims=True)
+    props = jnp.asarray([[1, 3]], jnp.int32)
+    ps = jnp.asarray(p)
+    fn = _lookup_accept_fn(k)
+
+    def first_token(key):
+        a, extra = fn(props, ps, key)
+        # token emitted at position 0: props[0] if a >= 1 else the resample
+        return jnp.where(a[0] >= 1, props[0, 0], extra[0])
+
+    toks = np.asarray(jax.vmap(first_token)(jax.random.split(jax.random.PRNGKey(0), N)))
+    freq = np.bincount(toks, minlength=V) / N
+    np.testing.assert_allclose(freq, p[0, 0], atol=0.03)
 
 
 def test_draft_speculative_serving_matches_plain(model):
@@ -634,3 +724,34 @@ def test_draft_speculative_serving_matches_plain(model):
     by_id2 = {r.req_id: r.output for r in cb2.run()}
     for i, j in zip(ids2, ids_ref):
         assert by_id2[i] == ref_by_id[j], f"request {i} (imperfect draft)"
+
+
+def test_paged_serving_on_tp_mesh():
+    """paged × TP mesh: pools sharded on the KV-head axis over "model", block
+    tables replicated host state — outputs must match unsharded paged serving,
+    and prefix caching must still hit."""
+    from lia_tpu.parallel.mesh import make_mesh
+
+    cfg = get_config("opt-tiny").replace(vocab_size=512, dtype="float32")
+    params = init_dummy_params(cfg, seed=22, scale=0.12)
+    gen = GenerationConfig(max_new_tokens=5)
+    prefix = [((11 * i) % 300) + 2 for i in range(40)]  # 5 full blocks @ bs=8
+    prompts = [prefix + [5, 9, 23, 41], [100, 7, 3], prefix + [12, 13]]
+
+    ref = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, paged=True, block_size=8
+    )
+    for p in prompts:
+        ref.submit(p)
+    ref_out = {r.req_id: r.output for r in ref.run()}
+
+    mesh = make_mesh((1, 4))
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, paged=True,
+        block_size=8, mesh=mesh
+    )
+    for p in prompts:
+        cb.submit(p)
+    out = {r.req_id: r.output for r in cb.run()}
+    assert out == ref_out
+    assert cb.prefix_hits == ref.prefix_hits and cb.prefix_hits >= 1
