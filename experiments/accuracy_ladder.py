@@ -115,6 +115,10 @@ def main():
         "fp32", "int8", "int8-dyn", "int8-dyn-kv8", "int4-g128", "w4a8",
         "static-int8", "smoothquant-auto", "gptq-int4",
     ]
+    only = os.environ.get("ONLY")
+    if only:  # e.g. ONLY=fp32,int8 — fp32 always runs first (the reference)
+        keep = set(only.split(","))
+        ladder = ["fp32"] + [f for f in ladder[1:] if f in keep]
     fp_ppl = None
     for name in ladder:
         params, qc = build_params(cfg, fp_params, name)

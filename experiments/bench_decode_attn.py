@@ -246,5 +246,189 @@ def main():
     time_fn("vpu int8kv", run_vpu_int8, q, k8, ks, v8, vs)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--int8-variants" not in sys.argv:
     main()
+
+
+# --------------------------------------------------------------------------
+# Variant E: int8 KV, k converted to bf16 (not f32) before an MXU dot —
+# the int8->f32 VPU convert is a 4x sublane expansion; ->bf16 is only 2x.
+# --------------------------------------------------------------------------
+
+
+def _mxu_int8_bf16_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, scale, bk):
+    Hs = k_ref.shape[1]
+    q = q_ref[0, :, 0].astype(jnp.bfloat16).reshape(Hs, G, D)
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.bfloat16)
+        ks = ks_ref[0, :, pl.ds(j * bk, bk)]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * (ks[:, None, :] * scale)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.bfloat16)
+        vs = vs_ref[0, :, pl.ds(j * bk, bk)]
+        pv = (p * vs[:, None, :]).astype(jnp.bfloat16)
+        acc = acc + jnp.exp(m_new - m_new) * 0  # keep dtype
+        acc = acc * alpha + jax.lax.dot_general(
+            pv, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, S // bk, body, (m0, l0, acc0))
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
+
+
+def run_mxu_int8_bf16(q, k, ks, v, vs, Hs=Nkv, bk=S):
+    return pl.pallas_call(
+        functools.partial(_mxu_int8_bf16_kernel, scale=D**-0.5, bk=bk),
+        grid=(B, Nkv // Hs),
+        in_specs=[
+            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S), lambda b, h: (b, h, 0)),
+            pl.BlockSpec((1, Hs, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S), lambda b, h: (b, h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+    )(q, k, ks, v, vs)
+
+
+# --------------------------------------------------------------------------
+# Variant F: int8 KV, int8 x int8 MXU dots — q quantized per head in-kernel,
+# per-token V scales folded into p which is itself quantized per row. No
+# int8 convert of the D-wide K/V tiles at all; MXU runs the 2x int8 mode.
+# --------------------------------------------------------------------------
+
+
+def _mxu_int8_dot_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, scale, bk):
+    Hs = k_ref.shape[1]
+    qf = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D)
+    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0
+    sq = jnp.maximum(sq, 1e-8)
+    q8 = jnp.round(qf / sq).astype(jnp.int8)
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, :, pl.ds(j * bk, bk), :]  # int8, stays int8
+        ks = ks_ref[0, :, pl.ds(j * bk, bk)]
+        s32 = jax.lax.dot_general(
+            q8, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.int32
+        )
+        s = s32.astype(jnp.float32) * (sq * scale) * ks[:, None, :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        vs = vs_ref[0, :, pl.ds(j * bk, bk)]
+        pv = p * vs[:, None, :]
+        sp = jnp.max(pv, axis=-1, keepdims=True) / 127.0
+        sp = jnp.maximum(sp, 1e-20)
+        p8 = jnp.round(pv / sp).astype(jnp.int8)
+        v = v_ref[0, :, pl.ds(j * bk, bk), :]  # int8
+        y32 = jax.lax.dot_general(
+            p8, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+        )
+        acc = acc * alpha + y32.astype(jnp.float32) * sp
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, S // bk, body, (m0, l0, acc0))
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
+
+
+def run_mxu_int8_dot(q, k, ks, v, vs, Hs=Nkv, bk=S):
+    return pl.pallas_call(
+        functools.partial(_mxu_int8_dot_kernel, scale=D**-0.5, bk=bk),
+        grid=(B, Nkv // Hs),
+        in_specs=[
+            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S), lambda b, h: (b, h, 0)),
+            pl.BlockSpec((1, Hs, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S), lambda b, h: (b, h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+    )(q, k, ks, v, vs)
+
+
+# --------------------------------------------------------------------------
+# Variant G: production int8 kernel shape (f32 converts) for reference
+# --------------------------------------------------------------------------
+
+
+def _mxu_int8_f32_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, scale, bk):
+    Hs = k_ref.shape[1]
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+    m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hs, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hs, G, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        ks = ks_ref[0, :, pl.ds(j * bk, bk)]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * ks[:, None, :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        vs = vs_ref[0, :, pl.ds(j * bk, bk)]
+        pv = p * vs[:, None, :]
+        acc = acc * alpha + jax.lax.dot_general(
+            pv, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, S // bk, body, (m0, l0, acc0))
+    o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(o_ref.dtype)
+
+
+def run_mxu_int8_f32(q, k, ks, v, vs, Hs=Nkv, bk=S):
+    return pl.pallas_call(
+        functools.partial(_mxu_int8_f32_kernel, scale=D**-0.5, bk=bk),
+        grid=(B, Nkv // Hs),
+        in_specs=[
+            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S), lambda b, h: (b, h, 0)),
+            pl.BlockSpec((1, Hs, S, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, S), lambda b, h: (b, h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+    )(q, k, ks, v, vs)
+
+
+def main_int8_variants():
+    q, k8, v8, ks, vs = make_inputs(int8kv=True)
+    a = np.asarray(run_mxu_int8_f32(q, k8, ks, v8, vs))
+    e = np.asarray(run_mxu_int8_bf16(q, k8, ks, v8, vs))
+    f = np.asarray(run_mxu_int8_dot(q, k8, ks, v8, vs))
+    print("E(bf16cv) vs G(f32cv):", np.abs(a.astype(np.float32) - e.astype(np.float32)).max())
+    print("F(int8dot) vs G(f32cv):", np.abs(a.astype(np.float32) - f.astype(np.float32)).max())
+    time_fn("G mxu-int8-f32cv", run_mxu_int8_f32, q, k8, ks, v8, vs)
+    time_fn("E mxu-int8-bf16cv", run_mxu_int8_bf16, q, k8, ks, v8, vs)
+    time_fn("F mxu-int8-dot", run_mxu_int8_dot, q, k8, ks, v8, vs)
+    for bk in (96, 144):
+        time_fn(f"F mxu-int8-dot bk{bk}",
+                functools.partial(run_mxu_int8_dot, bk=bk), q, k8, ks, v8, vs)
+
+
+if __name__ == "__main__" and "--int8-variants" in sys.argv:
+    main_int8_variants()

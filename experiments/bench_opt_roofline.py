@@ -130,8 +130,10 @@ def bench_full(L):
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(10, 30000, size=256)) for _ in range(16)]
     gen = GenerationConfig(max_new_tokens=32)
-    eng.generate(prompts, gen)
-    res = eng.generate(prompts, gen)
+    # fused scan decode (the headline path) — the stepwise loop's ~25 ms
+    # tunnel dispatch would swamp the intercept
+    eng.generate(prompts, gen, fused=True)
+    res = eng.generate(prompts, gen, fused=True)
     ms = res.summary(16)["avg_2nd_token_latency_s"] * 1e3
     print(json.dumps({"op": f"full_step_L{L}", "ms": round(ms, 3)}), flush=True)
     del eng, params

@@ -52,8 +52,11 @@ def step_time(cfg, n_layers):
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(10, 30000, size=N_IN)) for _ in range(B)]
     gen = GenerationConfig(max_new_tokens=N_OUT)
-    eng.generate(prompts, gen)  # compile + warm
-    res = eng.generate(prompts, gen)
+    # fused scan decode: per-step time is pure device time (the stepwise loop
+    # adds ~25 ms/step of remote-tunnel dispatch, which would contaminate
+    # C_fixed — a real TPU-VM has neither)
+    eng.generate(prompts, gen, fused=True)  # compile + warm
+    res = eng.generate(prompts, gen, fused=True)
     s = res.summary(B)
     del eng, params
     return s["avg_2nd_token_latency_s"] * 1e3

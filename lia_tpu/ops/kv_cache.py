@@ -234,8 +234,10 @@ def beam_cache_from_prefill(
 
     The prefilled slab becomes the shared prompt segment as-is (no copy — the
     arrays are reused); a fresh zeroed tail is allocated at ``B0*nb`` rows with
-    the tail slot count rounded up to a Mosaic-legal 128 multiple."""
-    t_max = -(-max_new_tokens // 128) * 128
+    the tail slot count rounded to a 32 multiple (Mosaic sublane-legal for
+    f32/bf16/int8 alike, and 4× less per-step gather traffic than the 128
+    bucket — the tail gather is the beam step's dominant extra cost)."""
+    t_max = -(-max_new_tokens // 32) * 32
 
     def tail_like(plane):
         if hasattr(plane, "q"):  # QuantizedKV

@@ -838,7 +838,9 @@ def _decode_beam_int8_kernel(
     pstart = pstart_ref[b // nb, 0]
     plen = plen_ref[0, 0]
     tlen = tlen_ref[0, 0]
-    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+    # bf16 dots on the exact-in-bf16 int8 values; scale post-dot (see
+    # _decode_fresh_int8_kernel for the convert-cost rationale)
+    q = q_ref[0, :, 0].reshape(Hs, G, D)
 
     m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((Hs, G, 1), jnp.float32)
@@ -847,21 +849,21 @@ def _decode_beam_int8_kernel(
     def make_body(k_src, ks_src, v_src, vs_src, bk, lo, hi):
         def body(j, carry):
             m, l, acc = carry
-            k = k_src[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+            k = k_src[0, :, pl.ds(j * bk, bk), :].astype(q.dtype)
             ks = ks_src[0, :, pl.ds(j * bk, bk)]
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
             )
-            s = s * ks[:, None, :]  # defer K dequant to the score matrix
+            s = s * (ks[:, None, :] * scale)  # K dequant + softmax scale
             pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
             s = jnp.where((pos < hi) & (pos >= lo), s, NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            v = v_src[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+            v = v_src[0, :, pl.ds(j * bk, bk), :].astype(q.dtype)
             vs = vs_src[0, :, pl.ds(j * bk, bk)]
-            pv = p * vs[:, None, :]  # fold V dequant into the prob matrix
+            pv = (p * vs[:, None, :]).astype(q.dtype)
             acc = acc * alpha + jax.lax.dot_general(
                 pv, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
             )
@@ -880,7 +882,8 @@ def _decode_beam_int8_kernel(
     kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)
     vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
     sf = jax.lax.dot_general(
-        q, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        q.astype(jnp.float32) * scale, kf,
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     m_new = jnp.maximum(m, sf)
     p = jnp.exp(sf - m_new)
@@ -1017,7 +1020,13 @@ def _decode_fresh_int8_kernel(
     b = pl.program_id(0)
     length = len_ref[b, 0]
     start = start_ref[b, 0]
-    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+    # q stays bf16 and the softmax scale rides with the per-token K scales
+    # post-dot: int8 values are EXACT in bf16 (8 mantissa bits cover ±127), so
+    # the bf16 MXU dot with f32 accumulation equals the f32-convert form while
+    # skipping the int8→f32 VPU expansion (4× sublane relayout — the measured
+    # bottleneck of the f32-convert kernel, experiments/bench_decode_attn.py
+    # --int8-variants: 358 → 378 GB/s at the OPT-6.7B b16 shape)
+    q = q_ref[0, :, 0].reshape(Hs, G, D)
 
     m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((Hs, G, 1), jnp.float32)
@@ -1025,12 +1034,12 @@ def _decode_fresh_int8_kernel(
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)  # [Hs, bk, D]
+        k = k_ref[0, :, pl.ds(j * bk, bk), :].astype(q.dtype)  # [Hs, bk, D]
         ks = ks_ref[0, :, pl.ds(j * bk, bk)]  # [Hs, bk]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # [Hs, G, bk]
-        s = s * ks[:, None, :]  # defer K dequant to the score matrix
+        s = s * (ks[:, None, :] * scale)  # K dequant + softmax scale post-dot
         pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
         allow = (pos < length) & (pos >= start)
         s = jnp.where(allow, s, NEG_INF)
@@ -1038,9 +1047,11 @@ def _decode_fresh_int8_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0, :, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, :, pl.ds(j * bk, bk), :].astype(q.dtype)
         vs = vs_ref[0, :, pl.ds(j * bk, bk)]
-        pv = p * vs[:, None, :]  # fold V dequant into the prob matrix
+        # fold V dequant into the prob matrix; bf16 probs are the one lossy
+        # step (~0.4% rel) — standard bf16-attention precision
+        pv = (p * vs[:, None, :]).astype(q.dtype)
         acc = acc * alpha + jax.lax.dot_general(
             pv, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -1053,7 +1064,8 @@ def _decode_fresh_int8_kernel(
     kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)
     vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
     sf = jax.lax.dot_general(
-        q, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        q.astype(jnp.float32) * scale, kf,
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     m_new = jnp.maximum(m, sf)
     p = jnp.exp(sf - m_new)
