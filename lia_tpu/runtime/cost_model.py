@@ -47,17 +47,21 @@ class SystemProfile:
     host_mem_bw: float = 20e9  # host DRAM bandwidth
     # Effective per-op cost inside compiled decode loops. NOT a raw launch
     # overhead (round 2 retracted that reading): it absorbs the ~30µs scan
-    # fixed cost, ~4µs/pallas_call and sub-roofline small-op dispatch, fit so
-    # bf16 predictions land on the measured OPT-1.3B b8 step time.
-    op_overhead_s: float = 15e-6
+    # fixed cost, ~4µs/pallas_call, sub-roofline small-op dispatch AND the
+    # M=1 MXU-latency floor of decode attention (round 3: the int8-KV kernel
+    # is latency-bound ~0.10 ms/layer at b16, not bandwidth-bound), refit
+    # round 3 over seven measured anchors (test_cost_model.py).
+    op_overhead_s: float = 12e-6
     ops_per_layer: float = 7.0  # launches per decoder layer (qkv×3, attn, wo, mlp×2)
     ops_per_step: float = 5.0  # embed + lm_head + sampling + cache commit
-    # Per-format achieved fractions of hbm_bw for weight reads, fit against the
-    # measured round-2 model-level step times (RESULTS.md):
-    # - dynamic-act int8 (int8×int8 MXU dots, no dequant): ~560-610 GB/s
+    # Per-format achieved fractions of hbm_bw for weight reads, grid-fit
+    # against the measured model-level step times (RESULTS.md r2+r3):
+    # - dynamic-act int8 (int8×int8 MXU dots, no dequant): ~615-640 GB/s
+    #   measured in-model (0.96×700 derated base = the round-3 streaming
+    #   ceiling measured on the 206 MB lm_head stream)
     # - int8 fused dequant-matmul: int8→bf16 convert bound, ~420-450 GB/s
     # - int4 dequant (half-split unpack): ~220 GB/s on int4 bytes
-    dyn_bw_derate: float = 0.84
+    dyn_bw_derate: float = 0.96
     woq_bw_derate: float = 0.62
     woq_int4_bw_derate: float = 0.32
 
