@@ -234,9 +234,14 @@ class ContinuousBatcher:
         self.speculate_k = speculate_k
         self.speculate_ngram = speculate_ngram
         if speculate_k is not None:
-            if paged or self.sched is not None or mesh is not None or prefill_chunk:
+            if paged or self.sched is not None or mesh is not None:
                 raise NotImplementedError(
                     "speculative serving runs on the resident slab path"
+                )
+            if prefill_chunk and draft is not None:
+                raise NotImplementedError(
+                    "chunked admission does not prefill the draft cache yet; "
+                    "draft speculation needs whole-prompt admission"
                 )
             if self.use_processors:
                 raise NotImplementedError(
@@ -651,9 +656,10 @@ class ContinuousBatcher:
                     return
             base = plan[2] if plan is not None else 0
             total = -(-(n - base) // C) * C  # chunked span (all-real if base>0)
-            if total + req.max_new_tokens > self.max_len:
+            slack = self.speculate_k + 1 if self.speculate_k is not None else 0
+            if total + req.max_new_tokens + slack > self.max_len:
                 raise ValueError(
-                    f"request {req.req_id} needs {total + req.max_new_tokens} slots > max_len {self.max_len}"
+                    f"request {req.req_id} needs {total + req.max_new_tokens + slack} slots > max_len {self.max_len}"
                 )
             if base > 0:
                 toks = np.asarray(req.prompt[base:], np.int32)  # == total tokens

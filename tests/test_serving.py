@@ -755,3 +755,31 @@ def test_paged_serving_on_tp_mesh():
     out = {r.req_id: r.output for r in cb.run()}
     assert out == ref_out
     assert cb.prefix_hits == ref.prefix_hits and cb.prefix_hits >= 1
+
+
+def test_speculative_serving_with_chunked_admission(model):
+    """speculation × chunked prefill: long prompts admit chunk-by-chunk while
+    running requests keep taking speculative steps; outputs stay greedy-exact
+    vs plain serving."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=8)
+    prompts = [
+        [5, 9, 23, 41, 5, 9, 23, 41, 5, 9],
+        list(range(3, 43)),  # long prompt: 3 chunks at C=16
+        [50, 60, 7, 9, 11, 50, 60, 7, 9],
+    ]
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        speculate_k=4, prefill_chunk=16,
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (spec+chunked)"
+    with pytest.raises(NotImplementedError, match="draft"):
+        ContinuousBatcher(cfg, params, speculate_k=4, prefill_chunk=16,
+                          draft=(cfg, params))
