@@ -234,9 +234,14 @@ class ContinuousBatcher:
         self.speculate_k = speculate_k
         self.speculate_ngram = speculate_ngram
         if speculate_k is not None:
-            if paged or self.sched is not None or mesh is not None:
+            if self.sched is not None or mesh is not None:
                 raise NotImplementedError(
-                    "speculative serving runs on the resident slab path"
+                    "speculative serving runs on the resident (slab or paged) path"
+                )
+            if paged and draft is not None:
+                raise NotImplementedError(
+                    "paged admission does not prefill the draft cache yet; "
+                    "draft speculation runs on the slab path"
                 )
             if prefill_chunk and draft is not None:
                 raise NotImplementedError(
@@ -352,7 +357,9 @@ class ContinuousBatcher:
         """
         n = len(req.prompt)
         bs_pg = self.block_size
-        n_pages = -(-(n + req.max_new_tokens) // bs_pg)
+        # speculative verify writes k+1 chunk tokens past the committed length
+        slack = self.speculate_k + 1 if self.speculate_k is not None else 0
+        n_pages = -(-(n + req.max_new_tokens + slack) // bs_pg)
         chain, reused = self._prefix_lookup(req.prompt)
         reused = min(reused, n - 1)  # >=1 token must produce logits
         base = 0
@@ -869,7 +876,33 @@ class ContinuousBatcher:
             self.logical_pos[:, None].astype(np.int32)
             + np.arange(C, dtype=np.int32)[None, :]
         )
-        if sampled:
+        if self.paged:
+            from lia_tpu.ops import paged as pg
+
+            vkey = ("spec_verify_paged", C)
+            if vkey not in self._compiled:
+                self._compiled[vkey] = jax.jit(
+                    partial(pg.verify_step_paged, self.cfg), donate_argnums=(4, 5)
+                )
+            logits, self.k_pool, self.v_pool = self._compiled[vkey](
+                self.params, jnp.asarray(chunk), jnp.asarray(positions),
+                self.k_pool, self.v_pool,
+                jnp.asarray(self.block_table),
+                jnp.asarray(self.kv_lengths, jnp.int32),
+                jnp.asarray(active),
+            )
+            if self._sync_pools:
+                jax.block_until_ready((self.k_pool, self.v_pool))
+            if sampled:
+                skey = ("spec_warp", g.temperature, g.top_k, g.top_p)
+                if skey not in self._compiled:
+                    self._compiled[skey] = jax.jit(
+                        partial(sampling.warped_probs, gen=g)
+                    )
+                ps = self._compiled[skey](logits)
+            else:
+                greedy = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        elif sampled:
             vkey = ("spec_verify_sampled", C, g.temperature, g.top_k, g.top_p)
             if vkey not in self._compiled:
                 self._compiled[vkey] = la._verify_sampled_fn(self.cfg, g)
@@ -877,6 +910,16 @@ class ContinuousBatcher:
             ps, self.cache = self._compiled[vkey](
                 self.params, jnp.asarray(chunk), jnp.asarray(positions), self.cache
             )
+        else:
+            vkey = ("spec_verify", C)
+            if vkey not in self._compiled:
+                self._compiled[vkey] = la._verify_fn(self.cfg)
+                self._compiled["spec_advance"] = la._accept_fn()
+            greedy, self.cache = self._compiled[vkey](
+                self.params, jnp.asarray(chunk), jnp.asarray(positions), self.cache
+            )
+            greedy = np.asarray(greedy)
+        if sampled:
             akey = ("spec_accept", k, self.draft is not None)
             if akey not in self._compiled:
                 self._compiled[akey] = (
@@ -889,15 +932,6 @@ class ContinuousBatcher:
             else:
                 a_dev, extra_dev = self._compiled[akey](props_dev, ps, sub_a)
             a_np, extra_np = np.asarray(a_dev), np.asarray(extra_dev)
-        else:
-            vkey = ("spec_verify", C)
-            if vkey not in self._compiled:
-                self._compiled[vkey] = la._verify_fn(self.cfg)
-                self._compiled["spec_advance"] = la._accept_fn()
-            greedy, self.cache = self._compiled[vkey](
-                self.params, jnp.asarray(chunk), jnp.asarray(positions), self.cache
-            )
-            greedy = np.asarray(greedy)
         self._steps += 1
         accept = np.zeros(self.B, np.int32)
         for b in np.flatnonzero(active):
@@ -924,7 +958,16 @@ class ContinuousBatcher:
             self.tokens[b] = new_toks[-1]
             self.logical_pos[b] += len(new_toks)
             self._maybe_finish(b, new_toks[-1])
-        self.cache = self._compiled["spec_advance"](self.cache, jnp.asarray(accept))
+        if self.paged:
+            # rejected chunk slots stay dead past the advanced length and are
+            # overwritten by the next verify's writes (host-side lengths only);
+            # slots that FINISHED this step already released their pages and
+            # zeroed their length in _maybe_finish — don't re-advance them
+            self.kv_lengths = self.kv_lengths + accept * self.active
+        else:
+            if "spec_advance" not in self._compiled:
+                self._compiled["spec_advance"] = la._accept_fn()
+            self.cache = self._compiled["spec_advance"](self.cache, jnp.asarray(accept))
         if self.draft is not None:
             # the draft loop advanced active rows k+1 slots; rewind each slot
             # to its verified prefix (history[:-1] invariant)

@@ -250,6 +250,126 @@ def write_token_all_layers(
     return scatter(k_pool, k_stack), scatter(v_pool, v_stack)
 
 
+def write_chunk_all_layers(
+    k_pool: jnp.ndarray,  # [L, nb, H, bs, D]
+    v_pool: jnp.ndarray,
+    k_stack: jnp.ndarray,  # [L, B, H, C, D] — the layer scan's stacked chunk keys
+    v_stack: jnp.ndarray,
+    block_table: jnp.ndarray,  # [B, P]
+    lengths: jnp.ndarray,  # [B] first write position per sequence
+    active: jnp.ndarray,  # [B] bool — inactive slots write to the null page
+):
+    """Speculative-verify write: commit C chunk tokens per sequence for every
+    layer in one scatter per plane (positions [lengths, lengths+C); rejected
+    suffixes become dead slots past the advanced length and are overwritten
+    by later writes)."""
+    L, B, H, C, D = k_stack.shape
+    bs = k_pool.shape[3]
+    pos = lengths[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]  # [B, C]
+    page_idx = jnp.clip(pos // bs, 0, block_table.shape[1] - 1)
+    blk = jnp.take_along_axis(block_table, page_idx, axis=1)  # [B, C]
+    blk = jnp.where(active[:, None], blk, 0)
+    off = pos % bs
+    l_idx = jnp.arange(L, dtype=jnp.int32)[:, None, None]
+
+    def scatter(pool, stack):
+        vals = stack.transpose(0, 1, 3, 2, 4)  # [L, B, C, H, D]
+        return pool.at[l_idx, blk[None], :, off[None], :].set(vals.astype(pool.dtype))
+
+    return scatter(k_pool, k_stack), scatter(v_pool, v_stack)
+
+
+def attend_chunk_paged(
+    q: jnp.ndarray,  # [B, C, N, D]
+    k_fresh: jnp.ndarray,  # [B, N_kv, C, D] — the chunk's keys (not yet paged)
+    v_fresh: jnp.ndarray,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    layer_idx,
+    block_table: jnp.ndarray,
+    lengths: jnp.ndarray,  # [B] past tokens
+    alibi_slopes: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """C-query chunk attention over pages + intra-chunk causal (speculative
+    verify). Pallas block-table kernel on TPU; jnp gather fallback."""
+    from lia_tpu.ops import dispatch
+
+    if (
+        alibi_slopes is None
+        and dispatch.use_pallas()
+        and dispatch.stacked_kernel_enabled()
+        and dispatch.gqa_kernel_ok(q.shape[2], k_pool.shape[2], q.shape[3])
+    ):
+        return paged_decode_attention(
+            q, k_pool, v_pool, layer_idx, block_table, lengths,
+            k_fresh=k_fresh, v_fresh=v_fresh,
+            interpret=dispatch.interpret_mode(),
+        )
+    kl = jax.lax.dynamic_index_in_dim(k_pool, layer_idx, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v_pool, layer_idx, 0, keepdims=False)
+    cache = PagedKVCache(kl, vl)
+    ks, vs = jax.vmap(lambda row: gather_sequence(cache, row))(block_table)
+    B, C = q.shape[:2]
+    S = ks.shape[2]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    ks2 = jnp.concatenate([ks, k_fresh.astype(ks.dtype)], axis=2)
+    vs2 = jnp.concatenate([vs, v_fresh.astype(vs.dtype)], axis=2)
+    # page slots visible iff < length; chunk col c' visible to chunk row c iff c' <= c
+    page_ok = (pos < lengths[:, None])[:, None, :]  # [B, 1, S]
+    page_ok = jnp.broadcast_to(page_ok, (B, C, S))
+    tri = jnp.tril(jnp.ones((C, C), bool))[None]
+    mask = jnp.concatenate([page_ok, jnp.broadcast_to(tri, (B, C, C))], axis=2)
+    bias = None
+    if alibi_slopes is not None:
+        key_pos = jnp.concatenate(
+            [pos, lengths[:, None] + jnp.arange(C, dtype=jnp.int32)[None]], axis=1
+        )
+        bias = att.alibi_bias(alibi_slopes, key_pos)
+    return att.attend(q, ks2, vs2, mask, bias=bias)
+
+
+def verify_step_paged(
+    cfg: ModelConfig,
+    params,
+    tokens: jnp.ndarray,  # [B, C] — pending token + k proposals
+    positions: jnp.ndarray,  # [B, C] logical positions
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    block_table: jnp.ndarray,  # [B, P]
+    lengths: jnp.ndarray,  # [B] past tokens per sequence
+    active: jnp.ndarray,  # [B] bool
+):
+    """Speculative verify over the paged pool: run all C chunk tokens through
+    every layer (pages + intra-chunk causal attention), commit the chunk's KV,
+    and return per-position logits [B, C, V]. The caller advances
+    ``kv_lengths`` by the ACCEPTED count only — rejected slots are dead until
+    overwritten (the paged analog of lookahead._verify_fn)."""
+    from lia_tpu.models import transformer as T
+
+    x = T.embed(cfg, params, tokens, positions)
+    slopes = att.alibi_slopes(cfg.num_heads) if cfg.alibi else None
+
+    def body(h, inputs):
+        lp, idx = inputs
+        residual = h
+        q, k, v = T.attn_in(cfg, lp, h, positions)
+        attn_out = attend_chunk_paged(
+            q, k, v, k_pool, v_pool, idx, block_table, lengths,
+            alibi_slopes=slopes,
+        )
+        h = T.attn_post_mlp(cfg, lp, residual, attn_out)
+        return h, (k, v)
+
+    x, (k_stack, v_stack) = jax.lax.scan(
+        body, x, (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32))
+    )
+    k_pool, v_pool = write_chunk_all_layers(
+        k_pool, v_pool, k_stack, v_stack, block_table, lengths, active
+    )
+    logits = T.lm_head(cfg, params, x)  # [B, C, V]
+    return logits, k_pool, v_pool
+
+
 def attend_decode_paged(
     q: jnp.ndarray,  # [B, 1, N, D]
     k_fresh: jnp.ndarray,  # [B, N_kv, 1, D]
@@ -367,15 +487,22 @@ def _paged_kernel(
     G: int,
     merge_fresh: bool,
 ):
-    """One (b, h, page) grid cell of paged decode attention.
+    """One (b, h, page) grid cell of paged decode/verify attention.
 
     The page walk is free: the K/V BlockSpec index maps read the prefetched
     block table, so each grid step DMAs pool page ``table[b, j]`` directly —
     the reference's C++ page loop (PagedAttentionKrnl.cpp) becomes index-map
     arithmetic. Online-softmax carries persist in VMEM scratch across the page
     grid dimension (innermost, sequential).
+
+    ``C`` chunk queries per sequence (speculative verify; C=1 is plain
+    decode): every page position precedes every chunk position, so the page
+    phase needs no causal masking across query rows — only the final
+    fresh-chunk phase applies the intra-chunk causal triangle. The C>1 form
+    also lifts the dots off the M=1 MXU latency floor.
     """
-    Hs, D = k_ref.shape[1], k_ref.shape[3]
+    Hs, C = k_ref.shape[1], q_ref.shape[2]
+    D = k_ref.shape[3]
     b = pl.program_id(0)
     j = pl.program_id(2)
     npages = pl.num_programs(2)
@@ -390,13 +517,14 @@ def _paged_kernel(
     # pages beyond the sequence's frontier contribute nothing — skip compute
     @pl.when(j * bs < length)
     def _():
-        q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+        # [Hs, C*G, D] — row r is chunk position r // G, query head r % G
+        q = q_ref[0].astype(jnp.float32).reshape(Hs, C * G, D) * scale
         k = k_ref[0].astype(jnp.float32)  # [Hs, bs, D]
         v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # [Hs, G, bs]
-        pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bs), 2)
+        )  # [Hs, C*G, bs]
+        pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (Hs, C * G, bs), 2)
         s = jnp.where(pos < length, s, NEG_INF)
         m = m_s[:, :, 0:1]
         l = l_s[:, :, 0:1]
@@ -416,22 +544,25 @@ def _paged_kernel(
         l = l_s[:, :, 0:1]
         acc = acc_s[:]
         if merge_fresh:
-            q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
-            kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)  # [Hs, 1, D]
-            vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
+            q = q_ref[0].astype(jnp.float32).reshape(Hs, C * G, D) * scale
+            kf = kf_ref[0].astype(jnp.float32)  # [Hs, C, D]
+            vf = vf_ref[0].astype(jnp.float32)
             sf = jax.lax.dot_general(
                 q, kf, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
-            m_new = jnp.maximum(m, sf)
+            )  # [Hs, C*G, C]
+            row_c = jax.lax.broadcasted_iota(jnp.int32, (Hs, C * G, C), 1) // G
+            col_c = jax.lax.broadcasted_iota(jnp.int32, (Hs, C * G, C), 2)
+            sf = jnp.where(col_c <= row_c, sf, NEG_INF)  # intra-chunk causal
+            m_new = jnp.maximum(m, jnp.max(sf, axis=-1, keepdims=True))
             p = jnp.exp(sf - m_new)
             alpha = jnp.exp(m - m_new)
-            l = l * alpha + p
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
                 p, vf, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-        o_ref[0, :, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, G * D).astype(
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).reshape(Hs, C, G * D).astype(
             o_ref.dtype
         )
 
@@ -440,21 +571,23 @@ def _paged_kernel(
     jax.jit, static_argnames=("scale", "interpret", "merge_fresh")
 )
 def paged_decode_attention(
-    q: jnp.ndarray,  # [B, 1, N, D]
+    q: jnp.ndarray,  # [B, C, N, D] — C=1 decode, C=k+1 speculative verify
     k_pool: jnp.ndarray,  # [L, num_blocks, N_kv, bs, D] stacked paged pool
     v_pool: jnp.ndarray,
     layer_idx: jnp.ndarray,  # scalar int32
     block_table: jnp.ndarray,  # [B, P] int32 (sequence-ordered pages)
-    lengths: jnp.ndarray,  # [B] valid tokens (excluding any fresh token)
-    k_fresh: jnp.ndarray | None = None,  # [B, N_kv, 1, D] — merged in-kernel
+    lengths: jnp.ndarray,  # [B] valid tokens (excluding the fresh chunk)
+    k_fresh: jnp.ndarray | None = None,  # [B, N_kv, C, D] — merged in-kernel
     v_fresh: jnp.ndarray | None = None,
     scale: float | None = None,
     interpret: bool | None = None,
     merge_fresh: bool | None = None,
 ) -> jnp.ndarray:
-    """Decode attention over a paged pool; the page walk rides the BlockSpec
-    index maps (scalar-prefetched block table + layer index)."""
-    B, _, N, D = q.shape
+    """Chunk attention over a paged pool; the page walk rides the BlockSpec
+    index maps (scalar-prefetched block table + layer index). The fresh chunk
+    (this step's C tokens, not yet written to pages) is merged in-kernel with
+    the intra-chunk causal triangle."""
+    B, C, N, D = q.shape
     L, nb, Nkv, bs, _ = k_pool.shape
     G = N // Nkv
     P = block_table.shape[1]
@@ -464,10 +597,10 @@ def paged_decode_attention(
     if merge_fresh is None:
         merge_fresh = k_fresh is not None
     if k_fresh is None:
-        k_fresh = jnp.zeros((B, Nkv, 1, D), q.dtype)
-        v_fresh = jnp.zeros((B, Nkv, 1, D), q.dtype)
+        k_fresh = jnp.zeros((B, Nkv, C, D), q.dtype)
+        v_fresh = jnp.zeros((B, Nkv, C, D), q.dtype)
 
-    qg = q.reshape(B, Nkv, 1, G * D)
+    qg = q.reshape(B, C, Nkv, G * D).transpose(0, 2, 1, 3)  # [B, Nkv, C, G*D]
     lengths = jnp.broadcast_to(lengths.astype(jnp.int32), (B,))
     # one KV head-group per cell sized by VMEM (pages are small; use all heads)
     Hs = Nkv
@@ -479,9 +612,9 @@ def paged_decode_attention(
         grid=(B, Nkv // Hs, P),
         in_specs=[
             pl.BlockSpec((B, 1), lambda b, h, j, tbl, li: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
-            pl.BlockSpec((1, Hs, 1, D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
-            pl.BlockSpec((1, Hs, 1, D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, C, G * D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, C, D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
+            pl.BlockSpec((1, Hs, C, D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
             pl.BlockSpec(
                 (1, Hs, bs, D), lambda b, h, j, tbl, li: (li[0] * nb + tbl[b, j], h, 0, 0)
             ),
@@ -489,11 +622,11 @@ def paged_decode_attention(
                 (1, Hs, bs, D), lambda b, h, j, tbl, li: (li[0] * nb + tbl[b, j], h, 0, 0)
             ),
         ],
-        out_specs=pl.BlockSpec((1, Hs, 1, G * D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hs, C, G * D), lambda b, h, j, tbl, li: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Hs, G, 128), jnp.float32),
-            pltpu.VMEM((Hs, G, 128), jnp.float32),
-            pltpu.VMEM((Hs, G, D), jnp.float32),
+            pltpu.VMEM((Hs, C * G, 128), jnp.float32),
+            pltpu.VMEM((Hs, C * G, 128), jnp.float32),
+            pltpu.VMEM((Hs, C * G, D), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -501,7 +634,7 @@ def paged_decode_attention(
             _paged_kernel, scale=scale, bs=bs, G=G, merge_fresh=merge_fresh
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Nkv, 1, G * D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Nkv, C, G * D), q.dtype),
         interpret=interpret,
     )(
         block_table.astype(jnp.int32),
@@ -513,4 +646,4 @@ def paged_decode_attention(
         k_flat,
         v_flat,
     )
-    return out.reshape(B, Nkv, G, D).reshape(B, 1, N, D)
+    return out.transpose(0, 2, 1, 3).reshape(B, C, N, D)

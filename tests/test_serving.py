@@ -592,8 +592,9 @@ def test_speculative_serving_stop_tokens(model):
 
 def test_speculative_serving_guards(model):
     cfg, params = model
-    with pytest.raises(NotImplementedError, match="slab"):
-        ContinuousBatcher(cfg, params, paged=True, speculate_k=4)
+    with pytest.raises(NotImplementedError, match="draft"):
+        ContinuousBatcher(cfg, params, paged=True, speculate_k=4,
+                          draft=(cfg, params))
     cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, speculate_k=4)
     with pytest.raises(ValueError, match="per-request sampling"):
         cb.submit([1, 2, 3], do_sample=True)
@@ -783,3 +784,77 @@ def test_speculative_serving_with_chunked_admission(model):
     with pytest.raises(NotImplementedError, match="draft"):
         ContinuousBatcher(cfg, params, speculate_k=4, prefill_chunk=16,
                           draft=(cfg, params))
+
+
+def test_speculative_paged_serving_matches_plain(model):
+    """speculation × paged: chunk verify over the block-table pool is
+    greedy-exact vs plain serving; pages recycle cleanly afterwards."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=8)
+    prompts = [
+        [5, 9, 23, 41, 5, 9, 23, 41, 5, 9],
+        [100, 7, 3],
+        [8, 8, 8, 8, 8, 12, 13],
+        [50, 60, 7, 9, 11, 50, 60, 7, 9],
+    ]
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        paged=True, block_size=8, speculate_k=4,
+    )
+    n_free0 = cb._allocatable()
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (spec+paged)"
+    assert cb._allocatable() == n_free0  # all pages returned or cached
+    # repetition should land proposals: fewer verify steps than tokens
+    total = sum(len(o) for o in by_id.values())
+    assert cb._steps < total
+
+
+def test_speculative_paged_with_prefix_cache(model):
+    """speculation × paged × APC: a shared prompt prefix still hits the
+    cache under speculative decoding and outputs stay exact."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=6)
+    sys_prefix = [((11 * i) % 300) + 2 for i in range(40)]
+    prompts = [sys_prefix + [401, 402, 403], sys_prefix + [404, 405, 406, 407]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        paged=True, block_size=8, speculate_k=4,
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (spec+paged+APC)"
+    assert cb.prefix_hits == 1
+
+
+def test_speculative_paged_sampled_topk1_matches_greedy(model):
+    """speculation × paged × sampling at top_k=1 degenerates to greedy-exact."""
+    cfg, params = model
+    prompts = [[5, 9, 23, 41, 5, 9, 23, 41], [100, 7, 3]]
+    greedy_gen = GenerationConfig(max_new_tokens=6)
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=greedy_gen,
+                            paged=True, block_size=8)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    gen = GenerationConfig(max_new_tokens=6, do_sample=True, top_k=1)
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        paged=True, block_size=8, speculate_k=3,
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (spec+paged sampled)"
