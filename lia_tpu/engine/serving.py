@@ -238,16 +238,9 @@ class ContinuousBatcher:
                 raise NotImplementedError(
                     "speculative serving runs on the resident (slab or paged) path"
                 )
-            if paged and draft is not None:
-                raise NotImplementedError(
-                    "paged admission does not prefill the draft cache yet; "
-                    "draft speculation runs on the slab path"
-                )
-            if prefill_chunk and draft is not None:
-                raise NotImplementedError(
-                    "chunked admission does not prefill the draft cache yet; "
-                    "draft speculation needs whole-prompt admission"
-                )
+            # draft speculation composes with paged targets and chunked
+            # admission: the draft's slab cache is prefilled per admission
+            # (_draft_admit) independent of the target's storage
             if self.use_processors:
                 raise NotImplementedError(
                     "speculation does not compose with logits processors"
@@ -706,6 +699,12 @@ class ContinuousBatcher:
             )
         else:
             self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
+        if self.draft is not None:
+            # the draft prefills whole-prompt at the final chunk (chunking
+            # exists to bound TARGET prefill stalls; the draft is small)
+            bucket = bucket_length(len(req.prompt))
+            dt, dm = pack_prompts([req.prompt], self.gen.pad_token_id, bucket=bucket)
+            self._draft_admit(dt, dm, slot, bucket)
         self._activate_slot(slot, req, first)
 
     def _admit(self) -> None:
@@ -759,6 +758,8 @@ class ContinuousBatcher:
                 self._paged_commit(
                     req, slot, seg, row, chain, base, n_shared, n_seed, pad
                 )
+                if self.draft is not None:
+                    self._draft_admit(tokens, mask, slot, bucket)
             elif self.sched is not None:
                 logits, seg_state = self.sched.prefill_pass(tokens, mask, self.max_len)
                 self._rng, sub = jax.random.split(self._rng)
@@ -779,26 +780,34 @@ class ContinuousBatcher:
                 first = self._sample_one(logits, sub, req)
                 self.cache = self._insert_fn()(self.cache, seg, jnp.asarray(slot, jnp.int32))
                 if self.draft is not None:
-                    dkey = ("dprefill", bucket)
-                    if dkey not in self._compiled:
-                        self._compiled[dkey] = jax.jit(
-                            partial(T.prefill, self.dcfg), donate_argnums=(3,)
-                        )
-                    dseg = kvc.init_cache(
-                        self.dcfg, 1, self.max_len, jnp.dtype(self.dcfg.dtype)
-                    )
-                    _, dseg = self._compiled[dkey](
-                        self.dparams, jnp.asarray(tokens), jnp.asarray(mask), dseg
-                    )
-                    if "dinsert" not in self._compiled:
-                        self._compiled["dinsert"] = jax.jit(
-                            kvc.insert_slot, donate_argnums=(0,)
-                        )
-                    self.dcache = self._compiled["dinsert"](
-                        self.dcache, dseg, jnp.asarray(slot, jnp.int32)
-                    )
-                    self.dlen[slot] = bucket
+                    self._draft_admit(tokens, mask, slot, bucket)
             self._activate_slot(slot, req, first)
+
+    def _draft_admit(self, tokens, mask, slot: int, bucket: int) -> None:
+        """Prefill the draft model's slab cache for a newly admitted slot.
+
+        The draft cache is slab-based regardless of the TARGET's storage
+        (paged or slab) — draft speculation composes with paged serving
+        because the two caches are independent."""
+        dkey = ("dprefill", bucket)
+        if dkey not in self._compiled:
+            self._compiled[dkey] = jax.jit(
+                partial(T.prefill, self.dcfg), donate_argnums=(3,)
+            )
+        dseg = kvc.init_cache(
+            self.dcfg, 1, self.max_len, jnp.dtype(self.dcfg.dtype)
+        )
+        _, dseg = self._compiled[dkey](
+            self.dparams, jnp.asarray(tokens), jnp.asarray(mask), dseg
+        )
+        if "dinsert" not in self._compiled:
+            self._compiled["dinsert"] = jax.jit(
+                kvc.insert_slot, donate_argnums=(0,)
+            )
+        self.dcache = self._compiled["dinsert"](
+            self.dcache, dseg, jnp.asarray(slot, jnp.int32)
+        )
+        self.dlen[slot] = bucket
 
     def _maybe_finish(self, slot: int, tok: int) -> None:
         req = self.slot_req[slot]

@@ -592,9 +592,8 @@ def test_speculative_serving_stop_tokens(model):
 
 def test_speculative_serving_guards(model):
     cfg, params = model
-    with pytest.raises(NotImplementedError, match="draft"):
-        ContinuousBatcher(cfg, params, paged=True, speculate_k=4,
-                          draft=(cfg, params))
+    with pytest.raises(ValueError, match="draft serving requires speculate_k"):
+        ContinuousBatcher(cfg, params, draft=(cfg, params))
     cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, speculate_k=4)
     with pytest.raises(ValueError, match="per-request sampling"):
         cb.submit([1, 2, 3], do_sample=True)
@@ -781,9 +780,6 @@ def test_speculative_serving_with_chunked_admission(model):
     by_id = {r.req_id: r.output for r in cb.run()}
     for i, j in zip(ids, ids_ref):
         assert by_id[i] == ref_by_id[j], f"request {i} (spec+chunked)"
-    with pytest.raises(NotImplementedError, match="draft"):
-        ContinuousBatcher(cfg, params, speculate_k=4, prefill_chunk=16,
-                          draft=(cfg, params))
 
 
 def test_speculative_paged_serving_matches_plain(model):
@@ -858,3 +854,34 @@ def test_speculative_paged_sampled_topk1_matches_greedy(model):
     by_id = {r.req_id: r.output for r in cb.run()}
     for i, j in zip(ids, ids_ref):
         assert by_id[i] == ref_by_id[j], f"request {i} (spec+paged sampled)"
+
+
+def test_draft_speculative_paged_and_chunked_match_plain(model):
+    """draft speculation × paged target and × chunked admission: the draft's
+    slab cache is admission-prefilled independent of target storage; outputs
+    stay greedy-exact."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=6)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], list(range(3, 43))]
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    dparams = init_dummy_params(cfg, seed=99, scale=0.12)
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        paged=True, block_size=8, speculate_k=3, draft=(cfg, dparams),
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (draft+paged)"
+
+    cb2 = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen,
+        prefill_chunk=16, speculate_k=3, draft=(cfg, dparams),
+    )
+    ids2 = [cb2.submit(p) for p in prompts]
+    by_id2 = {r.req_id: r.output for r in cb2.run()}
+    for i, j in zip(ids2, ids_ref):
+        assert by_id2[i] == ref_by_id[j], f"request {i} (draft+chunked)"
