@@ -209,8 +209,11 @@ class InferenceEngine:
             raise ValueError("use generate_beam() for num_beams > 1")
         tokens, mask = pack_prompts(prompts, gen.pad_token_id)
         B, S = tokens.shape
-        # cache length rounded to 128 keeps the Pallas decode kernel's K tiles aligned
-        max_len = -(-(S + gen.max_new_tokens) // 128) * 128
+        # cache slots rounded to 64: Mosaic sublane-legal for every KV dtype
+        # (64 is a 32-multiple) and full-size K tiles stay whole blocks; vs the
+        # old 128 bucket this cuts dead-slot attention reads (256 in + 32 out:
+        # 320 slots instead of 384 — 17% of decode-attention bytes)
+        max_len = -(-(S + gen.max_new_tokens) // 64) * 64
         kv_dtype = jnp.dtype(cfg.dtype)
         lat = LatencyStats()
         rng = jax.random.PRNGKey(seed)
@@ -373,7 +376,7 @@ class InferenceEngine:
             expanded = [p for p in prompts for _ in range(nb)]
             tokens, mask = pack_prompts(expanded, gen.pad_token_id)
             S = tokens.shape[1]
-            max_len = -(-(S + gen.max_new_tokens) // 128) * 128
+            max_len = -(-(S + gen.max_new_tokens) // 64) * 64
             return self._generate_beam_scheduled(
                 tokens, mask, gen, max_len, lat, seed
             )
@@ -394,7 +397,7 @@ class InferenceEngine:
             tokens, mask = pack_prompts(expanded, gen.pad_token_id)
             Bnb, S = tokens.shape
             B = Bnb // nb
-            max_len = -(-(S + gen.max_new_tokens) // 128) * 128
+            max_len = -(-(S + gen.max_new_tokens) // 64) * 64
             cache = kvc.init_cache(
                 cfg, Bnb, max_len, jnp.dtype(cfg.dtype), quantized=quantized_kv
             )
