@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Headline benchmark — prints ONE JSON line with the round's metric.
 
-Round-2 config (BASELINE.md ladder step 2): OPT-6.7B **INT8 weights (dynamic
-activation quant -> int8 MXU dots) + INT8 KV cache**, greedy, 256-in/32-out,
-batch 16, HBM-resident, fused on-device decode loop. Metric: decode tokens/s. (Round-1 headline was ladder step 1, OPT-1.3B bf16 b8: 1160.4 tok/s
-this round — see RESULTS.md.)
+Round-3 config: OPT-6.7B **W4A8 — INT4 g128 weights × dynamic INT8 activation
+quant (batched int8 MXU dots, half-split unpack) + INT8 KV cache**, greedy,
+256-in/32-out, batch 16, HBM-resident, fused on-device decode loop. Metric:
+decode tokens/s. Same-session controls (RESULTS.md r3): int8-dyn 1029.3,
+int4-dequant path far below — w4a8 is the fastest AND smallest-memory config
+(weights are half the int8 bytes, so the streaming-bound layers speed up).
+(Round-1 headline was ladder step 1, OPT-1.3B bf16 b8 = 1160.4 tok/s; round-2
+was int8-dyn+int8-KV = 997.95 driver / 1028-1031 observed band.)
 
 ``vs_baseline`` derivation (reference publishes no absolute LIA numbers —
 BASELINE.md): the closest reference-hardware datapoint is IPEX LLaMA2-7B INT8 at
@@ -12,7 +16,9 @@ batch 8 = 170.21 tok/s on a 4th-gen Xeon (reference docs/tutorials/performance.m
 41-48). Scaling by per-token weight traffic (7.0 GB vs OPT-6.7B int8 ≈ 6.7 GB —
 both decode loops are weight-bandwidth-bound) gives an equivalent
 reference-class estimate of 170.21 × 7.0/6.7 ≈ 177.8 tok/s; that is the
-denominator.
+denominator (kept at the INT8 traffic ratio across rounds so the trajectory
+stays comparable — the w4a8 config is strictly harder for the reference,
+whose int4 path also runs int8 compute, WoqTppKrnl lowp-mode).
 """
 
 from __future__ import annotations
@@ -53,7 +59,7 @@ def main() -> None:
     batch, n_in, n_out = 16, 256, 32
     cfg = get_config(model)
     quant = QuantConfig(
-        weight_dtype="int8", group_size=-1, kv_cache_dtype="int8", act_quant="dynamic"
+        weight_dtype="int4", group_size=128, kv_cache_dtype="int8", act_quant="dynamic"
     )
     gen = GenerationConfig(max_new_tokens=n_out)
     rng = np.random.default_rng(0)
@@ -72,7 +78,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"decode_tokens_per_s {model} int8dyn+int8kv b{batch} in{n_in} out{n_out}",
+                "metric": f"decode_tokens_per_s {model} w4a8+int8kv b{batch} in{n_in} out{n_out}",
                 "value": round(best, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(best / BASELINE_TOKENS_PER_S, 3),

@@ -122,6 +122,11 @@ class InferenceEngine:
                 f"({nbytes/1e9/max(dt,1e-9):.2f} GB/s)"
             )
 
+    def _slot_bucket(self) -> int:
+        """KV-cache slot rounding: 64 (bf16 KV) / 128 (int8 KV — lane-sliced
+        scale planes need 128-aligned dynamic offsets in Mosaic)."""
+        return 128 if self.runtime.quant.kv_cache_dtype == "int8" else 64
+
     # -- compiled-fn cache ---------------------------------------------------
 
     def _get_prefill(self):
@@ -209,11 +214,11 @@ class InferenceEngine:
             raise ValueError("use generate_beam() for num_beams > 1")
         tokens, mask = pack_prompts(prompts, gen.pad_token_id)
         B, S = tokens.shape
-        # cache slots rounded to 64: Mosaic sublane-legal for every KV dtype
-        # (64 is a 32-multiple) and full-size K tiles stay whole blocks; vs the
-        # old 128 bucket this cuts dead-slot attention reads (256 in + 32 out:
-        # 320 slots instead of 384 — 17% of decode-attention bytes)
-        max_len = -(-(S + gen.max_new_tokens) // 64) * 64
+        # cache slot bucket: 64 for bf16 KV (sublane-sliced only — cuts
+        # dead-slot attention reads 17% at 256-in/32-out: 320 vs 384 slots);
+        # 128 for int8 KV, whose per-token SCALE arrays are lane-dim sliced
+        # and Mosaic requires dynamic lane offsets provably 128-aligned
+        max_len = -(-(S + gen.max_new_tokens) // self._slot_bucket()) * self._slot_bucket()
         kv_dtype = jnp.dtype(cfg.dtype)
         lat = LatencyStats()
         rng = jax.random.PRNGKey(seed)
@@ -376,7 +381,7 @@ class InferenceEngine:
             expanded = [p for p in prompts for _ in range(nb)]
             tokens, mask = pack_prompts(expanded, gen.pad_token_id)
             S = tokens.shape[1]
-            max_len = -(-(S + gen.max_new_tokens) // 64) * 64
+            max_len = -(-(S + gen.max_new_tokens) // self._slot_bucket()) * self._slot_bucket()
             return self._generate_beam_scheduled(
                 tokens, mask, gen, max_len, lat, seed
             )
@@ -397,7 +402,7 @@ class InferenceEngine:
             tokens, mask = pack_prompts(expanded, gen.pad_token_id)
             Bnb, S = tokens.shape
             B = Bnb // nb
-            max_len = -(-(S + gen.max_new_tokens) // 64) * 64
+            max_len = -(-(S + gen.max_new_tokens) // self._slot_bucket()) * self._slot_bucket()
             cache = kvc.init_cache(
                 cfg, Bnb, max_len, jnp.dtype(cfg.dtype), quantized=quantized_kv
             )

@@ -233,11 +233,14 @@ def beam_cache_from_prefill(
     """Build a grouped beam cache from a group-level prefill cache (batch B0).
 
     The prefilled slab becomes the shared prompt segment as-is (no copy — the
-    arrays are reused); a fresh zeroed tail is allocated at ``B0*nb`` rows with
-    the tail slot count rounded to a 32 multiple (Mosaic sublane-legal for
-    f32/bf16/int8 alike, and 4× less per-step gather traffic than the 128
-    bucket — the tail gather is the beam step's dominant extra cost)."""
-    t_max = -(-max_new_tokens // 32) * 32
+    arrays are reused); a fresh zeroed tail is allocated at ``B0*nb`` rows.
+    bf16 tails round to a 32 multiple (Mosaic sublane-legal, and 4× less
+    per-step gather traffic than the 128 bucket — the tail gather is the beam
+    step's dominant extra cost); int8 tails round to 128 because their
+    per-token scale planes are LANE-dim sliced in the kernel and Mosaic
+    requires dynamic lane offsets provably 128-aligned."""
+    bucket = 128 if hasattr(cache.k, "q") else 32
+    t_max = -(-max_new_tokens // bucket) * bucket
 
     def tail_like(plane):
         if hasattr(plane, "q"):  # QuantizedKV
