@@ -38,22 +38,31 @@ IN_LEN = int(os.environ.get("IN_LEN", "128"))
 OUT_LEN = int(os.environ.get("OUT_LEN", "64"))
 
 
-def run_once(paged: bool, shared_prefix: int = 0) -> dict:
+def run_once(paged: bool, shared_prefix: int = 0, speculate: int | None = None,
+             chunk: int | None = None, repetitive: bool = False) -> dict:
     """``shared_prefix``: first N tokens identical across requests (system
-    prompt) — exercises automatic prefix caching in paged mode."""
+    prompt) — exercises automatic prefix caching in paged mode.
+    ``speculate``: prompt-lookup speculative serving with k proposals.
+    ``chunk``: chunked admission. ``repetitive``: prompts with internal
+    repetition so lookup proposals land (the speculation-friendly workload)."""
     cfg = get_config(MODEL)
     params = init_dummy_params(cfg)
     gen = GenerationConfig(max_new_tokens=OUT_LEN)
     eng = ContinuousBatcher(
         cfg, params, max_batch=MAX_BATCH, max_len=IN_LEN + OUT_LEN + 16,
-        gen=gen, paged=paged,
+        gen=gen, paged=paged, speculate_k=speculate, prefill_chunk=chunk,
     )
     rng = np.random.default_rng(0)
     prefix = list(rng.integers(10, 30000, size=shared_prefix))
     lens = rng.integers(IN_LEN // 2, IN_LEN, size=N_REQ)
     t_submit = time.perf_counter()
     for n in lens:
-        tail = list(rng.integers(10, 30000, size=max(int(n) - shared_prefix, 4)))
+        m = max(int(n) - shared_prefix, 4)
+        if repetitive:
+            unit = list(rng.integers(10, 30000, size=max(m // 4, 4)))
+            tail = (unit * 5)[:m]
+        else:
+            tail = list(rng.integers(10, 30000, size=m))
         eng.submit(prefix + tail)
     done = eng.run()
     wall = time.perf_counter() - t_submit
@@ -61,7 +70,10 @@ def run_once(paged: bool, shared_prefix: int = 0) -> dict:
     ttfts = [r.ttft_s for r in done if r.ttft_s is not None]
     out = {
         "paged": paged,
+        "speculate": speculate,
+        "chunk": chunk,
         "shared_prefix": shared_prefix,
+        "engine_steps": eng._steps,
         "requests": len(done),
         "wall_s": round(wall, 3),
         "tokens": total_tokens,
@@ -81,6 +93,13 @@ def main():
         # shared system prompt: APC reuses its pages + skips its prefill
         {"paged": False, "shared_prefix": 3 * IN_LEN // 4},
         {"paged": True, "shared_prefix": 3 * IN_LEN // 4},
+        # chunked admission: long-prompt TTFT isolation
+        {"paged": False, "chunk": 32},
+        # speculative serving on a lookup-friendly (repetitive) workload,
+        # with its non-speculative control on the same workload
+        {"paged": False, "repetitive": True},
+        {"paged": False, "speculate": 4, "repetitive": True},
+        {"paged": True, "speculate": 4, "repetitive": True},
     ]
     for sc in scenarios:
         t0 = time.perf_counter()
