@@ -704,7 +704,10 @@ class StreamingScheduler:
 
     def reorder_state(self, state, beam_idx):
         """Gather both caches' batch rows by ``beam_idx`` (beam hypothesis
-        shuffle — the iakv beam_idx analog, zero-copy for past tokens)."""
+        shuffle). This is the whole-cache-gather form — O(cache) HBM/DRAM
+        traffic per step, acceptable under tiering where each step already
+        streams weights that dwarf it; the RESIDENT engine's beam path uses
+        the grouped BeamKVCache (shared prompt + tail-only gather) instead."""
 
         def f(cache, idx):
             return kvc.beam_reorder(cache, idx)
