@@ -91,12 +91,19 @@ class InferenceEngine:
         cfg: ModelConfig,
         params_host: Any,
         runtime: RuntimeConfig = RuntimeConfig(),
+        mesh=None,
     ):
+        """``mesh``: optional (data, model) jax Mesh — weights/KV tensor-shard
+        over "model" and the batch over "data" (the AutoTP analog; reference
+        runs every generation mode incl. beam under DeepSpeed AutoTP). Skips
+        projection fusion (fused qkv is not column-shardable) and does not
+        compose with the streaming scheduler (see docs/tiering.md)."""
         self.cfg = cfg
         self.runtime = runtime
+        self.mesh = mesh
         self._compiled: Dict[Any, Any] = {}
         self.scheduler = None
-        if runtime.fuse_projections:
+        if runtime.fuse_projections and mesh is None:
             from lia_tpu.ops.fuse import fuse_projections
 
             params_host = fuse_projections(cfg, params_host)
@@ -107,10 +114,18 @@ class InferenceEngine:
             or runtime.decode_policy != 3
         )
         if needs_scheduler:
+            if mesh is not None:
+                raise ValueError(
+                    "tiered/streamed execution does not compose with a mesh yet"
+                )
             from lia_tpu.runtime.scheduler import StreamingScheduler
 
             self.scheduler = StreamingScheduler(cfg, runtime, params_host)
             self.params = self.scheduler.resident_params
+        elif mesh is not None:
+            from lia_tpu.parallel import sharding as shd
+
+            self.params = shd.shard_params(cfg, params_host, mesh)
         else:
             t0 = time.perf_counter()
             self.params = jax.device_put(params_host)
@@ -126,6 +141,28 @@ class InferenceEngine:
         """KV-cache slot rounding: 64 (bf16 KV) / 128 (int8 KV — lane-sliced
         scale planes need 128-aligned dynamic offsets in Mosaic)."""
         return 128 if self.runtime.quant.kv_cache_dtype == "int8" else 64
+
+    def _shard_cache(self, cache):
+        """Place a (possibly beam/quantized) cache pytree onto the TP mesh:
+        stacked KV leaves shard batch on "data" and KV heads on "model"
+        (rank-ranked — covers raw planes, QuantizedKV scale planes, masks)."""
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def spec(leaf):
+            nd = getattr(leaf, "ndim", 0)
+            if nd == 5:  # [L, B, N_kv, S, D]
+                p = P(None, "data", "model", None, None)
+            elif nd == 4:  # quantized scales [L, B, N_kv, S]
+                p = P(None, "data", "model", None)
+            elif nd == 2:  # [B, S] masks
+                p = P("data", None)
+            else:
+                p = P()
+            return NamedSharding(self.mesh, p)
+
+        return jax.tree.map(lambda a: jax.device_put(a, spec(a)), cache)
 
     # -- compiled-fn cache ---------------------------------------------------
 
@@ -226,10 +263,10 @@ class InferenceEngine:
         if self.scheduler is not None:
             return self.scheduler.generate(tokens, mask, gen, max_len, lat, rng)
 
-        cache = kvc.init_cache(
+        cache = self._shard_cache(kvc.init_cache(
             cfg, B, max_len, kv_dtype,
             quantized=self.runtime.quant.kv_cache_dtype == "int8",
-        )
+        ))
         proc = _needs_processors(gen)
         t0 = time.perf_counter()
         logits, cache = self._get_prefill()(
@@ -391,9 +428,9 @@ class InferenceEngine:
             B, S = tokens.shape
             Bnb = B * nb
             prompt_slots = -(-S // 128) * 128
-            cache = kvc.init_cache(
+            cache = self._shard_cache(kvc.init_cache(
                 cfg, B, prompt_slots, jnp.dtype(cfg.dtype), quantized=quantized_kv
-            )
+            ))
             # per-beam logits-processor state still lives at Bnb rows
             etokens = np.repeat(np.asarray(tokens), nb, axis=0)
             emask = np.repeat(np.asarray(mask), nb, axis=0)
@@ -403,9 +440,9 @@ class InferenceEngine:
             Bnb, S = tokens.shape
             B = Bnb // nb
             max_len = -(-(S + gen.max_new_tokens) // self._slot_bucket()) * self._slot_bucket()
-            cache = kvc.init_cache(
+            cache = self._shard_cache(kvc.init_cache(
                 cfg, Bnb, max_len, jnp.dtype(cfg.dtype), quantized=quantized_kv
-            )
+            ))
             etokens, emask = np.asarray(tokens), np.asarray(mask)
 
         proc = _needs_processors(gen)
@@ -415,6 +452,8 @@ class InferenceEngine:
         )
         if grouped:
             cache = kvc.beam_cache_from_prefill(cache, nb, gen.max_new_tokens)
+            if self.mesh is not None:
+                cache = self._shard_cache(cache)
             logits = jnp.repeat(logits, nb, axis=0)  # [Bnb, V] beam rows
         # per-beam processor state (HF beam_search runs LogitsProcessorList on
         # the log-softmax scores; state rows reorder with the winning beams)
@@ -579,7 +618,7 @@ class InferenceEngine:
         key = ("score",)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(partial(T.score_logprobs, cfg))
-        cache = kvc.init_cache(cfg, B, S, jnp.dtype(cfg.dtype))
+        cache = self._shard_cache(kvc.init_cache(cfg, B, S, jnp.dtype(cfg.dtype)))
         return np.asarray(
             self._compiled[key](self.params, jnp.asarray(tokens), jnp.asarray(mask), cache)
         )

@@ -386,3 +386,36 @@ def test_vlm_tp_matches_single_device():
     ref = LlavaEngine(cfg, params).generate(px, prompts, gen).sequences
     got = LlavaEngine(cfg, params, mesh=mesh).generate(px, prompts, gen).sequences
     np.testing.assert_array_equal(got, ref)
+
+
+def test_engine_tp_generate_and_beam_match_single_device():
+    """Engine-level TP (the AutoTP analog): InferenceEngine(mesh=...) shards
+    weights/KV over the model axis; greedy, fused, and GROUPED BEAM outputs
+    must match the unsharded engine (reference: every generation mode runs
+    under DeepSpeed AutoTP)."""
+    from lia_tpu.config import GenerationConfig
+    from lia_tpu.engine.engine import InferenceEngine
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    cfg = get_config("opt-tiny").replace(vocab_size=512, dtype="float32")
+    params = init_dummy_params(cfg, seed=22, scale=0.12)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [12, 13], [8, 8, 9]]
+    gen = GenerationConfig(max_new_tokens=5)
+
+    ref = InferenceEngine(cfg, params)
+    mesh = make_mesh((1, 4))
+    tp = InferenceEngine(cfg, params, mesh=mesh)
+
+    np.testing.assert_array_equal(
+        tp.generate(prompts, gen).sequences, ref.generate(prompts, gen).sequences
+    )
+    np.testing.assert_array_equal(
+        tp.generate(prompts, gen, fused=True).sequences,
+        ref.generate(prompts, gen, fused=True).sequences,
+    )
+    bg = gen.replace(num_beams=3)
+    np.testing.assert_array_equal(
+        tp.generate_beam(prompts, bg).sequences,
+        ref.generate_beam(prompts, bg).sequences,
+    )
