@@ -69,6 +69,15 @@ def build_params(cfg, fp_params, name):
             gptq_quantize_params(cfg, fp_params, calib(cfg), bits=4, group_size=128),
             QuantConfig(weight_dtype="int4", group_size=128),
         )
+    if name == "gptq-w4a8":
+        from lia_tpu.ops.quant import retag_dynamic_act
+
+        return (
+            retag_dynamic_act(
+                gptq_quantize_params(cfg, fp_params, calib(cfg), bits=4, group_size=128)
+            ),
+            QuantConfig(weight_dtype="int4", group_size=128, act_quant="dynamic"),
+        )
     qc = {
         "int8": QuantConfig(weight_dtype="int8", group_size=-1),
         "int8-dyn": QuantConfig(weight_dtype="int8", group_size=-1, act_quant="dynamic"),
@@ -113,7 +122,7 @@ def main():
 
     ladder = [
         "fp32", "int8", "int8-dyn", "int8-dyn-kv8", "int4-g128", "w4a8",
-        "static-int8", "smoothquant-auto", "gptq-int4",
+        "static-int8", "smoothquant-auto", "gptq-int4", "gptq-w4a8",
     ]
     only = os.environ.get("ONLY")
     if only:  # e.g. ONLY=fp32,int8 — fp32 always runs first (the reference)

@@ -66,7 +66,7 @@ def _cat_weights(ws: List[Any]):
     q = _cat([w.q for w in ws])
     s = _cat([w.s for w in ws])
     z = None
-    if fmt == "woq_int4z":
+    if fmt.startswith("woq_int4z"):
         z = _cat([w.z for w in ws])
     elif fmt == "static_int8":
         # z is the calibrated per-layer activation scale — identical inputs must

@@ -33,7 +33,8 @@ import numpy as np
 from lia_tpu.config import ModelConfig, QuantConfig
 
 QUANT_FORMATS = (
-    "woq_int8", "woq_int8_dyn", "woq_int4", "woq_int4_dyn", "woq_int4z", "static_int8"
+    "woq_int8", "woq_int8_dyn", "woq_int4", "woq_int4_dyn", "woq_int4z",
+    "woq_int4z_dyn", "static_int8"
 )
 
 
@@ -158,6 +159,25 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
     return QuantizedWeight(q, s, fmt8)
 
 
+def retag_dynamic_act(params):
+    """Switch every int4 :class:`QuantizedWeight` in a param tree to its
+    dynamic-activation form (``woq_int4 → woq_int4_dyn``, ``woq_int4z →
+    woq_int4z_dyn``) — the payloads are identical; only the matmul dispatch
+    changes (per-token int8 act quant + int8×int8 MXU dots, with the rowsum
+    zero-point correction for the asymmetric form). Used to run GPTQ
+    checkpoints on the W4A8 fast path (``--gptq --act-quant dynamic``)."""
+    remap = {"woq_int4": "woq_int4_dyn", "woq_int4z": "woq_int4z_dyn"}
+
+    def f(x):
+        if is_quantized(x) and x.fmt in remap:
+            if x.fmt == "woq_int4z" and x.z is None:
+                return x  # malformed asym record: leave on the dequant path
+            return QuantizedWeight(x.q, x.s, remap[x.fmt], x.z)
+        return x
+
+    return jax.tree.map(f, params, is_leaf=is_quantized)
+
+
 def quantize_weight_static(w: np.ndarray, act_amax: np.ndarray) -> "QuantizedWeight":
     """W8A8 static quantization of ``[..., K, N]`` (stacked lead dims OK).
 
@@ -265,9 +285,9 @@ def quantize_params_static(
 def dequantize(rec: "QuantizedWeight", dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the fp weight [..., K, N] (golden path / XLA pre-fusion form)."""
     q, s = rec.q, rec.s
-    if rec.fmt in ("woq_int4", "woq_int4_dyn", "woq_int4z"):
+    if rec.fmt.startswith("woq_int4"):
         # global half-split packing: byte r holds rows (r, K/2 + r)
-        bias = 0 if rec.fmt == "woq_int4z" else 8  # int4z keeps raw codes
+        bias = 0 if rec.fmt.startswith("woq_int4z") else 8  # int4z keeps raw codes
         lo = (q & 0xF).astype(jnp.int32) - bias
         hi = ((q >> 4) & 0xF).astype(jnp.int32) - bias
         qi = jnp.concatenate([lo, hi], axis=-2)
@@ -276,7 +296,7 @@ def dequantize(rec: "QuantizedWeight", dtype=jnp.bfloat16) -> jnp.ndarray:
     *lead, K, N = qi.shape
     ng = s.shape[-2]
     wg = qi.reshape(*lead, ng, K // ng, N).astype(jnp.float32)
-    if rec.fmt == "woq_int4z":
+    if rec.fmt.startswith("woq_int4z"):
         wg = wg - rec.z[..., :, None, :]
     w = wg * s[..., :, None, :]
     return w.reshape(*lead, K, N).astype(dtype)
@@ -401,6 +421,62 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
             out = out * s_x
         return out.reshape(*lead, N)
 
+    if (
+        rec.fmt == "woq_int4z_dyn"
+        and rec.z is not None
+        and rec.q.ndim == 2
+        and (rec.s.shape[-2] == 1 or rec.s.shape[-2] % 2 == 0)
+    ):
+        # Asymmetric W4A8 (GPTQ-native zero points × dynamic int8 acts): the
+        # zero-point expands out of the dot —
+        #   y = s_x·s[g]·( Σ_k x8·code  −  z[g]·Σ_k x8 )
+        # so one int8 rowsum per (token, group) turns the asym format into the
+        # same batched int8×int8 MXU dots as woq_int4_dyn. This marries GPTQ's
+        # Hessian-guided accuracy with the fastest int4 decode path (the
+        # reference's zp-aware lowp-mode, WoqTppKrnl.cpp:886-1069).
+        lead = x.shape[:-1]
+        K = x.shape[-1]
+        Kh = K // 2
+        N = rec.q.shape[-1]
+        ng = rec.s.shape[-2]
+        x2 = x.reshape(-1, K)
+        M = x2.shape[0]
+        s_x = jnp.max(jnp.abs(x2).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+        s_x = jnp.maximum(s_x, 1e-8)
+        xq = jnp.round(x2.astype(jnp.float32) / s_x).astype(jnp.int8)
+        pu = rec.q.astype(jnp.uint8)
+        lo = (pu & 0xF).astype(jnp.int8)  # raw codes 0..15 (no −8 bias)
+        hi = ((pu >> 4) & 0xF).astype(jnp.int8)
+        if ng == 1:
+            out = jnp.zeros((M, N), jnp.float32)
+            for half, codes in ((0, lo), (1, hi)):
+                xh = xq[:, half * Kh : (half + 1) * Kh]
+                y = jax.lax.dot_general(
+                    xh, codes, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                rs = jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+                out = out + (y - rs * rec.z[0][None, :]) * rec.s[0][None, :]
+            out = out * s_x
+        else:
+            g = K // ng
+            ngh = ng // 2
+            out = jnp.zeros((M, N), jnp.float32)
+            for half, codes in ((0, lo), (1, hi)):
+                xg = xq[:, half * Kh : (half + 1) * Kh].reshape(M, ngh, g)
+                yg = jax.lax.dot_general(
+                    xg.transpose(1, 0, 2), codes.reshape(ngh, g, N),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )  # [ngh, M, N]
+                sh = rec.s[half * ngh : (half + 1) * ngh]
+                zh = rec.z[half * ngh : (half + 1) * ngh]
+                rs = jnp.sum(xg.astype(jnp.int32), axis=2).astype(jnp.float32)  # [M, ngh]
+                out = out + jnp.einsum("gmn,gn->mn", yg.astype(jnp.float32), sh)
+                out = out - jnp.einsum("mg,gn->mn", rs, sh * zh)
+            out = out * s_x
+        return out.reshape(*lead, N)
+
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
@@ -451,7 +527,7 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
             bm_cap = max(8, min(256, (6 * 2**20) // (x_tile * 2)))
         bm = dispatch.pick_block(M, bm_cap, minimum=8) or (M if M <= bm_cap else None)
         if bn is not None and bk is not None and bm is not None:
-            if rec.fmt == "woq_int4z":
+            if rec.fmt.startswith("woq_int4z"):
                 from lia_tpu.ops.pallas_matmul import woq4z_matmul
 
                 y = woq4z_matmul(

@@ -177,7 +177,14 @@ def _gptq_flow(cfg, params, runtime, actorder, args):
         cfg, params, _calib_prompts(cfg, args.calib_iters),
         bits=bits, group_size=g, actorder=actorder,
     )
-    print(f"[lia-tpu] gptq quantized (bits={bits}, group={g}, actorder={actorder})")
+    if runtime.quant.act_quant == "dynamic" and bits == 4:
+        # run GPTQ-quality int4 on the W4A8 fast path (int8×int8 MXU dots
+        # with the rowsum zero-point correction)
+        from lia_tpu.ops.quant import retag_dynamic_act
+
+        params = retag_dynamic_act(params)
+    print(f"[lia-tpu] gptq quantized (bits={bits}, group={g}, actorder={actorder}, "
+          f"act_quant={runtime.quant.act_quant})")
     return params
 
 

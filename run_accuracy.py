@@ -71,10 +71,14 @@ def main(argv=None) -> int:
             return static_int8_quantize(cfg, params, _calib())[0]
         if args.gptq:
             from lia_tpu.ops.gptq import gptq_quantize_params
+            from lia_tpu.ops.quant import retag_dynamic_act
 
             bits = 8 if args.weight_dtype == "int8" else 4
             g = args.group_size if args.group_size > 0 else 128
-            return gptq_quantize_params(cfg, params, _calib(), bits=bits, group_size=g)
+            p2 = gptq_quantize_params(cfg, params, _calib(), bits=bits, group_size=g)
+            if args.act_quant == "dynamic" and bits == 4:
+                p2 = retag_dynamic_act(p2)  # GPTQ quality on the W4A8 fast path
+            return p2
         if quant.enabled:
             from lia_tpu.ops.quant import quantize_params
 

@@ -343,3 +343,50 @@ def test_quantize_params_t5_git_llava_trees():
         px, [[1, cfg.image_token_id, 7]], GenerationConfig(max_new_tokens=3)
     )
     assert out.sequences.shape == (1, 3)
+
+
+def test_woq_int4z_dyn_matches_int8act_dequant_reference():
+    """Asymmetric W4A8 (woq_int4z_dyn): the rowsum zero-point correction must
+    reproduce exactly (int8-quantized x) @ dequant(weights) in fp32."""
+    import jax.numpy as jnp
+
+    from lia_tpu.ops import dispatch
+    from lia_tpu.ops.quant import QuantizedWeight, dequantize, quantized_matmul
+
+    rng = np.random.default_rng(0)
+    M, K, N, g = 4, 64, 32, 16
+    ng = K // g
+    codes = rng.integers(0, 16, (K, N)).astype(np.uint8)
+    packed = (codes[: K // 2] & 0xF) | (codes[K // 2 :] << 4)
+    s = (rng.random((ng, N)).astype(np.float32) * 0.02 + 1e-3)
+    z = rng.integers(4, 12, (ng, N)).astype(np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32) * 0.5
+
+    rec = QuantizedWeight(jnp.asarray(packed), jnp.asarray(s), "woq_int4z_dyn",
+                          jnp.asarray(z))
+    got = np.asarray(quantized_matmul(jnp.asarray(x), rec))
+
+    s_x = np.maximum(np.abs(x).max(-1, keepdims=True) / 127.0, 1e-8)
+    xq = np.rint(x / s_x)
+    ref_w = np.asarray(dequantize(
+        QuantizedWeight(jnp.asarray(packed), jnp.asarray(s), "woq_int4z",
+                        jnp.asarray(z)), jnp.float32))
+    ref = (xq * s_x) @ ref_w
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_retag_dynamic_act_roundtrip():
+    import jax.numpy as jnp
+
+    from lia_tpu.ops.quant import QuantizedWeight, retag_dynamic_act
+
+    tree = {
+        "a": QuantizedWeight(jnp.zeros((4, 8), jnp.uint8), jnp.ones((1, 8)), "woq_int4z",
+                             jnp.zeros((1, 8))),
+        "b": QuantizedWeight(jnp.zeros((8, 8), jnp.int8), jnp.ones((1, 8)), "woq_int8"),
+        "c": jnp.ones((3,)),
+    }
+    out = retag_dynamic_act(tree)
+    assert out["a"].fmt == "woq_int4z_dyn"
+    assert out["b"].fmt == "woq_int8"  # int8 untouched
+    assert out["c"].shape == (3,)
