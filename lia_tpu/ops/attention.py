@@ -319,7 +319,11 @@ def attend_decode_fresh(
         and dispatch.stacked_kernel_enabled()
         and dispatch.gqa_kernel_ok(q.shape[2], Nkv, q.shape[3])
     ):
-        bk = dispatch.pick_block(S_max, 512, minimum=64)
+        # int8-KV kernels lane-dim-slice their per-token SCALE planes, and
+        # Mosaic requires dynamic lane offsets provably 128-aligned — so the
+        # quantized path needs bk to be a 128 multiple (bf16 slices only
+        # sublane dims; 64 suffices there)
+        bk = dispatch.pick_block(S_max, 512, minimum=128 if quantized else 64)
         if bk is not None:
             if quantized:
                 from lia_tpu.ops.pallas_attention import decode_attention_fresh_int8
@@ -389,15 +393,16 @@ def attend_decode_beam(
     prompt_starts = cache.prompt_len - jnp.sum(
         cache.prompt_mask.astype(jnp.int32), axis=1
     )  # [B0]
+    bk_min = 128 if quantized else 64  # int8 scale planes are lane-sliced
     if (
         bias is None
         and dispatch.use_pallas()
         and dispatch.stacked_kernel_enabled()
         and dispatch.gqa_kernel_ok(q.shape[2], Nkv, q.shape[3])
-        and dispatch.pick_block(S_p, 512, minimum=64) is not None
-        and T_max % 8 == 0
+        and dispatch.pick_block(S_p, 512, minimum=bk_min) is not None
+        and T_max % (128 if quantized else 8) == 0
     ):
-        bk = dispatch.pick_block(S_p, 512, minimum=64)
+        bk = dispatch.pick_block(S_p, 512, minimum=bk_min)
         if quantized:
             from lia_tpu.ops.pallas_attention import decode_beam_attention_int8
 
