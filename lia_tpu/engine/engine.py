@@ -96,8 +96,10 @@ class InferenceEngine:
         """``mesh``: optional (data, model) jax Mesh — weights/KV tensor-shard
         over "model" and the batch over "data" (the AutoTP analog; reference
         runs every generation mode incl. beam under DeepSpeed AutoTP). Skips
-        projection fusion (fused qkv is not column-shardable) and does not
-        compose with the streaming scheduler (see docs/tiering.md)."""
+        projection fusion (fused qkv is not column-shardable). Composes with
+        the streaming scheduler for TPU-resident-KV plans: the resident
+        prefix, every streamed layer put, and the segment KV shard over
+        "model" (host-placement policies stay per-host — docs/tiering.md)."""
         self.cfg = cfg
         self.runtime = runtime
         self.mesh = mesh
@@ -114,13 +116,13 @@ class InferenceEngine:
             or runtime.decode_policy != 3
         )
         if needs_scheduler:
-            if mesh is not None:
-                raise ValueError(
-                    "tiered/streamed execution does not compose with a mesh yet"
-                )
             from lia_tpu.runtime.scheduler import StreamingScheduler
 
-            self.scheduler = StreamingScheduler(cfg, runtime, params_host)
+            # mesh composes with TPU-resident-KV streaming plans (policy 3 +
+            # hbm_percentage/stream_weights): resident prefix, streamed layers,
+            # and segment KV all shard over "model"; the scheduler validates
+            # and raises for host-placement policies (per-host by design)
+            self.scheduler = StreamingScheduler(cfg, runtime, params_host, mesh=mesh)
             self.params = self.scheduler.resident_params
         elif mesh is not None:
             from lia_tpu.parallel import sharding as shd

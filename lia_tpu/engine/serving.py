@@ -120,11 +120,11 @@ class ContinuousBatcher:
             or runtime.decode_policy != 3
         )
         if needs_scheduler:
-            if mesh is not None:
-                raise ValueError("scheduler-backed serving does not compose with a mesh yet")
             from lia_tpu.runtime.scheduler import StreamingScheduler
 
-            self.sched = StreamingScheduler(cfg, runtime, params_host)
+            # composes with a TP mesh for TPU-resident-KV streaming plans
+            # (the scheduler validates; host-placement policies stay per-host)
+            self.sched = StreamingScheduler(cfg, runtime, params_host, mesh=mesh)
             self.params = self.sched.resident_params
             self.state = self.sched.init_serving_state(max_batch, max_len)
             self._cache_shardings = None

@@ -207,6 +207,29 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", None))
 
 
+def shard_cache_tree(cache: Any, mesh: Mesh) -> Any:
+    """Place a (possibly quantized/beam) KV-cache pytree onto the mesh by rank:
+    5-D [L, B, N_kv, S, D] planes shard heads on "model" (+ batch on "data"
+    when the mesh has one), 4-D quantized scale planes likewise, 2-D masks
+    batch-shard, scalars/lengths replicate. Works for the engine's TP serving
+    caches and the scheduler's segment caches alike."""
+    d = "data" if "data" in mesh.shape else None
+
+    def spec(leaf):
+        nd = getattr(leaf, "ndim", 0)
+        if nd == 5:  # [L, B, N_kv, S, D]
+            p = P(None, d, "model", None, None)
+        elif nd == 4:  # quantized scales [L, B, N_kv, S]
+            p = P(None, d, "model", None)
+        elif nd == 2:  # [B, S] masks
+            p = P(d, None)
+        else:
+            p = P()
+        return NamedSharding(mesh, p)
+
+    return jax.tree.map(lambda a: jax.device_put(a, spec(a)), cache)
+
+
 def shard_params(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
     """Place a host parameter tree onto the mesh with TP/DP shardings."""
     shardings = param_shardings(cfg, params, mesh)

@@ -51,21 +51,63 @@ def _cpu_device():
 class StreamingScheduler:
     """Drives prefill/decode with tiered weights and hybrid placements."""
 
-    def __init__(self, cfg: ModelConfig, runtime: RuntimeConfig, params_host: Any):
+    def __init__(
+        self, cfg: ModelConfig, runtime: RuntimeConfig, params_host: Any, mesh=None
+    ):
         self.cfg = cfg
         self.runtime = runtime
+        self.mesh = mesh
         self.prefill_plan, self.decode_plan = pol.phase_plans(runtime)
         hbm_pct = (
             0
             if runtime.stream_weights and runtime.hbm_percentage >= 100
             else runtime.hbm_percentage
         )
+        layer_pspecs = None
+        if mesh is not None:
+            # TP × tiering: the resident prefix and every streamed layer shard
+            # over "model"; GSPMD inserts the two per-layer psums exactly as in
+            # the resident engine path. Host-compute policies stay out of scope
+            # — the host tier is per-host by design (the reference's LIA is a
+            # single-node CPU↔GPU orchestrator; its DeepSpeed TP path likewise
+            # composes only with device-resident execution).
+            if dict(mesh.shape).get("data", 1) != 1:
+                raise ValueError("scheduler mesh must be TP-only (data axis 1)")
+            for p in (self.prefill_plan, self.decode_plan):
+                if p.all_host or p.hybrid or p.kv == "host":
+                    raise ValueError(
+                        "scheduler×mesh composes with TPU-resident-KV streaming "
+                        "plans (policy 3 + hbm_percentage/stream_weights); "
+                        "host-placement policies are per-host by design"
+                    )
+            from lia_tpu.parallel import sharding as shd
+
+            tp = dict(mesh.shape).get("model", 1)
+            self._pspecs = shd.param_pspecs(cfg, params_host, tp=tp)
+            layer_pspecs = self._pspecs["layers"]
         self.wm = TieredWeightManager(
-            params_host["layers"], cfg.num_layers, hbm_pct, overlap=runtime.overlap
+            params_host["layers"], cfg.num_layers, hbm_pct, overlap=runtime.overlap,
+            mesh=mesh, layer_pspecs=layer_pspecs,
         )
         self.layers_host = params_host["layers"]
         # non-layer params (embeddings/norms/head) are small — always TPU-resident
-        self.top = jax.device_put({k: v for k, v in params_host.items() if k != "layers"})
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            is_p = lambda x: isinstance(x, P)
+            self.top = {}
+            for k, v in params_host.items():
+                if k == "layers":
+                    continue
+                if k not in self._pspecs:  # e.g. lm_head_bias — replicate
+                    self.top[k] = jax.device_put(v, NamedSharding(mesh, P()))
+                    continue
+                sh = jax.tree.map(
+                    lambda s: NamedSharding(mesh, s), self._pspecs[k], is_leaf=is_p
+                )
+                self.top[k] = jax.tree.map(jax.device_put, v, sh)
+        else:
+            self.top = jax.device_put({k: v for k, v in params_host.items() if k != "layers"})
         self._compiled: Dict[Any, Any] = {}
         self.cpu = _cpu_device()
         # streamed-segment KV lives on host DRAM when either phase plan says so
@@ -552,6 +594,13 @@ class StreamingScheduler:
                 )
         else:
             st = None
+        if self.mesh is not None:
+            # mesh plans guarantee device KV (kv_host is unreachable): both
+            # segments shard KV heads over "model" like the engine's TP caches
+            from lia_tpu.parallel.sharding import shard_cache_tree
+
+            res = shard_cache_tree(res, self.mesh) if res is not None else None
+            st = shard_cache_tree(st, self.mesh) if st is not None else None
         return res, st
 
     # -- step-level passes (the seams generation modes compose over) ----------

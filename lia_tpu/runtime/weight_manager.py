@@ -68,16 +68,44 @@ class TieredWeightManager:
         overlap: bool = True,
         device: Optional[jax.Device] = None,
         packed: bool = True,
+        mesh=None,
+        layer_pspecs=None,  # stacked-layer PartitionSpec tree (sharding.param_pspecs)
     ):
         self.layers_host = layers_host
         self.num_layers = num_layers
         self.n_resident = min(num_layers, num_layers * hbm_percentage // 100)
         self.overlap = overlap
         self.device = device or jax.devices()[0]
+        self.mesh = mesh
+        self._stacked_sh = self._layer_sh = None
+        if mesh is not None:
+            # TP streaming: the resident prefix shards with its stacked specs;
+            # each streamed put splits the host copy across the mesh at the
+            # transfer (each device receives only its shard — on multi-host
+            # TPU-VMs every host feeds its own chips, the per-host link stays
+            # the per-layer bottleneck exactly as in the single-chip plan).
+            # The packed fast path is single-buffer by construction and is
+            # bypassed: sharded puts are per-leaf.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert layer_pspecs is not None, "mesh streaming needs layer pspecs"
+            is_p = lambda x: isinstance(x, P)
+            self._stacked_sh = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), layer_pspecs, is_leaf=is_p
+            )
+            self._layer_sh = jax.tree.map(
+                lambda s: NamedSharding(mesh, P(*s[1:])), layer_pspecs, is_leaf=is_p
+            )
+            packed = False
         # resident prefix: one transfer of the stacked prefix (not per-layer)
         if self.n_resident > 0:
             prefix = jax.tree.map(lambda a: a[: self.n_resident], layers_host)
-            self.resident = jax.device_put(prefix, self.device)
+            if self._stacked_sh is not None:
+                self.resident = jax.tree.map(
+                    lambda a, sh: jax.device_put(a, sh), prefix, self._stacked_sh
+                )
+            else:
+                self.resident = jax.device_put(prefix, self.device)
         else:
             self.resident = None
         self._packed: Optional[np.ndarray] = None
@@ -126,6 +154,12 @@ class TieredWeightManager:
                 for p in self._packed
             ]
             return self._unpack(*bufs)
+        if self._layer_sh is not None:
+            return jax.tree.map(
+                lambda a, sh: jax.device_put(a, sh),
+                slice_layer(self.layers_host, idx),
+                self._layer_sh,
+            )
         return jax.device_put(slice_layer(self.layers_host, idx), self.device)
 
     def prefetch(self, idx: int) -> None:

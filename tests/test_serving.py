@@ -885,3 +885,32 @@ def test_draft_speculative_paged_and_chunked_match_plain(model):
     by_id2 = {r.req_id: r.output for r in cb2.run()}
     for i, j in zip(ids2, ids_ref):
         assert by_id2[i] == ref_by_id[j], f"request {i} (draft+chunked)"
+
+
+def test_serving_scheduler_tp_mesh_matches(model):
+    """scheduler×mesh in serving: tiered (streamed-weights) continuous
+    batching over a TP mesh — sharded resident prefix + per-layer sharded
+    streamed puts + head-sharded segment KV — matches the resident batcher
+    per request (docs/serving.md matrix: scheduler × TP mesh)."""
+    from lia_tpu.config import RuntimeConfig
+    from lia_tpu.parallel.mesh import make_mesh
+
+    cfg, _ = model
+    cfg = cfg.replace(vocab_size=512)  # 503 doesn't tile the model axis
+    params = init_dummy_params(cfg, seed=21, scale=0.12)
+    gen = GenerationConfig(max_new_tokens=5)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8, 12, 13], [50, 60]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=2, max_len=128, gen=gen, runtime=rt,
+        mesh=make_mesh((1, 4)),
+    )
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i}"

@@ -127,3 +127,38 @@ def test_alibi_model_streams_identically():
     rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
     res = InferenceEngine(cfg, params, rt).generate(prompts, gen)
     np.testing.assert_array_equal(res.sequences, ref.sequences)
+
+
+def test_streaming_tp_mesh_matches(setup):
+    """scheduler×mesh: TP-sharded tiered execution (sharded resident prefix,
+    per-layer sharded streamed puts, head-sharded segment KV) is bit-identical
+    to the single-device resident engine. The AutoTP analog composed with the
+    LIA tiering — reference TP and tiering never compose in-repo."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg, params, gen, prompts, _ = setup
+    cfg2 = cfg.replace(vocab_size=512)  # 503 doesn't tile the model axis
+    params2 = init_dummy_params(cfg2, seed=7, scale=0.02)
+    ref = InferenceEngine(cfg2, params2).generate(prompts, gen)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("model",))
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    res = InferenceEngine(cfg2, params2, rt, mesh=mesh).generate(prompts, gen)
+    np.testing.assert_array_equal(res.sequences, ref.sequences)
+
+
+def test_streaming_tp_mesh_rejects_host_policies(setup):
+    import jax
+    from jax.sharding import Mesh
+
+    cfg, params, gen, prompts, _ = setup
+    mesh = Mesh(np.array(jax.devices()[:4]), ("model",))
+    for rt in (
+        RuntimeConfig(decode_policy=0, hbm_percentage=50),
+        RuntimeConfig(decode_policy=1, hbm_percentage=50),
+        RuntimeConfig(prefill_policy=2, hbm_percentage=50),
+    ):
+        with pytest.raises(ValueError, match="per-host"):
+            InferenceEngine(cfg.replace(vocab_size=512),
+                            init_dummy_params(cfg.replace(vocab_size=512), seed=7, scale=0.02),
+                            rt, mesh=mesh)
