@@ -84,16 +84,20 @@ def _shift_kernel(x_ref, xh_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q8 = q_ref[:]  # [bkh, bn] int8
+    # int8-domain shifts DO NOT lower (Mosaic: failed to legalize arith.shli on
+    # vector<8x128x4xi8>, measured 2026-08-19) — widen to int32 and use
+    # sign-extending shifts on SIGNED-nibble packing: 3 ALU ops per byte vs the
+    # biased layout's 5 (mask+sub twice).
+    q32 = q_ref[:].astype(jnp.int32)  # [bkh, bn] sign-extended bytes
     slo = slo_ref[:]
     shi = shi_ref[:]
-    bkh = q8.shape[0]
+    bkh = q32.shape[0]
     gg = bkh // gpt
     x = x_ref[:]
     xh = xh_ref[:]
     if int8_dots:
-        lo = (q8 << 4) >> 4  # jnp >> on signed int8 is arithmetic
-        hi = q8 >> 4
+        lo = ((q32 << 28) >> 28).astype(jnp.int8)  # sign-extend low nibble
+        hi = (q32 >> 4).astype(jnp.int8)  # top bits already ch's sign
         for gi in range(gpt):
             sl = slice(gi * gg, (gi + 1) * gg)
             part = jax.lax.dot_general(
@@ -107,8 +111,8 @@ def _shift_kernel(x_ref, xh_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
             ).astype(jnp.float32)
             acc_ref[:] += part * shi[gi:gi + 1, :]
     else:
-        lo = ((q8 << 4) >> 4).astype(x.dtype)
-        hi = (q8 >> 4).astype(x.dtype)
+        lo = ((q32 << 28) >> 28).astype(x.dtype)
+        hi = (q32 >> 4).astype(x.dtype)
         for gi in range(gpt):
             sl = slice(gi * gg, (gi + 1) * gg)
             part = jax.lax.dot_general(
@@ -206,7 +210,7 @@ def main():
                  lambda c, q_, s_: woq_matmul(c, q_, s_, g, int4=True,
                                               out_dtype=jnp.float32),
                  fb, x, pb, s_j)
-    tS = time_fn("S signed nibbles, int8 shifts, bf16 dots",
+    tS = time_fn("S signed nibbles, i32 sext shifts, bf16 dots",
                  lambda c, q_, s_: shift_matmul(c, q_, s_, g),
                  fb, x, ps, s_j)
     tC = time_fn("C prod int8 dequant control",
@@ -214,16 +218,38 @@ def main():
                                               out_dtype=jnp.float32),
                  fb, x, q8, s8_j)
 
-    # int8-dot variant feeds int8 activations (w4a8); time with an int8 carry
-    fb8 = lambda c, out: c
-    tD = time_fn("D signed nibbles, int8 shifts, INT8 dots (w4a8)",
+    # int8-dot variants feed int8 activations (w4a8); the int8 carry must DEPEND
+    # on the output or XLA dead-code-eliminates the whole matmul (an identity
+    # feedback here first measured 0.06 ms "kernels" — empty loops)
+    def fb8(c, out):
+        return c ^ out[:, :K].astype(jnp.int32).astype(jnp.int8)
+
+    tD = time_fn("D signed nibbles, i32 sext shifts, INT8 dots",
                  lambda c, q_, s_: shift_matmul(c, q_, s_, g, int8_dots=True),
                  fb8, x8, ps, s_j)
+
+    from lia_tpu.ops.pallas_matmul import w4a8_matmul
+
+    sx1 = jnp.ones((M, 1), jnp.float32)
+    tB = time_fn("B prod w4a8 kernel (biased, mask/sub, INT8 dots)",
+                 lambda c, q_, s_, sx_: w4a8_matmul(c, sx_, q_, s_, None,
+                                                    group_size=g),
+                 fb8, x8, pb, s_j, sx1)
+
+    # int8-dyn control at the same dependence structure (XLA native int8 dot,
+    # per-channel scales — 2x the HBM bytes, zero unpack work)
+    def int8dyn(c, q_, s_):
+        y = jax.lax.dot_general(c, q_, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * s_[:1, :]
+
+    tE = time_fn("E int8-dyn XLA dot control", int8dyn, fb8, x8, q8, s8_j)
 
     nbytes4 = K * N // 2
     nbytes8 = K * N
     for nm, t, nb in (("A", tA, nbytes4), ("S", tS, nbytes4),
-                      ("D", tD, nbytes4), ("C", tC, nbytes8)):
+                      ("D", tD, nbytes4), ("B", tB, nbytes4),
+                      ("C", tC, nbytes8), ("E", tE, nbytes8)):
         print(f"   {nm}: {nb / t / 1e9:7.1f} GB/s on its bytes", flush=True)
 
 

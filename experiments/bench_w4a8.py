@@ -80,7 +80,16 @@ def main():
     gb8 = K * N / 1e9
     t = time_fn("A prod int4 dequant (pallas)", quantized_matmul, fb, x, rec4)
     print(f"   -> {gb4/t:7.1f} GB/s on int4 bytes", flush=True)
-    t = time_fn("B woq_int4_dyn (batched int8 dots)", quantized_matmul, fb, x, rec4d)
+    t = time_fn("B w4a8 fused Pallas kernel (prod route)", quantized_matmul, fb, x, rec4d)
+    print(f"   -> {gb4/t:7.1f} GB/s on int4 bytes", flush=True)
+
+    from lia_tpu.ops import dispatch
+
+    def mm_xla(xx, rr):
+        with dispatch.pallas_disabled():
+            return quantized_matmul(xx, rr)
+
+    t = time_fn("B0 woq_int4_dyn XLA (materialized unpack)", mm_xla, fb, x, rec4d)
     print(f"   -> {gb4/t:7.1f} GB/s on int4 bytes", flush=True)
     t = time_fn("C woq_int8_dyn control", quantized_matmul, fb, x, rec8d)
     print(f"   -> {gb8/t:7.1f} GB/s on int8 bytes", flush=True)

@@ -394,6 +394,11 @@ def _lm_head(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
             # the vocab projection is the single largest per-step HBM read
             # after the decoder stack, so it quantizes with the layers.
             y = quantized_matmul(x, w)
+            if y.shape[-1] != cfg.vocab_size:
+                # quantize_head_2d pads the vocab to the W4A8 kernel's 128
+                # tiling; the pad columns are exact zeros but MUST be sliced
+                # off before bias/sampling (a 0 logit can win an argmax)
+                y = y[..., : cfg.vocab_size]
         else:
             y = jax.lax.dot_general(
                 x, w, (((x.ndim - 1,), (0,)), ((), ())),

@@ -26,6 +26,18 @@ def _load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     path = os.path.join(os.path.dirname(__file__), "libliahost.so")
     if not os.path.exists(path):
+        # the .so is untracked build output — a fresh checkout loses it, and
+        # 7B+ dummy-weight synthesis without it crawls on one numpy core
+        # (observed: bench.py stalled ~20 min in synthesis). Build on demand
+        # (g++, ~2 s); fall back to numpy silently if the toolchain is absent.
+        import subprocess
+
+        src = os.path.normpath(
+            os.path.join(os.path.dirname(__file__), "..", "..", "native")
+        )
+        if os.path.exists(os.path.join(src, "Makefile")):
+            subprocess.run(["make", "-C", src], capture_output=True, check=False)
+    if not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)

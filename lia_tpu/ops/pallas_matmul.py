@@ -179,6 +179,180 @@ def _woq4z_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _w4a8_kernel(
+    xlo_ref, xhi_ref, sx_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
+    *, n_k: int, gpt: int
+):
+    """Fused W4A8 grid cell: in-VMEM nibble unpack → int8×int8 MXU dots.
+
+    The XLA woq_int4_dyn path materializes the unpacked int8 halves through
+    HBM (packed read + unpacked write + dot read ≈ 2.5× the int4 bytes — why
+    it only reached int8 per-call parity). Here the packed tile DMAs HBM→VMEM
+    once, the biased nibbles become signed int8 codes in-register (mask/shift/
+    sub), and the MXU runs int8×int8→int32 at 2× rate. HBM traffic is exactly
+    the int4 bytes. Per-token act scales ride on the output tile with the
+    per-group weight scales. Reference analog: WoqTppKrnl.cpp lowp-mode INT8
+    (quantize-A + int8 compute on 4-bit weights).
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q32 = pltpu.bitcast(q_ref[:], jnp.int8).astype(jnp.int32)  # [bkh, bn]
+    lo = ((q32 & 0xF) - 8).astype(jnp.int8)
+    hi = (((q32 >> 4) & 0xF) - 8).astype(jnp.int8)
+    slo, shi = slo_ref[:], shi_ref[:]  # [gpt, bn]
+    bkh = q32.shape[0]
+    g = bkh // gpt
+    x = xlo_ref[:]  # [bm, bkh] int8
+    xh = xhi_ref[:]
+    for gi in range(gpt):
+        sl = slice(gi * g, (gi + 1) * g)
+        part = jax.lax.dot_general(
+            x[:, sl], lo[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[:] += part.astype(jnp.float32) * slo[gi:gi + 1, :]
+        part = jax.lax.dot_general(
+            xh[:, sl], hi[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[:] += part.astype(jnp.float32) * shi[gi:gi + 1, :]
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * sx_ref[:]).astype(o_ref.dtype)
+
+
+def _w4a8z_kernel(
+    xlo_ref, xhi_ref, sx_ref, q_ref, slo_ref, shi_ref, zlo_ref, zhi_ref,
+    o_ref, acc_ref, *, n_k: int, gpt: int
+):
+    """Asymmetric W4A8 grid cell (GPTQ-native zero points × int8 MXU dots).
+
+    Stored codes are raw 0..15 with per-group zp; rebasing by −8 keeps the dot
+    operand in signed int8 while the zp shifts by the same −8 in the rank-1
+    correction: y = s_x·s_g·( x8 @ (c−8) − Σx8 · (z_g−8) ). The wrapper passes
+    ``z − 8`` so the kernel math matches :func:`_w4a8_kernel` plus one int8
+    rowsum per (token-tile, group).
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q32 = pltpu.bitcast(q_ref[:], jnp.int8).astype(jnp.int32)  # [bkh, bn]
+    lo = ((q32 & 0xF) - 8).astype(jnp.int8)
+    hi = (((q32 >> 4) & 0xF) - 8).astype(jnp.int8)
+    slo, shi = slo_ref[:], shi_ref[:]  # [gpt, bn]
+    zlo, zhi = zlo_ref[:], zhi_ref[:]  # [gpt, bn] (z − 8)
+    bkh = q32.shape[0]
+    g = bkh // gpt
+    x = xlo_ref[:]
+    xh = xhi_ref[:]
+    for gi in range(gpt):
+        sl = slice(gi * g, (gi + 1) * g)
+        xg = x[:, sl]
+        part = jax.lax.dot_general(
+            xg, lo[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        rowsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        acc_ref[:] += (part.astype(jnp.float32) - rowsum * zlo[gi:gi + 1, :]) * slo[gi:gi + 1, :]
+        xg = xh[:, sl]
+        part = jax.lax.dot_general(
+            xg, hi[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        rowsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        acc_ref[:] += (part.astype(jnp.float32) - rowsum * zhi[gi:gi + 1, :]) * shi[gi:gi + 1, :]
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * sx_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_m", "block_n", "block_k", "interpret", "out_dtype"),
+)
+def w4a8_matmul(
+    xq: jnp.ndarray,  # [M, K] int8 (pre-quantized activations)
+    sx: jnp.ndarray,  # [M, 1] f32 per-token act scales
+    q: jnp.ndarray,  # [K//2, N] packed uint8 (global half-split, biased codes)
+    s: jnp.ndarray,  # [ng, N] f32 weight scales
+    z: jnp.ndarray | None = None,  # [ng, N] f32 zero-points (raw-code domain)
+    group_size: int = -1,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 1024,
+    interpret: bool | None = None,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Fused int4-weight × int8-act matmul: y = sx · (xq @ dequant4(q)).
+
+    Symmetric (z is None): stored codes are biased (c = w + 8), dequant is
+    (c − 8)·s. Asymmetric: raw codes with per-group zp, dequant (c − z)·s;
+    the zp folds into a rowsum correction so both run the same int8 MXU dots.
+    """
+    M, K = xq.shape
+    N = q.shape[1]
+    ng = s.shape[0]
+    g = K // ng
+    assert group_size in (-1, g), f"scale table implies group {g}"
+    interpret = _interpret_default() if interpret is None else interpret
+
+    bm = min(block_m, M)
+    bn = min(block_n, N)
+    Kh = K // 2
+    bkh, gpt = _int4_tiles(K, g, ng, block_k)
+    assert M % bm == 0 and N % bn == 0 and Kh % bkh == 0, (M, N, K, bm, bn, bkh)
+    n_k = Kh // bkh
+
+    ngh = max(1, ng // 2)
+    s_lo, s_hi = (s, s) if ng == 1 else (s[:ngh], s[ngh:])
+
+    def s_idx(i, j, k):
+        return (0, j) if ng == 1 else (k, j)
+
+    x_specs = [
+        pl.BlockSpec((bm, bkh), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bm, bkh), lambda i, j, k: (i, k + n_k)),
+        pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+    ]
+    w_specs = [
+        pl.BlockSpec((bkh, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((gpt, bn), s_idx),
+        pl.BlockSpec((gpt, bn), s_idx),
+    ]
+    common = dict(
+        grid=(M // bm, N // bn, n_k),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+    )
+    if z is None:
+        return pl.pallas_call(
+            functools.partial(_w4a8_kernel, n_k=n_k, gpt=gpt),
+            in_specs=x_specs + w_specs,
+            **common,
+        )(xq, xq, sx, q, s_lo, s_hi)
+    z8 = z - 8.0
+    z_lo, z_hi = (z8, z8) if ng == 1 else (z8[:ngh], z8[ngh:])
+    return pl.pallas_call(
+        functools.partial(_w4a8z_kernel, n_k=n_k, gpt=gpt),
+        in_specs=x_specs + w_specs + [
+            pl.BlockSpec((gpt, bn), s_idx),
+            pl.BlockSpec((gpt, bn), s_idx),
+        ],
+        **common,
+    )(xq, xq, sx, q, s_lo, s_hi, z_lo, z_hi)
+
+
 def _int4_tiles(K: int, g: int, ng: int, block_k: int):
     """Half-split K tiling: packed rows [0, K/2) in whole-group tiles with a
     Mosaic-legal scale block ((gpt, bn) with gpt % 8 == 0 or gpt == ng//2)."""

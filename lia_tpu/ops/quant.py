@@ -237,10 +237,71 @@ def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
         return quantize_weight(np.asarray(w), qc) if K % g == 0 else w
 
     if qc.quant_lm_head and "lm_head" in out and np.ndim(out["lm_head"]) == 2:
-        out["lm_head"] = _quant_2d(out["lm_head"])
+        if qc.weight_dtype == "int4" and not getattr(cfg, "encoder_decoder", False):
+            # int4 heads go through the padding/fallback logic so the fused
+            # W4A8 kernel stays eligible (transformer._lm_head slices the pad;
+            # T5's head consumer does not slice, so it keeps _quant_2d)
+            out["lm_head"] = quantize_head_2d(np.asarray(out["lm_head"], np.float32), qc)
+        else:
+            out["lm_head"] = _quant_2d(out["lm_head"])
     if qc.quant_lm_head and "output" in out and isinstance(out["output"], dict):
         out["output"] = {**out["output"], "w": _quant_2d(out["output"]["w"])}  # git head
+    if (
+        qc.quant_lm_head
+        and "lm_head" not in out
+        and "embed_tokens" in out
+        and getattr(cfg, "tie_embeddings", False)
+        and not getattr(cfg, "encoder_decoder", False)
+    ):
+        head = quantize_tied_head(out["embed_tokens"], qc)
+        if head is not None:
+            out["lm_head"] = head
     return out
+
+
+def quantize_tied_head(embed, qc: QuantConfig):
+    """Quantized TRANSPOSED head copy for tied-embedding models, or None.
+
+    With tied embeddings the logits matmul otherwise streams the full fp embed
+    table every step (OPT-6.7B: 412 MB bf16 — the largest fixed per-step HBM
+    read). The fp table stays for the token gather; this int8/int4 copy serves
+    the head matmul at ~2×/4× less bandwidth for +V·E/2 bytes of memory. The
+    reference WOQ converts the lm_head Linear identically (tied storage is
+    free there only because AMX consumes bf16 directly). int4 applies only
+    when the fused W4A8 kernel's tiling accepts the shape (vocab % 128,
+    E % 256, whole groups per half) — OPT's 50272 vocab fails it and takes
+    int8; Gemma-class 256k vocabs pass.
+    """
+    w = np.ascontiguousarray(np.asarray(embed, np.float32).T)
+    return quantize_head_2d(w, qc)
+
+
+def quantize_head_2d(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
+    """Quantize an [E, V] logits head, padding V to the W4A8 kernel's tiling.
+
+    int4 heads otherwise fall back to the materializing XLA path whenever the
+    vocab is not a 128-multiple (OPT: 50272) — zero-padding to the next
+    128-multiple keeps the fused kernel eligible; ``lm_head`` slices the
+    logits back to the true vocab (padded columns quantize to exact zeros).
+    int4 still needs E % 256 and whole groups per packed half; failing those,
+    the head takes per-channel int8 (never slower than the fp table).
+    """
+    E, V = np.shape(w)
+    g = qc.group_size
+    use_int4 = (
+        qc.weight_dtype == "int4"
+        and E % 256 == 0
+        and (g <= 0 or ((E // 2) % g == 0 and (8 * g) % 128 == 0))
+    )
+    if use_int4 and V % 128:
+        w = np.pad(w, ((0, 0), (0, 128 - V % 128)))
+    hqc = QuantConfig(
+        weight_dtype="int4" if use_int4 else "int8",
+        group_size=g if use_int4 else -1,
+        sym=qc.sym,
+        act_quant=qc.act_quant,
+    )
+    return quantize_weight(w, hqc)
 
 
 def quantize_params_static(
@@ -300,6 +361,31 @@ def dequantize(rec: "QuantizedWeight", dtype=jnp.bfloat16) -> jnp.ndarray:
         wg = wg - rec.z[..., :, None, :]
     w = wg * s[..., :, None, :]
     return w.reshape(*lead, K, N).astype(dtype)
+
+
+def _w4a8_blocks(M: int, K: int, N: int, ng: int):
+    """Block sizes for the fused W4A8 Pallas kernel, or None → XLA fallback.
+
+    Constraints: packed half-rows must tile in 128-multiples (Mosaic lane dim),
+    grouped scales need 8-group 128-multiple K tiles (sublane rule), N/M must
+    tile evenly. The lm_head's 50272 vocab fails the N rule and falls back.
+    """
+    from lia_tpu.ops import dispatch
+
+    if not dispatch.use_pallas():
+        return None
+    if K % 256 != 0:
+        return None
+    g = K // ng
+    if ng > 1 and (ng % 2 or (K // 2) % g or (8 * g) % 128):
+        return None
+    bn = dispatch.pick_block(N, 512, minimum=128)
+    if bn is None:
+        return None
+    bm = M if M <= 256 else dispatch.pick_block(M, 256, minimum=8)
+    if bm is None:
+        return None
+    return bm, bn
 
 
 def _pallas_woq_viable(x2d, rec) -> bool:
@@ -391,6 +477,20 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
         s_x = jnp.max(jnp.abs(x2).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         s_x = jnp.maximum(s_x, 1e-8)
         xq = jnp.round(x2.astype(jnp.float32) / s_x).astype(jnp.int8)
+        blocks = _w4a8_blocks(M, K, N, ng)
+        if blocks is not None:
+            # fused Pallas path: packed tile DMAs HBM→VMEM once, nibbles unpack
+            # in-register, int8×int8 MXU dots — HBM traffic is the int4 bytes
+            # (the jnp path below materializes the unpacked halves through HBM:
+            # ~2.5× the bytes, which held W4A8 at int8 per-call parity)
+            from lia_tpu.ops.pallas_matmul import w4a8_matmul
+
+            bm, bn = blocks
+            out = w4a8_matmul(
+                xq, s_x, rec.q, rec.s, None,
+                group_size=-1 if ng == 1 else K // ng, block_m=bm, block_n=bn,
+            )
+            return out.reshape(*lead, N)
         pu = rec.q.astype(jnp.uint8)
         lo = (pu & 0xF).astype(jnp.int8) - jnp.int8(8)  # rows [0, K/2)
         hi = (pu >> 4).astype(jnp.int8) - jnp.int8(8)  # rows [K/2, K)
@@ -444,6 +544,18 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
         s_x = jnp.max(jnp.abs(x2).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         s_x = jnp.maximum(s_x, 1e-8)
         xq = jnp.round(x2.astype(jnp.float32) / s_x).astype(jnp.int8)
+        blocks = _w4a8_blocks(M, K, N, ng)
+        if blocks is not None:
+            # fused Pallas path (see woq_int4_dyn above); the zp folds into an
+            # in-kernel rowsum correction so asym runs the same int8 MXU dots
+            from lia_tpu.ops.pallas_matmul import w4a8_matmul
+
+            bm, bn = blocks
+            out = w4a8_matmul(
+                xq, s_x, rec.q, rec.s, rec.z,
+                group_size=-1 if ng == 1 else K // ng, block_m=bm, block_n=bn,
+            )
+            return out.reshape(*lead, N)
         pu = rec.q.astype(jnp.uint8)
         lo = (pu & 0xF).astype(jnp.int8)  # raw codes 0..15 (no −8 bias)
         hi = ((pu >> 4) & 0xF).astype(jnp.int8)

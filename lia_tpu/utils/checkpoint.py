@@ -146,11 +146,30 @@ def init_dummy_params(
         # ones in footprint and per-step HBM traffic
         g_head = E if (quant is None or quant.group_size <= 0) else quant.group_size
         if quant is not None and quant.enabled and quant.quant_lm_head and E % g_head == 0:
-            params["lm_head"] = wq(E, cfg.vocab_size)
+            if quant.weight_dtype == "int4" and cfg.vocab_size % 128:
+                # vocab fails the W4A8 kernel tiling: synthesize fp and run the
+                # padding/fallback head quantizer (quant.quantize_head_2d)
+                from lia_tpu.ops.quant import quantize_head_2d
+
+                params["lm_head"] = quantize_head_2d(
+                    np.asarray(w(E, cfg.vocab_size), np.float32), quant
+                )
+            else:
+                params["lm_head"] = wq(E, cfg.vocab_size)
         else:
             params["lm_head"] = w(E, cfg.vocab_size)
         if cfg.lm_head_bias:
             params["lm_head_bias"] = np.zeros((cfg.vocab_size,), dt)
+    elif quant is not None and quant.enabled and quant.quant_lm_head:
+        # tied embeddings: add the quantized transposed head copy (see
+        # quant.quantize_tied_head) so dummy engines match quantize_params'
+        # footprint — the fp table stays for the gather, the head matmul
+        # reads int8/int4 bytes instead of the full bf16 table per step
+        from lia_tpu.ops.quant import quantize_tied_head
+
+        head = quantize_tied_head(params["embed_tokens"], quant)
+        if head is not None:
+            params["lm_head"] = head
     if cfg.family == "llava":  # vision tower + projector on top of the llama LM
         params["vision"] = _init_dummy_vit(cfg, rng, dt, scale)
         params["proj"] = {

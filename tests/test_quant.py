@@ -390,3 +390,50 @@ def test_retag_dynamic_act_roundtrip():
     assert out["a"].fmt == "woq_int4z_dyn"
     assert out["b"].fmt == "woq_int8"  # int8 untouched
     assert out["c"].shape == (3,)
+
+
+def test_tied_head_quantized_copy():
+    """Tied-embedding models get a quantized TRANSPOSED head copy: the fp
+    table keeps feeding the token gather while the logits matmul reads
+    int8/int4 bytes (quantize_tied_head; reference WOQ converts lm_head)."""
+    from lia_tpu.ops.quant import is_quantized, quantize_params
+
+    cfg = get_config("opt-125m")
+    assert cfg.tie_embeddings
+    params = init_dummy_params(cfg, scale=0.05)
+    qc = QuantConfig(weight_dtype="int8", act_quant="dynamic")
+    qp = quantize_params(cfg, params, qc)
+    assert is_quantized(qp["lm_head"])
+    assert qp["lm_head"].fmt == "woq_int8_dyn"
+    # OPT vocab (50272) fails the w4a8 128 tiling: int4 heads are PADDED to
+    # 50304 so the fused kernel stays eligible; lm_head slices the pad off
+    qp4 = quantize_params(cfg, params, QuantConfig(weight_dtype="int4", group_size=64))
+    assert qp4["lm_head"].fmt == "woq_int4"
+    assert qp4["lm_head"].q.shape == (cfg.hidden_size // 2, 50304)
+    # head matmul parity: quantized head logits track the tied fp logits,
+    # and padded-head logits come back at the true vocab size
+    from lia_tpu.models.transformer import lm_head
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 1, cfg.hidden_size)) * 0.1,
+                    jnp.float32)
+    ref = np.asarray(lm_head(cfg, params, x))
+    got = np.asarray(lm_head(cfg, qp, x))
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.03, err
+    got4 = np.asarray(lm_head(cfg, qp4, x))
+    assert got4.shape == ref.shape
+    err4 = np.abs(got4 - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err4 < 0.12, err4
+
+
+def test_tied_head_dummy_init_matches_quantize_params():
+    """init_dummy_params(quant=...) synthesizes the same tied-head footprint
+    as quantize_params (engine parity for the headline bench path)."""
+    from lia_tpu.ops.quant import is_quantized
+
+    cfg = get_config("opt-125m")
+    qc = QuantConfig(weight_dtype="int4", group_size=64, act_quant="dynamic")
+    params = init_dummy_params(cfg, quant=qc)
+    assert is_quantized(params["lm_head"])
+    assert params["lm_head"].fmt == "woq_int4_dyn"  # padded to the 128 tiling
+    assert params["lm_head"].q.shape == (cfg.hidden_size // 2, 50304)
