@@ -121,6 +121,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="load a previously saved quantized checkpoint "
                         "(skips re-quantization)")
     p.add_argument("--profile", action="store_true", help="emit a jax trace to /tmp/lia_trace")
+    p.add_argument("--tp", type=int, default=1, metavar="N",
+                   help="tensor-parallel degree: run the engine over a (1, N) "
+                        "(data, model) mesh (AutoTP analog — reference "
+                        "distributed/run_generation_with_deepspeed.py); "
+                        "composes with quantized weights and, for "
+                        "TPU-resident-KV plans, with tiering/streaming")
     p.add_argument("--prompt", default=None, help="text prompt (requires --tokenizer)")
     p.add_argument("--tokenizer", default=None, help="local tokenizer directory")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
@@ -379,7 +385,19 @@ def main(argv=None) -> int:
         print(f"[lia-tpu] saved quantized checkpoint → {args.save_quantized}")
     print(f"[lia-tpu] weights ready in {time.perf_counter()-t0:.1f}s")
 
-    engine = InferenceEngine(cfg, params, runtime)
+    mesh = None
+    if args.tp > 1:
+        import jax as _jax
+
+        if len(_jax.devices()) < args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} needs {args.tp} devices, have {len(_jax.devices())}"
+            )
+        from lia_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((1, args.tp))
+        print(f"[lia-tpu] TP mesh: 1x{args.tp} (data, model)")
+    engine = InferenceEngine(cfg, params, runtime, mesh=mesh)
 
     tokenizer = None
     if args.prompt:
