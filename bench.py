@@ -28,6 +28,9 @@ import sys
 
 import os as _os
 
+# CLI entry point: opt in to the on-demand native helper build (see lia_tpu/native)
+_os.environ.setdefault("LIA_NATIVE_AUTOBUILD", "1")
+
 # persistent XLA compilation cache: repeat benchmark invocations skip the
 # (remote-)compile cost. jax is pre-imported by the environment, so the env var
 # is too late — set the config directly.

@@ -105,6 +105,17 @@ class InferenceEngine:
         self.mesh = mesh
         self._compiled: Dict[Any, Any] = {}
         self.scheduler = None
+        from lia_tpu.ops import dispatch
+
+        if not runtime.use_pallas:
+            dispatch.set_use_pallas(False)  # --no-pallas kill-switch
+        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+            # Pallas kernels are per-chip programs; GSPMD won't partition a
+            # pallas_call, so under a real TP mesh they'd force all-gathers of
+            # the sharded operands. Route everything through the jnp paths
+            # (which GSPMD partitions) until the kernels are shard_map-wrapped
+            # and multi-chip-validated. See dispatch.set_tp_active.
+            dispatch.set_tp_active(True)
         if runtime.fuse_projections and mesh is None:
             from lia_tpu.ops.fuse import fuse_projections
 

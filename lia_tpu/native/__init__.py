@@ -25,17 +25,24 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     path = os.path.join(os.path.dirname(__file__), "libliahost.so")
-    if not os.path.exists(path):
+    if not os.path.exists(path) and os.environ.get("LIA_NATIVE_AUTOBUILD") == "1":
         # the .so is untracked build output — a fresh checkout loses it, and
         # 7B+ dummy-weight synthesis without it crawls on one numpy core
-        # (observed: bench.py stalled ~20 min in synthesis). Build on demand
-        # (g++, ~2 s); fall back to numpy silently if the toolchain is absent.
+        # (observed: bench.py stalled ~20 min in synthesis). The CLI entry
+        # points (run.py / bench.py / serve.py) opt in by setting
+        # LIA_NATIVE_AUTOBUILD=1 before first use; plain library imports never
+        # spawn a compiler or write build artifacts (read-only checkouts,
+        # sandboxes, concurrent pytest workers). Fall back to numpy silently
+        # if the toolchain is absent.
         import subprocess
+        import sys
 
         src = os.path.normpath(
             os.path.join(os.path.dirname(__file__), "..", "..", "native")
         )
         if os.path.exists(os.path.join(src, "Makefile")):
+            print("[lia-tpu] building native/libliahost.so (make -C native)…",
+                  file=sys.stderr)
             subprocess.run(["make", "-C", src], capture_output=True, check=False)
     if not os.path.exists(path):
         return None

@@ -18,12 +18,30 @@ import jax
 
 _FORCE: Optional[bool] = None  # None = auto (pallas on TPU, jnp elsewhere)
 _INTERPRET: Optional[bool] = None  # None = auto (interpret off TPU)
+_TP_ACTIVE: bool = False  # process-level: a >1-way "model" mesh axis exists
 _tls = threading.local()  # per-trace override (host-execution tracing)
 
 
 def set_use_pallas(v: Optional[bool]) -> None:
     global _FORCE
     _FORCE = v
+
+
+def set_tp_active(v: bool) -> None:
+    """Flag that a tensor-parallel mesh (model axis > 1) is in use.
+
+    Pallas kernels here are written for per-chip shapes; under GSPMD-sharded
+    operands a ``pallas_call`` is not partitioned — XLA would all-gather the
+    sharded operands around it (silently defeating TP) or fail to lower. Until
+    the kernels are wrapped in ``shard_map`` with per-shard shapes AND validated
+    on real multi-chip hardware (this rig has one chip), an active TP mesh
+    forces the jnp paths, which GSPMD partitions correctly. Set by
+    :class:`lia_tpu.engine.engine.InferenceEngine` when its mesh has a >1
+    "model" axis; process-level and sticky by design (conservative for
+    mixed-engine processes).
+    """
+    global _TP_ACTIVE
+    _TP_ACTIVE = v or _TP_ACTIVE
 
 
 @contextlib.contextmanager
@@ -51,6 +69,8 @@ def set_interpret(v: Optional[bool]) -> None:
 def use_pallas() -> bool:
     if getattr(_tls, "force_off", False):
         return False
+    if _TP_ACTIVE:
+        return False  # see set_tp_active: unpartitioned pallas_call defeats TP
     if _FORCE is not None:
         return _FORCE
     return jax.default_backend() == "tpu"

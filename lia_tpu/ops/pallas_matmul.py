@@ -316,7 +316,11 @@ def w4a8_matmul(
     s_lo, s_hi = (s, s) if ng == 1 else (s[:ngh], s[ngh:])
 
     def s_idx(i, j, k):
-        return (0, j) if ng == 1 else (k, j)
+        # one (gpt, bn) block per K tile — except when a single block covers
+        # all of a half's groups (gpt == ngh, e.g. ng == 2 with multi-tile K):
+        # then every K tile reads block 0. (k, j) with k >= 1 would index past
+        # the scale array and only "work" via Pallas' OOB block clamping.
+        return (0, j) if gpt >= ngh else (k, j)
 
     x_specs = [
         pl.BlockSpec((bm, bkh), lambda i, j, k: (i, k)),
@@ -403,7 +407,8 @@ def woq4z_matmul(
     z_lo, z_hi = (z, z) if ng == 1 else (z[:ngh], z[ngh:])
 
     def s_idx(i, j, k):
-        return (0, j) if ng == 1 else (k, j)
+        # single block covering a half's groups (gpt == ngh) → always block 0
+        return (0, j) if gpt >= ngh else (k, j)
 
     return pl.pallas_call(
         functools.partial(_woq4z_kernel, n_k=n_k, gpt=gpt),
@@ -459,7 +464,8 @@ def woq_matmul(
         s_lo, s_hi = (s, s) if ng == 1 else (s[:ngh], s[ngh:])
 
         def s_idx(i, j, k):
-            return (0, j) if ng == 1 else (k, j)
+            # single block covering a half's groups (gpt == ngh) → always block 0
+            return (0, j) if gpt >= ngh else (k, j)
 
         return pl.pallas_call(
             functools.partial(_woq4_kernel, n_k=n_k, gpt=gpt),
@@ -481,9 +487,10 @@ def woq_matmul(
     assert M % bm == 0 and N % bn == 0 and K % bk == 0, (M, N, K, bm, bn, bk)
     n_k = K // bk
 
-    # scale block: the gpt groups covered by K tile k start at group row k*gpt
+    # scale block: the gpt groups covered by K tile k start at group row k*gpt;
+    # gpt == ng (one block spans all groups) → every K tile reads block 0
     def s_index(i, j, k):
-        return (0, j) if ng == 1 else (k, j)
+        return (0, j) if gpt >= ng else (k, j)
 
     return pl.pallas_call(
         functools.partial(_woq_kernel, n_k=n_k, gpt=gpt),

@@ -253,24 +253,23 @@ def quantize_params(cfg: ModelConfig, params: Dict[str, Any], qc: QuantConfig):
         and getattr(cfg, "tie_embeddings", False)
         and not getattr(cfg, "encoder_decoder", False)
     ):
-        head = quantize_tied_head(out["embed_tokens"], qc)
-        if head is not None:
-            out["lm_head"] = head
+        out["lm_head"] = quantize_tied_head(out["embed_tokens"], qc)
     return out
 
 
-def quantize_tied_head(embed, qc: QuantConfig):
-    """Quantized TRANSPOSED head copy for tied-embedding models, or None.
+def quantize_tied_head(embed, qc: QuantConfig) -> "QuantizedWeight":
+    """Quantized TRANSPOSED head copy for tied-embedding models.
 
     With tied embeddings the logits matmul otherwise streams the full fp embed
     table every step (OPT-6.7B: 412 MB bf16 — the largest fixed per-step HBM
     read). The fp table stays for the token gather; this int8/int4 copy serves
     the head matmul at ~2×/4× less bandwidth for +V·E/2 bytes of memory. The
     reference WOQ converts the lm_head Linear identically (tied storage is
-    free there only because AMX consumes bf16 directly). int4 applies only
-    when the fused W4A8 kernel's tiling accepts the shape (vocab % 128,
-    E % 256, whole groups per half) — OPT's 50272 vocab fails it and takes
-    int8; Gemma-class 256k vocabs pass.
+    free there only because AMX consumes bf16 directly). int4 applies when
+    the fused W4A8 kernel's tiling accepts the shape (E % 256, whole groups
+    per half; non-128-multiple vocabs like OPT's 50272 are zero-padded by
+    quantize_head_2d and sliced back in the lm_head consumer); otherwise the
+    head takes per-channel int8 — always a QuantizedWeight, never None.
     """
     w = np.ascontiguousarray(np.asarray(embed, np.float32).T)
     return quantize_head_2d(w, qc)

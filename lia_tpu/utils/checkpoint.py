@@ -167,9 +167,7 @@ def init_dummy_params(
         # reads int8/int4 bytes instead of the full bf16 table per step
         from lia_tpu.ops.quant import quantize_tied_head
 
-        head = quantize_tied_head(params["embed_tokens"], quant)
-        if head is not None:
-            params["lm_head"] = head
+        params["lm_head"] = quantize_tied_head(params["embed_tokens"], quant)
     if cfg.family == "llava":  # vision tower + projector on top of the llama LM
         params["vision"] = _init_dummy_vit(cfg, rng, dt, scale)
         params["proj"] = {

@@ -17,6 +17,10 @@ from __future__ import annotations
 
 import os as _os
 
+# CLI entry point: opt in to building the native synthesis/quantization helper
+# on demand (library imports never spawn a compiler — lia_tpu/native gating)
+_os.environ.setdefault("LIA_NATIVE_AUTOBUILD", "1")
+
 # persistent XLA compilation cache: repeat benchmark invocations skip the
 # (remote-)compile cost. jax is pre-imported by the environment, so the env var
 # is too late — set the config directly.
@@ -126,7 +130,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(data, model) mesh (AutoTP analog — reference "
                         "distributed/run_generation_with_deepspeed.py); "
                         "composes with quantized weights and, for "
-                        "TPU-resident-KV plans, with tiering/streaming")
+                        "TPU-resident-KV plans, with tiering/streaming. "
+                        "N>1 routes compute through the GSPMD-partitioned jnp "
+                        "paths (Pallas kernels are per-chip and not yet "
+                        "shard_map-wrapped/multi-chip-validated)")
     p.add_argument("--prompt", default=None, help="text prompt (requires --tokenizer)")
     p.add_argument("--tokenizer", default=None, help="local tokenizer directory")
     p.add_argument("--speculative", type=int, default=0, metavar="K",

@@ -18,6 +18,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os as _os
+
+# CLI entry point: opt in to the on-demand native helper build (see lia_tpu/native)
+_os.environ.setdefault("LIA_NATIVE_AUTOBUILD", "1")
 
 import numpy as np
 

@@ -26,9 +26,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os as _os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# CLI entry point: opt in to the on-demand native helper build (see lia_tpu/native)
+_os.environ.setdefault("LIA_NATIVE_AUTOBUILD", "1")
 
 
 class ServingFrontend:
