@@ -143,7 +143,10 @@ class InferenceEngine:
             t0 = time.perf_counter()
             self.params = jax.device_put(params_host)
             jax.block_until_ready(self.params)
-            nbytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(params_host))
+            # .nbytes, NOT np.asarray(x).nbytes — the tree may already be
+            # device-resident (utils.checkpoint.device_dummy_params), where
+            # np.asarray would drag every leaf back through the slow relay
+            nbytes = sum(x.nbytes for x in jax.tree.leaves(params_host))
             dt = time.perf_counter() - t0
             print(
                 f"[lia-tpu] {nbytes/1e9:.2f} GB weights → device in {dt:.1f}s "

@@ -35,7 +35,8 @@ def _np_dtype(name: str):
 
 
 def init_dummy_params(
-    cfg: ModelConfig, seed: int = 0, scale: float = 0.006, quant=None
+    cfg: ModelConfig, seed: int = 0, scale: float = 0.006, quant=None,
+    meta: bool = False,
 ) -> Params:
     """Random weights for any config size (OPT-175B dummy-weight analog).
 
@@ -43,6 +44,13 @@ def init_dummy_params(
     scale keeps logits finite for arbitrary depth. With ``quant`` (a QuantConfig),
     layer matmul weights are synthesized **directly in quantized form** (native
     randn_int8 — no multi-GB fp transient at 30B+ scale).
+
+    ``meta=True`` skips value synthesis for the big stacked weights (zero-pages
+    via ``np.zeros``) — shapes/dtypes/quant formats are exact, values are not.
+    Used by :func:`device_dummy_params`, which regenerates every leaf on device
+    anyway; a 7 GB host randn pass costs ~2 min on this host just to be thrown
+    away. Small structural leaves (norms, the tied-head quantization decision)
+    still run for real.
     """
     if cfg.encoder_decoder:
         return _init_dummy_t5(cfg, seed, scale)
@@ -57,6 +65,8 @@ def init_dummy_params(
     _seed = [seed]
 
     def w(*shape):
+        if meta:
+            return np.zeros(shape, dt)
         if cfg.dtype == "bfloat16":
             # native multithreaded generator (liahost.cpp) — minutes→seconds at 30B+
             from lia_tpu import native
@@ -80,15 +90,25 @@ def init_dummy_params(
         # one native fill over the stacked [prod(lead)*K, N] buffer: groups tile
         # evenly (nl*K/g == nl*ng), so no per-layer loop and no stack copy
         if quant.weight_dtype == "int4":
+            fmt4 = "woq_int4_dyn" if quant.act_quant == "dynamic" else "woq_int4"
+            if meta:
+                return QuantizedWeight(
+                    np.zeros((*lead, K // 2, N), np.uint8),
+                    np.full((*lead, K // g, N), scale / 4.3205, np.float32), fmt4,
+                )
             q, sarr = native.randn_int4(nl * K, N, g, _seed[0], scale)
             q = q.reshape(*lead, K // 2, N)
             sarr = sarr.reshape(*lead, K // g, N)
-            fmt4 = "woq_int4_dyn" if quant.act_quant == "dynamic" else "woq_int4"
             return QuantizedWeight(q, sarr, fmt4)
+        fmt8 = "woq_int8_dyn" if quant.act_quant == "dynamic" else "woq_int8"
+        if meta:
+            return QuantizedWeight(
+                np.zeros((*lead, K, N), np.int8),
+                np.full((*lead, K // g, N), scale * 3.0 / 127.0, np.float32), fmt8,
+            )
         q, sarr = native.randn_int8(nl * K, N, g, _seed[0], scale)
         q = q.reshape(*lead, K, N)
         sarr = sarr.reshape(*lead, K // g, N)
-        fmt8 = "woq_int8_dyn" if quant.act_quant == "dynamic" else "woq_int8"
         return QuantizedWeight(q, sarr, fmt8)
 
     def zeros(*shape):
@@ -177,6 +197,59 @@ def init_dummy_params(
             "b2": np.zeros((H,), dt),
         }
     return params
+
+
+def device_dummy_params(
+    cfg: ModelConfig, seed: int = 0, scale: float = 0.006, quant=None
+) -> Params:
+    """Dummy parameter tree generated **directly on device** — zero H2D bytes.
+
+    :func:`init_dummy_params` builds host arrays that then crawl through the
+    host→device link (this rig's relay moves ~0.1 GB/s: OPT-6.7B int8 staged
+    80 s in BENCH_r02, w4a8 40 s in BENCH_r03 — before a single measured
+    token). For benchmarks the *values* are irrelevant; only shapes, dtypes,
+    and quantized formats matter. The host tree is built normally (native
+    synthesis, seconds — it owns all shape/format decisions) and each leaf is
+    REGENERATED on device with the TPU's own RNG; the host values are dropped
+    untransferred. Quantized codes become random bytes, fp leaves small
+    positive uniforms — same memory footprint, same kernel dispatch, zero
+    relay bytes. Per-leaf jit calls keep the RNG transient at one leaf's size
+    (a whole-tree program would double peak HBM). TPU kernel time is
+    value-independent, so numbers stay comparable with staged-weight runs.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    host = init_dummy_params(cfg, seed=seed, scale=scale, quant=quant, meta=True)
+
+    @functools.lru_cache(maxsize=None)
+    def gen(kind: str, shape, dtype_name: str):
+        dtype = jnp.dtype(dtype_name)
+
+        @jax.jit
+        def f(key):
+            if kind == "bytes":
+                bits = jax.random.bits(key, shape, dtype=jnp.uint8)
+                return jax.lax.bitcast_convert_type(bits, dtype)
+            # fp leaf: small positive values — keeps quantization scales and
+            # norm gains sane; magnitude is irrelevant to TPU kernel timing
+            u = jax.random.uniform(key, shape, jnp.float32, 0.5, 1.5) * scale
+            return u.astype(dtype)
+
+        return f
+
+    counter = [0]
+
+    def fill(a):
+        counter[0] += 1
+        key = jax.random.key(seed * 100003 + counter[0])
+        a = np.asarray(a)
+        kind = "bytes" if a.dtype.kind in "iu" else "fp"
+        return gen(kind, a.shape, a.dtype.name)(key)
+
+    return jax.tree.map(fill, host)
 
 
 def _init_dummy_vit(cfg: ModelConfig, rng, dt, scale: float) -> Params:

@@ -46,3 +46,32 @@ def test_eos_early_exit():
     )
     assert res.sequences.shape[1] < 50  # stopped early
     assert int(res.sequences[0, 0]) == eos
+
+
+def test_device_dummy_params_matches_host_structure():
+    """device_dummy_params (zero-H2D bench staging) must mirror the host
+    synthesizer exactly: same treedef, same shapes/dtypes/quant formats —
+    any drift would silently bench a different model."""
+    import jax
+
+    from lia_tpu.config import QuantConfig
+    from lia_tpu.utils.checkpoint import device_dummy_params
+
+    cfg = get_config("opt-tiny")
+    for quant in (
+        None,
+        QuantConfig(weight_dtype="int8", group_size=-1, act_quant="dynamic"),
+        QuantConfig(weight_dtype="int4", group_size=16, act_quant="dynamic"),
+    ):
+        host = init_dummy_params(cfg, quant=quant)
+        dev = device_dummy_params(cfg, quant=quant)
+        hl, htd = jax.tree.flatten(host)
+        dl, dtd = jax.tree.flatten(dev)
+        assert htd == dtd
+        for h, d in zip(hl, dl):
+            assert np.shape(h) == d.shape
+            assert np.dtype(np.asarray(h).dtype) == np.dtype(d.dtype)
+        # the engine runs end-to-end on the device tree
+        eng = InferenceEngine(cfg, dev)
+        res = eng.generate([[3, 4, 5]], GenerationConfig(max_new_tokens=3))
+        assert res.sequences.shape == (1, 3)
