@@ -157,7 +157,7 @@ class ModelConfig:
 class QuantConfig:
     """Weight-only quantization config (reference: run.py:109-166 WOQ knobs)."""
 
-    weight_dtype: str = "none"  # none | int8 | int4 | static-int8 (W8A8)
+    weight_dtype: str = "none"  # none | int8 | int4 | nf4 | static-int8 (W8A8)
     group_size: int = -1  # -1 = per-channel
     sym: bool = True
     kv_cache_dtype: str = "none"  # none | int8

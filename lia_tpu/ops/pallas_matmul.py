@@ -131,6 +131,70 @@ def _woq4_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _nf4_decode(q32, dtype):
+    """Gather-free 16-entry NF4 LUT: a binary select tree over the code bits.
+
+    Mosaic has no efficient per-lane gather from a VMEM table, so the lookup
+    is evaluated as 15 vectorized selects (8+4+2+1, one level per code bit) —
+    pure VPU work on the [bkh, bn] tile, ~4× the ops of the int4 mask/shift
+    unpack but still bandwidth-friendly: HBM traffic stays the packed bytes.
+    Reference analog: WoqTppKrnl.cpp:132-536 dequantizes NF4 with an AVX512
+    permute-as-LUT; the select tree is the Mosaic-legal equivalent.
+    """
+    from lia_tpu.ops.quant import NF4_CODEBOOK
+
+    bits = [(q32 & (1 << b)) != 0 for b in range(4)]
+    level = [jnp.float32(float(v)) for v in NF4_CODEBOOK]  # 16 → 8 → 4 → 2 → 1
+    for b in range(4):
+        level = [
+            jnp.where(bits[b], level[2 * i + 1], level[2 * i])
+            for i in range(len(level) // 2)
+        ]
+    return level[0].astype(dtype)
+
+
+def _woq_nf4_kernel(
+    xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref, *, n_k: int, gpt: int
+):
+    """NF4 (global half-split) grid cell: select-tree LUT dequant → bf16 dots.
+
+    Same structure as :func:`_woq4_kernel` — per-group scales deferred to the
+    output tile, fp32 VMEM accumulation — with the nibble→value map swapped
+    from (code − 8) to the NF4 codebook via :func:`_nf4_decode`.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q32 = pltpu.bitcast(q_ref[:], jnp.int8).astype(jnp.int32)  # [bkh, bn]
+    slo = slo_ref[:]  # [gpt, bn]
+    shi = shi_ref[:]
+    bkh = q32.shape[0]
+    g = bkh // gpt
+    x = xlo_ref[:]  # [bm, bkh]
+    xh = xhi_ref[:]
+    lo = _nf4_decode(q32 & 0xF, x.dtype)
+    hi = _nf4_decode((q32 >> 4) & 0xF, x.dtype)
+    for gi in range(gpt):
+        sl = slice(gi * g, (gi + 1) * g)
+        part = jax.lax.dot_general(
+            x[:, sl], lo[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += part * slo[gi:gi + 1, :]
+        part = jax.lax.dot_general(
+            xh[:, sl], hi[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += part * shi[gi:gi + 1, :]
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _woq4z_kernel(
     xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, zlo_ref, zhi_ref, o_ref, acc_ref,
     *, n_k: int, gpt: int
@@ -431,17 +495,22 @@ def woq4z_matmul(
 
 def woq_matmul(
     x: jnp.ndarray,  # [M, K] bf16/f32
-    q: jnp.ndarray,  # [K, N] int8  |  [K//2, N] packed uint8 (int4)
+    q: jnp.ndarray,  # [K, N] int8  |  [K//2, N] packed uint8 (int4/nf4)
     s: jnp.ndarray,  # [n_groups, N] f32
     group_size: int,
     int4: bool = False,
+    nf4: bool = False,
     block_m: int = 256,
     block_n: int = 256,
     block_k: int = 512,
     interpret: bool | None = None,
     out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """x @ (dequantized weight), fp32 accumulation. Returns [M, N] ``out_dtype``."""
+    """x @ (dequantized weight), fp32 accumulation. Returns [M, N] ``out_dtype``.
+
+    ``nf4=True`` (implies the int4 packed layout) decodes nibbles through the
+    NF4 codebook select tree instead of the (code − 8) integer map.
+    """
     M, K = x.shape
     N = q.shape[1]
     ng = s.shape[0]
@@ -452,7 +521,7 @@ def woq_matmul(
     bm = min(block_m, M)
     bn = min(block_n, N)
 
-    if int4:
+    if int4 or nf4:
         # global half-split: the K grid walks PACKED rows [0, K/2); each tile
         # feeds two matmul groups (x cols [k·bkh, …) and [K/2 + k·bkh, …))
         Kh = K // 2
@@ -467,8 +536,9 @@ def woq_matmul(
             # single block covering a half's groups (gpt == ngh) → always block 0
             return (0, j) if gpt >= ngh else (k, j)
 
+        kern = _woq_nf4_kernel if nf4 else _woq4_kernel
         return pl.pallas_call(
-            functools.partial(_woq4_kernel, n_k=n_k, gpt=gpt),
+            functools.partial(kern, n_k=n_k, gpt=gpt),
             grid=(M // bm, N // bn, n_k),
             in_specs=[
                 pl.BlockSpec((bm, bkh), lambda i, j, k: (i, k)),

@@ -34,8 +34,23 @@ from lia_tpu.config import ModelConfig, QuantConfig
 
 QUANT_FORMATS = (
     "woq_int8", "woq_int8_dyn", "woq_int4", "woq_int4_dyn", "woq_int4z",
-    "woq_int4z_dyn", "static_int8"
+    "woq_int4z_dyn", "woq_nf4", "static_int8"
 )
+
+# NF4 codebook (QLoRA "normal float": quantiles of N(0,1) scaled to [-1, 1]) —
+# the same 16-entry table the reference dequantizes with a LUT in
+# WoqTppKrnl.cpp:132-536 (``--weight-dtype nf4``, examples run.py:114-166).
+NF4_CODEBOOK = np.array(
+    [
+        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+        0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+        0.7229568362236023, 1.0,
+    ],
+    np.float32,
+)
+_NF4_BOUNDARIES = (NF4_CODEBOOK[1:] + NF4_CODEBOOK[:-1]) / 2.0
 
 
 @jax.tree_util.register_pytree_node_class
@@ -111,7 +126,21 @@ def quantize_weight(w: np.ndarray, qc: QuantConfig) -> "QuantizedWeight":
             # half-split packing keeps each half's groups whole)
             fmt4 = "woq_int4_dyn"
         else:
+            # nf4 codebook values are not integers — no int8 MXU form exists
             raise ValueError("act_quant='dynamic' needs int8 or int4 weights")
+
+    if qc.weight_dtype == "nf4":
+        # NF4 (QLoRA normal-float): per-group absmax normalization to [-1, 1],
+        # nearest-codebook-entry codes, packed with the same GLOBAL half-split
+        # as int4 (byte r = rows (r, K/2 + r)) so the Pallas kernel runs two
+        # plain matmuls per tile. Reference: WoqTppKrnl.cpp NF4 LUT dequant.
+        wg = w.reshape(*lead, ng, g, N)
+        scale = np.maximum(np.abs(wg).max(axis=-2, keepdims=True), 1e-8)
+        codes = np.searchsorted(_NF4_BOUNDARIES, wg / scale).astype(np.uint8)
+        codes = codes.reshape(*lead, K, N)
+        s = scale.squeeze(-2).astype(np.float32)  # [..., ng, N]
+        packed = (codes[..., : K // 2, :] & 0xF) | (codes[..., K // 2 :, :] << 4)
+        return QuantizedWeight(packed, s, "woq_nf4")
 
     # native OpenMP path (liahost.cpp quantize_int8/int4) — ~30x over numpy
     from lia_tpu import native
@@ -345,7 +374,13 @@ def quantize_params_static(
 def dequantize(rec: "QuantizedWeight", dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the fp weight [..., K, N] (golden path / XLA pre-fusion form)."""
     q, s = rec.q, rec.s
-    if rec.fmt.startswith("woq_int4"):
+    if rec.fmt == "woq_nf4":
+        # global half-split packed codebook indices → 16-entry LUT gather
+        lo = (q & 0xF).astype(jnp.int32)
+        hi = ((q >> 4) & 0xF).astype(jnp.int32)
+        codes = jnp.concatenate([lo, hi], axis=-2)
+        qi = jnp.asarray(NF4_CODEBOOK)[codes]
+    elif rec.fmt.startswith("woq_int4"):
         # global half-split packing: byte r holds rows (r, K/2 + r)
         bias = 0 if rec.fmt.startswith("woq_int4z") else 8  # int4z keeps raw codes
         lo = (q & 0xF).astype(jnp.int32) - bias
@@ -397,7 +432,8 @@ def _pallas_woq_viable(x2d, rec) -> bool:
     N = rec.q.shape[-1]
     ng = rec.s.shape[-2]
     g = K // ng
-    int4 = rec.fmt.startswith("woq_int4")  # incl. woq_int4_dyn (same packing)
+    # nibble-packed formats share the int4 half-split tiling rules
+    int4 = rec.fmt.startswith("woq_int4") or rec.fmt == "woq_nf4"
     if N % 128 != 0:
         return False
     if K % (128 if not int4 else 256) != 0:
@@ -601,7 +637,7 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
         g = K // ng
         # woq_int4_dyn reaching here (odd ng / non-2D / non-viable-dot shapes)
         # shares woq_int4's packing, so the dequant kernel is a valid fallback
-        int4 = rec.fmt.startswith("woq_int4")
+        int4 = rec.fmt.startswith("woq_int4") or rec.fmt == "woq_nf4"
         bn = dispatch.pick_block(N, 512, minimum=128)
         if int4:
             # K grid walks packed rows [0, K/2): pick bkh with whole groups and
@@ -649,6 +685,7 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
             else:
                 y = woq_matmul(
                     x2d, rec.q, rec.s, -1 if ng == 1 else g, int4=int4,
+                    nf4=(rec.fmt == "woq_nf4"),
                     block_m=bm, block_n=bn, block_k=bk,
                     interpret=dispatch.interpret_mode(),
                 )

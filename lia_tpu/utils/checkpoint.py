@@ -89,8 +89,11 @@ def init_dummy_params(
         _seed[0] += 1
         # one native fill over the stacked [prod(lead)*K, N] buffer: groups tile
         # evenly (nl*K/g == nl*ng), so no per-layer loop and no stack copy
-        if quant.weight_dtype == "int4":
-            fmt4 = "woq_int4_dyn" if quant.act_quant == "dynamic" else "woq_int4"
+        if quant.weight_dtype in ("int4", "nf4"):
+            if quant.weight_dtype == "nf4":
+                fmt4 = "woq_nf4"  # random nibbles are valid codebook indices
+            else:
+                fmt4 = "woq_int4_dyn" if quant.act_quant == "dynamic" else "woq_int4"
             if meta:
                 return QuantizedWeight(
                     np.zeros((*lead, K // 2, N), np.uint8),

@@ -93,7 +93,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-pallas", action="store_true", help="disable Pallas kernels")
     # --- quantization (reference run.py:109-166) ---
     p.add_argument("--weight-dtype", default="none",
-                   choices=["none", "int8", "int4", "static-int8"])
+                   choices=["none", "int8", "int4", "nf4", "static-int8"])
     p.add_argument("--group-size", type=int, default=-1)
     p.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
     p.add_argument("--act-quant", default="none", choices=["none", "dynamic"],
@@ -236,7 +236,7 @@ def _maybe_woq(cfg, params, args):
     """Weight-only quantization for the seq2seq/VLM paths (reference
     run_quantization.py covers t5/git/llava with the same WOQ flow; language
     stacks + output head quantize, vision towers stay high-precision)."""
-    if args.weight_dtype in ("int8", "int4"):
+    if args.weight_dtype in ("int8", "int4", "nf4"):
         from lia_tpu.ops.quant import quantize_params
 
         qc = QuantConfig(

@@ -143,3 +143,65 @@ def test_sp_prefill_matches_prefill(model):
     np.testing.assert_allclose(
         np.asarray(cache_sp.v) * real, np.asarray(cache_ref.v) * real, atol=3e-5
     )
+
+
+def test_ring_alibi_matches_golden(rng):
+    """ALiBi bias carried around the ring == golden attend(bias=...) —
+    key positions rotate with their K/V shard (VERDICT r3 item 9)."""
+    mesh = make_mesh((4,), ("seq",))
+    B, S, N, Nkv, D = 3, 32, 4, 4, 16
+    q, k, v = _rand(rng, B, S, N, Nkv, D)
+    pads = np.array([0, 5, 17])
+    input_mask = jnp.asarray(np.arange(S)[None, :] >= pads[:, None])
+    positions = jnp.cumsum(input_mask.astype(jnp.int32), axis=1) - 1
+    key_pos = jnp.maximum(positions, 0) * input_mask
+    slopes = att.alibi_slopes(N)
+    out = ring_attention(
+        q, k, v, input_mask, mesh, alibi_slopes=slopes, key_pos=key_pos
+    )
+    bias = att.alibi_bias(slopes, key_pos)
+    ref = att.attend(q, k, v, att.causal_mask(input_mask), bias=bias)
+    real = np.asarray(input_mask)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * real, np.asarray(ref) * real, atol=2e-5
+    )
+
+
+def test_ring_alibi_args_must_pair():
+    mesh = make_mesh((4,), ("seq",))
+    q = jnp.zeros((1, 16, 2, 8))
+    k = jnp.zeros((1, 2, 16, 8))
+    with pytest.raises(ValueError):
+        ring_attention(q, k, k, jnp.ones((1, 16), bool), mesh,
+                       alibi_slopes=att.alibi_slopes(2))
+
+
+@pytest.mark.parametrize("model", ["bloom-tiny", "mpt-tiny"])
+def test_sp_prefill_alibi_families(model):
+    """sp covers the ALiBi families: SP prefill == standard prefill for
+    bloom/mpt (the bias is their only positional signal)."""
+    from lia_tpu.models import transformer as T
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.ops import kv_cache as kvc
+    from lia_tpu.parallel.ring_attention import sp_prefill
+    from lia_tpu.utils.checkpoint import init_dummy_params
+
+    cfg = get_config(model).replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=7, scale=0.1)
+    B, S = 2, 32
+    r = np.random.default_rng(3)
+    tokens = jnp.asarray(r.integers(3, cfg.vocab_size, size=(B, S)), jnp.int32)
+    pads = np.array([0, 9])
+    input_mask = jnp.asarray(np.arange(S)[None, :] >= pads[:, None])
+    tokens = jnp.where(input_mask, tokens, 1)
+
+    mesh = make_mesh((4,), ("seq",))
+    logits_sp, cache_sp = jax.jit(
+        lambda p, t, m: sp_prefill(cfg, p, t, m, mesh)
+    )(params, tokens, input_mask)
+
+    cache0 = kvc.init_cache(cfg, B, S, jnp.float32)
+    logits_ref, _ = T.prefill(cfg, params, tokens, input_mask, cache0)
+    np.testing.assert_allclose(
+        np.asarray(logits_sp), np.asarray(logits_ref), atol=3e-5
+    )
