@@ -39,18 +39,22 @@ OUT_LEN = int(os.environ.get("OUT_LEN", "64"))
 
 
 def run_once(paged: bool, shared_prefix: int = 0, speculate: int | None = None,
-             chunk: int | None = None, repetitive: bool = False) -> dict:
+             chunk: int | None = None, repetitive: bool = False,
+             fused: int = 1) -> dict:
     """``shared_prefix``: first N tokens identical across requests (system
     prompt) — exercises automatic prefix caching in paged mode.
     ``speculate``: prompt-lookup speculative serving with k proposals.
     ``chunk``: chunked admission. ``repetitive``: prompts with internal
-    repetition so lookup proposals land (the speculation-friendly workload)."""
+    repetition so lookup proposals land (the speculation-friendly workload).
+    ``fused``: decode up to this many tokens per dispatch once the admission
+    queue drains (lifts serving off the ~25 ms/dispatch tunnel floor)."""
     cfg = get_config(MODEL)
     params = init_dummy_params(cfg)
     gen = GenerationConfig(max_new_tokens=OUT_LEN)
     eng = ContinuousBatcher(
         cfg, params, max_batch=MAX_BATCH, max_len=IN_LEN + OUT_LEN + 16,
         gen=gen, paged=paged, speculate_k=speculate, prefill_chunk=chunk,
+        fused_steps=fused,
     )
     rng = np.random.default_rng(0)
     prefix = list(rng.integers(10, 30000, size=shared_prefix))
@@ -73,7 +77,9 @@ def run_once(paged: bool, shared_prefix: int = 0, speculate: int | None = None,
         "speculate": speculate,
         "chunk": chunk,
         "shared_prefix": shared_prefix,
+        "fused": fused,
         "engine_steps": eng._steps,
+        "dispatches": eng._dispatches,
         "requests": len(done),
         "wall_s": round(wall, 3),
         "tokens": total_tokens,
@@ -90,6 +96,11 @@ def main():
     scenarios = [
         {"paged": False},
         {"paged": True},
+        # fused multi-token blocks: k decode steps per dispatch once the
+        # queue drains — the dispatch-floor fix (VERDICT r3 item 6)
+        {"paged": False, "fused": 8},
+        {"paged": True, "fused": 8},
+        {"paged": False, "fused": 16},
         # shared system prompt: APC reuses its pages + skips its prefill
         {"paged": False, "shared_prefix": 3 * IN_LEN // 4},
         {"paged": True, "shared_prefix": 3 * IN_LEN // 4},

@@ -71,6 +71,7 @@ class ContinuousBatcher:
         block_size: int = 16,
         num_blocks: Optional[int] = None,
         prefill_chunk: Optional[int] = None,
+        fused_steps: int = 1,
         enable_processors: Optional[bool] = None,
         speculate_k: Optional[int] = None,
         speculate_ngram: int = 3,
@@ -101,7 +102,23 @@ class ContinuousBatcher:
         a long prompt prefills (bounds the TTFT inflation a synchronous
         admission prefill causes — the round-1 weak spot). Composes with paged
         mode (pages reserved up front; a prefix-cache hit seeds the seg and
-        only the uncached suffix is chunked)."""
+        only the uncached suffix is chunked).
+
+        ``fused_steps``: when the admission queue is empty, decode up to this
+        many tokens per DISPATCH (a ``lax.scan`` of decode+sample inside one
+        jit) instead of one. Amortizes the host→device dispatch overhead that
+        otherwise floors serving tok/s (~25 ms/dispatch through this rig's
+        remote tunnel; still ~10 µs+sync on a local chip). The block length is
+        capped at the smallest remaining token budget across active slots, so
+        page/slab reservations can never overflow; slots that hit EOS
+        mid-block are truncated host-side (their extra in-block writes land in
+        already-reserved space and are reset on slot reuse by
+        :func:`~lia_tpu.ops.kv_cache.insert_slot`). A request submitted while
+        a block is in flight waits at most ``fused_steps`` steps for
+        admission — the fused path only engages while the queue is empty.
+        Composes with slab and paged storage, TP meshes, and per-row sampling;
+        logits processors, speculation, and the streaming scheduler keep the
+        per-step path (they need host work between steps)."""
         self.cfg = cfg
         self.gen = gen
         self.B = max_batch
@@ -282,6 +299,10 @@ class ContinuousBatcher:
         self._compiled: Dict[Any, Any] = {}
         self._rng = jax.random.PRNGKey(0)
         self._steps = 0
+        self._dispatches = 0  # decode dispatches (fused blocks count once)
+        if fused_steps < 1:
+            raise ValueError("fused_steps must be >= 1")
+        self.fused_steps = fused_steps
 
     # -- paged-pool allocation / prefix cache ----------------------------------
 
@@ -942,6 +963,7 @@ class ContinuousBatcher:
                 a_dev, extra_dev = self._compiled[akey](props_dev, ps, sub_a)
             a_np, extra_np = np.asarray(a_dev), np.asarray(extra_dev)
         self._steps += 1
+        self._dispatches += 1
         accept = np.zeros(self.B, np.int32)
         for b in np.flatnonzero(active):
             b = int(b)
@@ -987,14 +1009,153 @@ class ContinuousBatcher:
                 self.dcache, jnp.asarray(self.dlen, jnp.int32)
             )
 
+    # -- fused multi-token decode ----------------------------------------
+
+    def _fused_k(self) -> int:
+        """How many decode steps the next dispatch may fuse (1 = per-step path).
+
+        Engages only when nothing is waiting for a slot: an empty queue and no
+        in-flight chunked admission. Capped at the smallest remaining
+        max_new_tokens budget across active slots so in-block cache writes stay
+        inside each slot's admission-time reservation (pages and slab alike)."""
+        if (
+            self.fused_steps <= 1
+            or self.queue
+            or self._pending is not None
+            or self.speculate_k is not None
+            or self.sched is not None
+            or self.use_processors
+        ):
+            return 1
+        remaining = [
+            self.slot_req[b].max_new_tokens - len(self.slot_req[b].output)
+            for b in np.flatnonzero(self.active)
+            if self.slot_req[b] is not None
+        ]
+        if not remaining:
+            return 1
+        return max(1, min(self.fused_steps, min(remaining)))
+
+    def _fused_decode_fn(self, k: int, greedy_all: bool):
+        """k decode+sample steps under one jit (lax.scan); returns [k, B] tokens."""
+        key = ("fused", k, greedy_all, self.paged)
+        if key in self._compiled:
+            return self._compiled[key]
+        cfg = self.cfg
+
+        if self.paged:
+            from lia_tpu.ops import paged as pg
+
+            def fused(params, tokens, pos, k_pool, v_pool, table, lengths, active, rng, s):
+                adv = active.astype(jnp.int32)
+
+                def body(carry, _):
+                    tok, pos, kp, vp, ln, rng = carry
+                    logits, kp, vp = pg.decode_step_paged(
+                        cfg, params, tok[:, None], pos, kp, vp, table, ln, active
+                    )
+                    rng, sub = jax.random.split(rng)
+                    nxt = (
+                        sampling.greedy(logits)
+                        if greedy_all
+                        else sampling.sample_per_row(logits, sub, *s)
+                    )
+                    return (nxt, pos + adv, kp, vp, ln + adv, rng), nxt
+
+                carry = (tokens, pos, k_pool, v_pool, lengths, rng)
+                (_, _, kp, vp, _, _), out = jax.lax.scan(body, carry, None, length=k)
+                return out, kp, vp
+
+            fn = jax.jit(fused, donate_argnums=(3, 4))
+        else:
+
+            def fused(params, tokens, pos, cache, active, rng, s):
+                adv = active.astype(jnp.int32)
+
+                def body(carry, _):
+                    tok, pos, cache, rng = carry
+                    logits, cache = T.decode_step_ragged(
+                        cfg, params, tok[:, None], pos, cache, active
+                    )
+                    rng, sub = jax.random.split(rng)
+                    nxt = (
+                        sampling.greedy(logits)
+                        if greedy_all
+                        else sampling.sample_per_row(logits, sub, *s)
+                    )
+                    return (nxt, pos + adv.astype(pos.dtype), cache, rng), nxt
+
+                carry = (tokens, pos, cache, rng)
+                (_, _, cache, _), out = jax.lax.scan(body, carry, None, length=k)
+                return out, cache
+
+            fn = jax.jit(fused, donate_argnums=(3,))
+        self._compiled[key] = fn
+        return fn
+
+    def _fused_block(self, k: int) -> None:
+        """Dispatch one fused block of k decode steps, then fold the [k, B]
+        token matrix back into per-request host state. Slots that finish
+        mid-block stop counting at their stop token; their extra in-block
+        writes sit in reserved space and are reset on slot reuse."""
+        greedy_all = bool(self.s_greedy.all())
+        if greedy_all:
+            s = ()
+        else:
+            if self._s_dev is None:
+                self._s_dev = (
+                    jnp.asarray(self.s_temp), jnp.asarray(self.s_topk),
+                    jnp.asarray(self.s_topp), jnp.asarray(self.s_greedy),
+                )
+            s = self._s_dev
+        self._rng, sub = jax.random.split(self._rng)
+        fn = self._fused_decode_fn(k, greedy_all)
+        active = jnp.asarray(self.active)
+        if self.paged:
+            out, self.k_pool, self.v_pool = fn(
+                self.params, jnp.asarray(self.tokens),
+                jnp.asarray(self.logical_pos, jnp.int32),
+                self.k_pool, self.v_pool, jnp.asarray(self.block_table),
+                jnp.asarray(self.kv_lengths, jnp.int32), active, sub, s,
+            )
+            if self._sync_pools:
+                jax.block_until_ready((self.k_pool, self.v_pool))
+        else:
+            out, self.cache = fn(
+                self.params, jnp.asarray(self.tokens),
+                jnp.asarray(self.logical_pos, jnp.int32),
+                self.cache, active, sub, s,
+            )
+        toks = np.asarray(out)  # [k, B]
+        self._steps += k
+        self._dispatches += 1
+        for slot in np.flatnonzero(self.active):
+            slot = int(slot)
+            req = self.slot_req[slot]
+            for j in range(k):
+                tok = int(toks[j, slot])
+                req.output.append(tok)
+                self.tokens[slot] = tok
+                self.logical_pos[slot] += 1
+                if self.paged:
+                    self.kv_lengths[slot] += 1
+                self._maybe_finish(slot, tok)
+                if not self.active[slot]:
+                    break
+
     def step(self) -> bool:
-        """One engine iteration: admit waiting requests, then one decode step.
+        """One engine iteration: admit waiting requests, then one decode step
+        (or a fused block of up to ``fused_steps`` when the queue is empty).
         Returns False when there is nothing left to do."""
         self._admit()
         if not self.active.any():
             return bool(self.queue) or self._pending is not None
         if self.speculate_k is not None:
             self._spec_step()
+            return True
+        k = self._fused_k()
+        if k > 1:
+            self._fused_block(k)
             return True
         self._rng, sub = jax.random.split(self._rng)
         if self.paged:
@@ -1064,6 +1225,7 @@ class ContinuousBatcher:
                 self.seen, jnp.asarray(toks), jnp.asarray(self.active)
             )
         self._steps += 1
+        self._dispatches += 1
         for slot in np.flatnonzero(self.active):
             slot = int(slot)
             req = self.slot_req[slot]
@@ -1101,6 +1263,8 @@ class ContinuousBatcher:
             "total_tokens": float(total_tokens),
             "tokens_per_s": total_tokens / max(t1 - t0, 1e-9),
             "decode_steps": float(self._steps),
+            "decode_dispatches": float(self._dispatches),
+            "steps_per_dispatch": self._steps / max(self._dispatches, 1),
         }
         for name, arr in (("ttft_s", ttfts), ("tpot_s", tpots)):
             if arr.size:

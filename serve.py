@@ -174,6 +174,7 @@ def build_frontend(args) -> ServingFrontend:
         eng.cfg, eng.params, max_batch=args.max_batch, max_len=args.max_len,
         gen=gen, paged=args.paged, block_size=args.block_size,
         prefill_chunk=args.prefill_chunk, speculate_k=args.speculate_k,
+        fused_steps=args.fused_steps,
         enable_processors=args.enable_processors or None,
     )
     tok = None
@@ -202,6 +203,10 @@ def main():
     ap.add_argument("--block-size", type=int, default=16)
     ap.add_argument("--prefill-chunk", type=int)
     ap.add_argument("--speculate-k", type=int)
+    ap.add_argument("--fused-steps", type=int, default=1,
+                    help="decode up to K tokens per dispatch when the queue is "
+                         "empty (amortizes dispatch overhead; admission waits "
+                         "at most K steps)")
     ap.add_argument("--enable-processors", action="store_true")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)

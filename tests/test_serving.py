@@ -914,3 +914,111 @@ def test_serving_scheduler_tp_mesh_matches(model):
     by_id = {r.req_id: r.output for r in cb.run()}
     for i, j in zip(ids, ids_ref):
         assert by_id[i] == ref_by_id[j], f"request {i}"
+
+
+# -- fused multi-token decode blocks ------------------------------------------
+
+
+def test_fused_steps_match_per_step_slab(model):
+    """fused_steps>1 (k decode+sample steps per dispatch, lax.scan) must emit
+    exactly the per-step path's tokens, request by request — greedy decode is
+    rng-free so the block is bitwise the same program unrolled."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=7)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8, 12, 13], [50, 60]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen,
+                           fused_steps=4)
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i}"
+    s = cb.stats()
+    assert s["steps_per_dispatch"] >= 1.5  # blocks actually fused
+    assert s["decode_dispatches"] < s["decode_steps"]
+
+
+def test_fused_steps_match_per_step_paged(model):
+    """Fused blocks over the paged pool: kv_lengths advance in-carry, block
+    tables stay static (pages are reserved for the full budget at admission)."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=6)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [12, 13]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen,
+                            paged=True)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen,
+                           paged=True, fused_steps=3)
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (paged fused)"
+    assert cb.stats()["steps_per_dispatch"] > 1.0
+
+
+def test_fused_steps_eos_truncates_mid_block(model):
+    """A slot hitting EOS inside a fused block must truncate at the stop token;
+    the slot frees and is reused for the next request."""
+    cfg, params = model
+    gen_probe = GenerationConfig(max_new_tokens=2)
+    eng = InferenceEngine(cfg, params)
+    eos = int(eng.generate([[7, 8, 9]], gen_probe).sequences[0, 0])
+    gen = GenerationConfig(max_new_tokens=50, eos_token_id=eos, pad_token_id=1)
+
+    ref = ContinuousBatcher(cfg, params, max_batch=1, max_len=256, gen=gen)
+    ref.submit([7, 8, 9])
+    ref_out = ref.run()[0].output
+
+    cb = ContinuousBatcher(cfg, params, max_batch=1, max_len=256, gen=gen,
+                           fused_steps=8)
+    cb.submit([7, 8, 9])
+    cb.submit([7, 8, 9])  # admitted after slot 0 frees mid-block
+    done = cb.run()
+    assert len(done) == 2
+    for r in done:
+        assert r.output == ref_out
+        assert r.output[-1] == eos and len(r.output) < 50
+
+
+def test_fused_steps_mixed_sampling_runs(model):
+    """Per-row sampling inside the fused scan: greedy rows must match the
+    greedy reference exactly (argmax is rng-free); sampled rows must respect
+    their budget. (Sampled tokens differ from the per-step path only in rng
+    stream order, so token equality is asserted for greedy rows only.)"""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=6)
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen)
+    rid = ref.submit([5, 9, 23, 41])
+    ref_greedy = {r.req_id: r.output for r in ref.run()}[rid]
+
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen,
+                           fused_steps=3)
+    g = cb.submit([5, 9, 23, 41])  # greedy (engine default)
+    s = cb.submit([100, 7, 3], do_sample=True, temperature=1.3, top_k=20)
+    by_id = {r.req_id: r.output for r in cb.run()}
+    assert by_id[g] == ref_greedy
+    assert len(by_id[s]) == 6
+
+
+def test_fused_steps_defers_to_admission(model):
+    """While requests queue for a slot the engine must stay per-step (fused
+    blocks would delay admission by up to k steps)."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=4)
+    cb = ContinuousBatcher(cfg, params, max_batch=1, max_len=64, gen=gen,
+                           fused_steps=4)
+    for _ in range(3):
+        cb.submit([3, 4, 5])
+    done = cb.run()
+    assert len(done) == 3
+    assert all(len(r.output) == 4 for r in done)
+    # max_new_tokens=4 == fused_steps cap → each request decodes its 3
+    # post-admission tokens in one fused block once the queue drains
+    assert cb.stats()["steps_per_dispatch"] > 1.0
