@@ -93,11 +93,27 @@ def run_once(paged: bool, shared_prefix: int = 0, speculate: int | None = None,
 
 
 def main():
+    if "--only-fused" in sys.argv:
+        # fused-block A/B in one session: per-step controls + fused variants
+        scenarios = [
+            {"paged": False},
+            {"paged": False, "fused": 8},
+            {"paged": False, "fused": 16},
+            {"paged": True},
+            {"paged": True, "fused": 8},
+        ]
+        for sc in scenarios:
+            t0 = time.perf_counter()
+            res = run_once(**sc)
+            res["incl_compile_s"] = round(time.perf_counter() - t0, 1)
+            print(json.dumps({"bench": "serving", "model": MODEL, **res}), flush=True)
+        return
     scenarios = [
         {"paged": False},
         {"paged": True},
-        # fused multi-token blocks: k decode steps per dispatch once the
-        # queue drains — the dispatch-floor fix (VERDICT r3 item 6)
+        # fused multi-token blocks: k decode steps per dispatch whenever no
+        # chunked admission is mid-flight — the dispatch-floor fix (VERDICT
+        # r3 item 6)
         {"paged": False, "fused": 8},
         {"paged": True, "fused": 8},
         {"paged": False, "fused": 16},

@@ -113,9 +113,10 @@ class ContinuousBatcher:
         page/slab reservations can never overflow; slots that hit EOS
         mid-block are truncated host-side (their extra in-block writes land in
         already-reserved space and are reset on slot reuse by
-        :func:`~lia_tpu.ops.kv_cache.insert_slot`). A request submitted while
-        a block is in flight waits at most ``fused_steps`` steps for
-        admission — the fused path only engages while the queue is empty.
+        :func:`~lia_tpu.ops.kv_cache.insert_slot`). A queued request waits at
+        most the smallest remaining budget across active slots beyond the
+        slot-free event it was already waiting for (after admission, queued ==
+        no free slot), so blocks keep shortening as a slot nears its finish.
         Composes with slab and paged storage, TP meshes, and per-row sampling;
         logits processors, speculation, and the streaming scheduler keep the
         per-step path (they need host work between steps)."""
@@ -253,7 +254,16 @@ class ContinuousBatcher:
         if speculate_k is not None:
             if self.sched is not None or mesh is not None:
                 raise NotImplementedError(
-                    "speculative serving runs on the resident (slab or paged) path"
+                    "speculative serving runs on the resident (slab or paged) "
+                    "path. ×scheduler: needs a (k+1)-token chunk pass over "
+                    "the scheduler's segment caches (prefill assumes fresh "
+                    "caches, decode assumes one token) — worth building: a "
+                    "verify chunk would stream each layer's weights once per "
+                    "k+1 candidates, cutting streamed decode's dominant cost "
+                    "by the acceptance factor. ×TP mesh: the draft would "
+                    "replicate per shard and each verify adds two psums × "
+                    "k+1 positions; at draft sizes where speculation pays, "
+                    "ICI latency eats the step savings."
                 )
             # draft speculation composes with paged targets and chunked
             # admission: the draft's slab cache is prefilled per admission
@@ -1014,13 +1024,17 @@ class ContinuousBatcher:
     def _fused_k(self) -> int:
         """How many decode steps the next dispatch may fuse (1 = per-step path).
 
-        Engages only when nothing is waiting for a slot: an empty queue and no
-        in-flight chunked admission. Capped at the smallest remaining
+        Runs whenever no chunked admission is mid-flight: after ``_admit()``
+        returns, any still-queued request has no free slot (or no free pages),
+        so a fused block cannot delay its admission beyond the slot-free event
+        it is already waiting for — at worst the block overshoots that event by
+        the smallest remaining budget (the cap below), trading bounded extra
+        queue wait for k× fewer dispatches. Capped at the smallest remaining
         max_new_tokens budget across active slots so in-block cache writes stay
-        inside each slot's admission-time reservation (pages and slab alike)."""
+        inside each slot's admission-time reservation (pages and slab alike) —
+        and so a block never runs far past the first slot's expected finish."""
         if (
             self.fused_steps <= 1
-            or self.queue
             or self._pending is not None
             or self.speculate_k is not None
             or self.sched is not None

@@ -1007,18 +1007,25 @@ def test_fused_steps_mixed_sampling_runs(model):
     assert len(by_id[s]) == 6
 
 
-def test_fused_steps_defers_to_admission(model):
-    """While requests queue for a slot the engine must stay per-step (fused
-    blocks would delay admission by up to k steps)."""
+def test_fused_steps_with_waiting_queue(model):
+    """Queued requests don't disable fusing: after admission, queued == no
+    free slot, so a fused block only overshoots the slot-free event by the
+    remaining-budget cap. Every request must still be admitted and complete
+    with per-step-identical greedy tokens."""
     cfg, params = model
     gen = GenerationConfig(max_new_tokens=4)
+    ref = ContinuousBatcher(cfg, params, max_batch=1, max_len=64, gen=gen)
+    for _ in range(3):
+        ref.submit([3, 4, 5])
+    ref_out = [r.output for r in ref.run()]
+
     cb = ContinuousBatcher(cfg, params, max_batch=1, max_len=64, gen=gen,
                            fused_steps=4)
     for _ in range(3):
         cb.submit([3, 4, 5])
     done = cb.run()
     assert len(done) == 3
-    assert all(len(r.output) == 4 for r in done)
-    # max_new_tokens=4 == fused_steps cap → each request decodes its 3
-    # post-admission tokens in one fused block once the queue drains
-    assert cb.stats()["steps_per_dispatch"] > 1.0
+    assert [r.output for r in done] == ref_out
+    # each request decodes its 3 post-admission tokens in one fused block
+    # even though the queue is non-empty while earlier requests run
+    assert cb.stats()["steps_per_dispatch"] >= 2.0
