@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""ONE measured streamed OPT-30B decode — the scale anchor (VERDICT r3 item 3).
+
+Three rounds of full north-star attempts died on the relay (<0.05 GB/s
+sustained would put a 30%-resident step at minutes); the decomposition's
+C_layer/C_fixed terms are measured at OPT-30B but the max(transfer, compute)
+COMPOSITION was only validated at 1.3B/6.7B. This measures one relay-feasible
+streamed OPT-30B config end-to-end:
+
+  - int4 weights (0.31 GB/layer packed) + int8 KV, batch 8
+  - A: truncated RESIDENT control (n_res layers) -> base step time
+  - B: full 48 layers at hbm_percentage=HBM, stream_weights -> streamed step
+  - prediction: B ~= A + max(n_str * bytes/bw_probe, n_str * C_layer),
+    C_layer ~= A/n_res (C_fixed folded in — small at 30B scale, noted)
+
+Reference analog: scripts/lia_offline.sh:13-21 measures the actual OPT-30B
+configs rather than a model of them.
+
+    timeout 3600 python experiments/bench_streamed_30b.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from lia_tpu.config import GenerationConfig, QuantConfig, RuntimeConfig
+from lia_tpu.engine.engine import InferenceEngine
+from lia_tpu.models.registry import get_config
+from lia_tpu.runtime.cost_model import Microbench
+from lia_tpu.utils.checkpoint import init_dummy_params
+
+B = int(os.environ.get("B", "4"))
+N_IN = int(os.environ.get("IN", "64"))
+N_OUT = int(os.environ.get("OUT", "4"))
+HBM = int(os.environ.get("HBM", "50"))  # ≤50% resident IS the north-star claim
+MODEL = os.environ.get("MODEL", "opt-30b")
+
+GS = int(os.environ.get("GS", "128"))
+QUANT = QuantConfig(weight_dtype="int4", group_size=GS, kv_cache_dtype="int8")
+
+
+def main():
+    cfg = get_config(MODEL)
+    L = cfg.num_layers
+    n_res = int(L * HBM / 100)
+    n_str = L - n_res
+    rng = np.random.default_rng(0)
+    # repetitive prompts: the prompt-lookup speculation stage (C) needs n-gram
+    # hits; the plain stage (B) uses the SAME prompts as its control
+    unit = list(rng.integers(10, 30000, size=max(N_IN // 4, 4)))
+    prompts = [(unit * 8)[:N_IN] for _ in range(B)]
+    gen = GenerationConfig(max_new_tokens=N_OUT)
+
+    t0 = time.perf_counter()
+    params = init_dummy_params(cfg, quant=QUANT)
+    print(json.dumps({"bench": "streamed_30b", "synth_s": round(time.perf_counter() - t0, 1)}),
+          flush=True)
+
+    layer_bytes_probe = int(sum(
+        np.asarray(leaf).nbytes
+        for leaf in jax.tree.leaves(jax.tree.map(lambda a: a[:1], params["layers"]))
+    ))
+    # probe at the actual per-layer transfer granularity: the relay has a
+    # large per-put fixed latency (~0.3 s), so a big-buffer probe would
+    # overstate what layer-sized puts achieve
+    bw = Microbench.h2d_bandwidth(layer_bytes_probe)
+    print(json.dumps({
+        "bench": "streamed_30b", "probe_h2d_GBs": round(bw / 1e9, 4),
+        "probe_MB": round(layer_bytes_probe / 1e6, 1),
+    }), flush=True)
+
+    # A: resident control at n_res layers (same per-layer program as B's
+    # prefix). Weights generate ON DEVICE — staging the control through the
+    # ~0.1 GB/s relay would double the experiment's transfer bill; timing
+    # only needs shapes/formats (bench.py uses the same trick).
+    from lia_tpu.utils.checkpoint import device_dummy_params
+
+    cfg_a = cfg.replace(num_layers=n_res)
+    params_a = device_dummy_params(cfg_a, quant=QUANT)
+    eng = InferenceEngine(cfg_a, params_a, RuntimeConfig(quant=QUANT))
+    eng.generate(prompts, gen, fused=True)  # compile
+    res = eng.generate(prompts, gen, fused=True)
+    s = res.summary(B)
+    base_ms = 1e3 * s["avg_2nd_token_latency_s"]
+    c_layer_ms = base_ms / n_res
+    print(json.dumps({
+        "bench": "streamed_30b", "stage": "resident_control",
+        "n_layers": n_res, "step_ms": round(base_ms, 1),
+        "c_layer_ms": round(c_layer_ms, 2),
+    }), flush=True)
+    del eng, params_a
+
+    # B: full model, streamed tail
+    rt = RuntimeConfig(quant=QUANT, hbm_percentage=HBM, stream_weights=True)
+    eng = InferenceEngine(cfg, params, rt)
+    t0 = time.perf_counter()
+    res = eng.generate(prompts, gen)
+    wall = time.perf_counter() - t0
+    s = res.summary(B)
+    step_ms = 1e3 * s["avg_2nd_token_latency_s"]
+
+    layer_bytes = 0.0
+    for leaf in jax.tree.leaves(jax.tree.map(lambda a: a[:1], params["layers"])):
+        layer_bytes += np.asarray(leaf).nbytes
+    t_stream_ms = 1e3 * n_str * layer_bytes / bw
+    c_stream_ms = n_str * c_layer_ms
+    pred_ms = base_ms + max(t_stream_ms, c_stream_ms)
+    print(json.dumps({
+        "bench": "streamed_30b", "stage": "streamed", "model": MODEL,
+        "quant": f"int4g{GS}+int8kv", "b": B, "in": N_IN, "out": N_OUT,
+        "hbm_pct": HBM, "n_res": n_res, "n_str": n_str,
+        "layer_GB": round(layer_bytes / 1e9, 3),
+        "first_token_s": round(s["first_token_latency_s"], 1),
+        "measured_step_ms": round(step_ms, 1),
+        "pred_step_ms": round(pred_ms, 1),
+        "pred_terms": {
+            "base_ms": round(base_ms, 1),
+            "t_stream_ms": round(t_stream_ms, 1),
+            "c_stream_ms": round(c_stream_ms, 1),
+        },
+        "ratio_meas_over_pred": round(step_ms / pred_ms, 3),
+        "wall_s": round(wall, 1),
+    }), flush=True)
+
+    # C: speculation under tiering — each verify pass streams every layer's
+    # weights ONCE per k+1 candidates (scheduler.verify_pass), so ms per
+    # GENERATED token drops by the acceptance factor on this
+    # transfer-dominated config
+    k = 4
+    warm = gen.replace(max_new_tokens=2)  # compile the verify/prefill chunk jits
+    eng.generate_speculative(prompts, warm, ngram=3, k=k)
+    t0 = time.perf_counter()
+    seqs, steps = eng.generate_speculative(prompts, gen, ngram=3, k=k)
+    wall_c = time.perf_counter() - t0
+    # plain decode spends step_ms per BATCH-step (B tokens); speculation spends
+    # wall_c for the same B*N_OUT tokens (prefill included — subdominant here)
+    plain_wall_ms = N_OUT * step_ms
+    print(json.dumps({
+        "bench": "streamed_30b", "stage": "streamed_speculative", "k": k,
+        "verify_steps": steps, "tokens_per_verify": round(N_OUT / steps, 2),
+        "spec_ms_per_batch_token": round(1e3 * wall_c / N_OUT, 1),
+        "plain_ms_per_batch_token": round(step_ms, 1),
+        "speedup_vs_plain": round(plain_wall_ms / (1e3 * wall_c), 2),
+        "wall_s": round(wall_c, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

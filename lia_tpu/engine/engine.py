@@ -431,6 +431,13 @@ class InferenceEngine:
             grouped = True  # BeamKVCache has bf16 AND int8-KV kernels
 
         if self.scheduler is not None:
+            # grouped beam under tiering (TPU-KV streaming plans): prompts
+            # prefill ONCE per input and the per-step shuffle gathers only the
+            # tails. Host-placement plans and TP meshes keep the expanded
+            # whole-cache-gather path (no grouped host kernel; mesh shardings
+            # of eagerly-built tails are not plumbed).
+            if grouped and self.scheduler.grouped_beam_ok and self.mesh is None:
+                return self._generate_beam_scheduled_grouped(prompts, gen, lat, seed)
             expanded = [p for p in prompts for _ in range(nb)]
             tokens, mask = pack_prompts(expanded, gen.pad_token_id)
             S = tokens.shape[1]
@@ -545,6 +552,87 @@ class InferenceEngine:
         dt = time.perf_counter() - t0
         for _ in range(gen.max_new_tokens - 1):
             lat.record(dt / max(gen.max_new_tokens - 1, 1))
+        seqs = beam_mod.select_best(history, final_scores, gen)
+        return GenerationResult(seqs, lat)
+
+    def _generate_beam_scheduled_grouped(self, prompts, gen, lat, seed):
+        """Grouped beam search over tiered weights: prefill at group batch B0,
+        both segment caches become :class:`~lia_tpu.ops.kv_cache.BeamKVCache`,
+        and every step's hypothesis shuffle gathers only the generated tails
+        (scheduler.reorder_state_beam) — O(tail) instead of O(cache) traffic.
+        Reference intent: the beam_idx indirection that never copies the cache
+        (…/transformers/generation/greedy_search.py:237-282)."""
+        from lia_tpu.engine import beam as beam_mod
+
+        cfg = self.cfg
+        nb = gen.num_beams
+        sched = self.scheduler
+        tokens, mask = pack_prompts(prompts, gen.pad_token_id)
+        B, S = tokens.shape
+        Bnb = B * nb
+        prompt_slots = -(-S // 128) * 128
+        rng = jax.random.PRNGKey(seed)
+        use_proc = _needs_processors(gen)
+
+        select = jax.jit(partial(beam_mod.beam_select, gen, cfg.vocab_size))
+        proc = None
+        if use_proc:
+            etokens = np.repeat(np.asarray(tokens), nb, axis=0)
+            emask = np.repeat(np.asarray(mask), nb, axis=0)
+            proc = (
+                sampling.seen_from_prompt(
+                    jnp.asarray(etokens), jnp.asarray(emask), cfg.vocab_size
+                ),
+                jnp.concatenate(
+                    [jnp.asarray(etokens),
+                     jnp.full((Bnb, gen.max_new_tokens), gen.pad_token_id, jnp.int32)],
+                    axis=1,
+                ),
+                jnp.asarray(S, jnp.int32),
+                0,
+            )
+
+        t0 = time.perf_counter()
+        logits, state = sched.prefill_pass(tokens, mask, prompt_slots)
+        state = sched.beam_state_from_prefill(state, nb, gen.max_new_tokens)
+        logits = jnp.repeat(logits, nb, axis=0)  # [Bnb, V] identical beam rows
+        scores0, finished = beam_mod.init_beam_state(B, nb)
+        rng, sub = jax.random.split(rng)
+        tok, scores, finished, src = select(
+            logits, scores0, finished, sub if gen.do_sample else None, proc=proc
+        )
+        # first expansion: tails are empty and prompts are group-shared — the
+        # cache needs no shuffle at all (same argument as the resident path)
+        proc = beam_mod.reorder_proc(proc, src, tok)
+        append = jax.jit(
+            lambda h, s, t, i: jax.lax.dynamic_update_slice(
+                jnp.take(h, s, axis=0), t[:, None], (0, i)
+            )
+        )
+        history = append(
+            jnp.full((Bnb, gen.max_new_tokens), gen.pad_token_id, jnp.int32),
+            jnp.arange(Bnb, dtype=jnp.int32), tok, jnp.zeros((), jnp.int32),
+        )
+        tok.block_until_ready()
+        lat.record(time.perf_counter() - t0)
+
+        pos = jnp.asarray(np.repeat(np.asarray(mask).sum(1), nb), jnp.int32)
+        for i in range(gen.max_new_tokens - 1):
+            t0 = time.perf_counter()
+            logits, state = sched.decode_pass_beam(tok, pos, state)
+            rng, sub = jax.random.split(rng)
+            tok, scores, finished, src = select(
+                logits, scores, finished, sub if gen.do_sample else None, proc=proc
+            )
+            state = sched.reorder_state_beam(state, src)
+            proc = beam_mod.reorder_proc(proc, src, tok)
+            history = append(history, src, tok, jnp.asarray(i + 1, jnp.int32))
+            tok.block_until_ready()
+            lat.record(time.perf_counter() - t0)
+            pos = pos + 1
+
+        final_scores = np.asarray(scores)
+        history = np.asarray(history).reshape(B, nb, -1)
         seqs = beam_mod.select_best(history, final_scores, gen)
         return GenerationResult(seqs, lat)
 

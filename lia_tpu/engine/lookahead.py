@@ -113,6 +113,60 @@ def _accept_fn():
     return jax.jit(f, donate_argnums=(0,))
 
 
+def _make_verify(engine, tokens, mask, max_len: int, C: int):
+    """Prefill + (verify_step, advance_accept) closures over either the
+    resident slab cache or the streaming scheduler's segment caches.
+
+    Under TIERING the verify pass is speculation's biggest win: each streamed
+    layer's weights transfer once per C = k+1 candidate tokens instead of once
+    per token, so streamed decode's dominant cost drops by the acceptance
+    factor (scheduler.verify_pass). TPU-KV plans only — host-placement
+    policies raise there."""
+    cfg = engine.cfg
+    B = tokens.shape[0]
+    sched = engine.scheduler
+    if sched is not None:
+        logits, state_0 = sched.prefill_pass(tokens, mask, max_len)
+        pending = np.array(jnp.argmax(logits, -1).astype(jnp.int32))
+        holder = {"state": sched.ragged_state(state_0)}
+
+        def verify_step(chunk, positions):
+            greedy, holder["state"] = sched.verify_pass(
+                jnp.asarray(chunk), jnp.asarray(positions), holder["state"]
+            )
+            return np.asarray(greedy)
+
+        def advance_accept(accept):
+            holder["state"] = sched.accept_state(holder["state"], jnp.asarray(accept))
+
+        return verify_step, advance_accept, pending
+
+    cache = kvc.init_cache(
+        cfg, B, max_len, jnp.dtype(cfg.dtype),
+        quantized=engine.runtime.quant.kv_cache_dtype == "int8",
+    )
+    logits, cache = engine._get_prefill()(
+        engine.params, jnp.asarray(tokens), jnp.asarray(mask), cache
+    )
+    pending = np.array(jnp.argmax(logits, -1).astype(jnp.int32))
+    # ragged mode: per-sequence slot lengths and logical positions
+    cache = cache._replace(length=jnp.full((B,), int(cache.length), jnp.int32))
+    holder = {"cache": cache}
+    verify = engine._compiled.setdefault(("spec_verify", C), _verify_fn(cfg))
+    advance = engine._compiled.setdefault("spec_advance", _accept_fn())
+
+    def verify_step(chunk, positions):
+        greedy, holder["cache"] = verify(
+            engine.params, jnp.asarray(chunk), jnp.asarray(positions), holder["cache"]
+        )
+        return np.asarray(greedy)
+
+    def advance_accept(accept):
+        holder["cache"] = advance(holder["cache"], jnp.asarray(accept))
+
+    return verify_step, advance_accept, pending
+
+
 def generate_prompt_lookup(
     engine,
     prompts: Sequence[Sequence[int]],
@@ -132,35 +186,21 @@ def generate_prompt_lookup(
     if gen.do_sample or gen.num_beams > 1:
         raise NotImplementedError("prompt-lookup speculation is greedy-only")
     _reject_processors(gen)
-    if engine.scheduler is not None:
-        raise NotImplementedError("speculation runs on the resident engine path")
 
     cfg = engine.cfg
     tokens, mask = pack_prompts(prompts, gen.pad_token_id)
     B, S = tokens.shape
     C = k + 1
     max_len = -(-(S + gen.max_new_tokens + C) // 128) * 128
-    kv_dtype = jnp.dtype(cfg.dtype)
-    cache = kvc.init_cache(
-        cfg, B, max_len, kv_dtype,
-        quantized=engine.runtime.quant.kv_cache_dtype == "int8",
+    verify_step, advance_accept, pending = _make_verify(
+        engine, tokens, mask, max_len, C
     )
-    logits, cache = engine._get_prefill()(
-        engine.params, jnp.asarray(tokens), jnp.asarray(mask), cache
-    )
-    pending = np.array(jnp.argmax(logits, -1).astype(jnp.int32))  # [B] (writable)
-
-    # ragged mode: per-sequence slot lengths and logical positions
-    cache = cache._replace(length=jnp.full((B,), int(cache.length), jnp.int32))
     n_real = mask.sum(1).astype(np.int32)  # logical position of the pending token
 
     history = [list(p) + [int(pending[b])] for b, p in enumerate(prompts)]
     out: List[List[int]] = [[int(pending[b])] for b in range(B)]
     done = [gen.eos_token_id is not None and out[b][0] == gen.eos_token_id
             for b in range(B)]
-
-    verify = engine._compiled.setdefault(("spec_verify", C), _verify_fn(cfg))
-    advance = engine._compiled.setdefault("spec_advance", _accept_fn())
 
     steps = 0
     while any(not done[b] and len(out[b]) < gen.max_new_tokens for b in range(B)):
@@ -169,10 +209,7 @@ def generate_prompt_lookup(
         ]).astype(np.int32)  # [B, k]
         chunk = np.concatenate([pending[:, None], props], axis=1)  # [B, C]
         positions = n_real[:, None] + np.arange(C, dtype=np.int32)[None, :]
-        greedy, cache = verify(
-            engine.params, jnp.asarray(chunk), jnp.asarray(positions), cache
-        )
-        greedy = np.asarray(greedy)  # [B, C]: greedy[b, i] follows chunk[b, i]
+        greedy = verify_step(chunk, positions)  # [B, C]: [b, i] follows chunk[b, i]
         steps += 1
 
         accept = np.zeros((B,), np.int32)
@@ -194,7 +231,7 @@ def generate_prompt_lookup(
             history[b].extend(new_toks)
             pending[b] = new_toks[-1]
         n_real = n_real + accept
-        cache = advance(cache, jnp.asarray(accept))
+        advance_accept(accept)
 
     pad = gen.pad_token_id
     seqs = np.stack([
@@ -270,8 +307,10 @@ def generate_draft_speculative(
     if gen.do_sample or gen.num_beams > 1:
         raise NotImplementedError("draft speculation is greedy-only")
     _reject_processors(gen)
-    if engine.scheduler is not None or draft_engine.scheduler is not None:
-        raise NotImplementedError("speculation runs on the resident engine path")
+    if draft_engine.scheduler is not None:
+        # the draft is the SMALL model — keep it resident; only the target
+        # streams (tiered target verify composes via scheduler.verify_pass)
+        raise NotImplementedError("the draft model must be resident")
     if draft_engine.cfg.vocab_size != engine.cfg.vocab_size:
         # the on-device acceptance math subtracts q from p elementwise, so the
         # warped distributions must live over the SAME vocab (the greedy path
@@ -285,15 +324,9 @@ def generate_draft_speculative(
     C = k + 1
     max_len = -(-(S + gen.max_new_tokens + C) // 128) * 128
 
-    cache = kvc.init_cache(
-        cfg, B, max_len, jnp.dtype(cfg.dtype),
-        quantized=engine.runtime.quant.kv_cache_dtype == "int8",
+    verify_step, advance_accept, pending = _make_verify(
+        engine, tokens, mask, max_len, C
     )
-    logits, cache = engine._get_prefill()(
-        engine.params, jnp.asarray(tokens), jnp.asarray(mask), cache
-    )
-    pending = np.array(jnp.argmax(logits, -1).astype(jnp.int32))
-    cache = cache._replace(length=jnp.full((B,), int(cache.length), jnp.int32))
 
     dcache = kvc.init_cache(
         dcfg, B, max_len, jnp.dtype(dcfg.dtype),
@@ -310,8 +343,6 @@ def generate_draft_speculative(
     done = [gen.eos_token_id is not None and out[b][0] == gen.eos_token_id
             for b in range(B)]
 
-    verify = engine._compiled.setdefault(("spec_verify", C), _verify_fn(cfg))
-    advance = engine._compiled.setdefault("spec_advance", _accept_fn())
     draft_loop = draft_engine._compiled.setdefault(
         ("spec_draft", k), _draft_loop_fn(dcfg, k)
     )
@@ -325,10 +356,7 @@ def generate_draft_speculative(
         props = np.asarray(props)  # [B, k]
         chunk = np.concatenate([pending[:, None], props], axis=1)  # [B, C]
         positions = n_real[:, None] + np.arange(C, dtype=np.int32)[None, :]
-        greedy, cache = verify(
-            engine.params, jnp.asarray(chunk), jnp.asarray(positions), cache
-        )
-        greedy = np.asarray(greedy)
+        greedy = verify_step(chunk, positions)
         steps += 1
 
         accept = np.zeros((B,), np.int32)
@@ -347,7 +375,7 @@ def generate_draft_speculative(
             pending[b] = new_toks[-1]
         n_real = n_real + accept
         abs_len = abs_len + accept
-        cache = advance(cache, jnp.asarray(accept))
+        advance_accept(accept)
         dcache = rewind(dcache, jnp.asarray(abs_len))
 
     pad = gen.pad_token_id

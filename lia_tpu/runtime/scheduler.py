@@ -754,9 +754,10 @@ class StreamingScheduler:
     def reorder_state(self, state, beam_idx):
         """Gather both caches' batch rows by ``beam_idx`` (beam hypothesis
         shuffle). This is the whole-cache-gather form — O(cache) HBM/DRAM
-        traffic per step, acceptable under tiering where each step already
-        streams weights that dwarf it; the RESIDENT engine's beam path uses
-        the grouped BeamKVCache (shared prompt + tail-only gather) instead."""
+        traffic per step; the fallback for host-KV plans, where the grouped
+        layout has no host attention kernel. TPU-KV streaming plans use the
+        grouped path instead (:meth:`beam_state_from_prefill` /
+        :meth:`decode_pass_beam` / :meth:`reorder_state_beam`)."""
 
         def f(cache, idx):
             return kvc.beam_reorder(cache, idx)
@@ -777,6 +778,292 @@ class StreamingScheduler:
                     state["str"], beam_idx
                 )
         return out
+
+    # -- grouped beam search under tiering --------------------------------
+    #
+    # The resident engine's BeamKVCache (shared prompt + per-beam tail,
+    # kv_cache.py) extended to the scheduler's two cache segments: the beam
+    # shuffle gathers only the generated tails instead of both whole caches
+    # (the round-3 trade-off at scheduler.reorder_state). Reference intent:
+    # the beam_idx indirection that never copies the cache
+    # (intel_extension_for_pytorch/transformers/generation/greedy_search.py:237-282,
+    # MaskedMultiHeadAttentionKrnl.cpp). TPU-KV streaming plans only —
+    # host-KV/host-attention policies have no grouped host kernel and keep
+    # the whole-cache-gather fallback (reorder_state).
+
+    @property
+    def tpu_kv_plans(self) -> bool:
+        """Both phase plans keep KV in HBM with TPU attention (policy-3
+        streaming) — the plans the grouped beam layout and the chunked
+        verify pass (tiered speculation) support."""
+        return not (
+            self.kv_host
+            or self.prefill_plan.all_host or self.prefill_plan.hybrid
+            or self.decode_plan.all_host or self.decode_plan.hybrid
+        )
+
+    # back-compat name used by the grouped-beam gate
+    grouped_beam_ok = tpu_kv_plans
+
+    def beam_state_from_prefill(self, state, nb: int, max_new_tokens: int):
+        """Wrap both prefilled segment caches (batch B0) as grouped
+        :class:`~lia_tpu.ops.kv_cache.BeamKVCache` (prompt shared per group,
+        fresh per-beam tails at B0*nb rows)."""
+        if not self.grouped_beam_ok:
+            raise NotImplementedError(
+                "grouped beam needs TPU-KV streaming plans; host-placement "
+                "policies use the whole-cache-gather path (reorder_state)"
+            )
+        return {
+            k: None if c is None else kvc.beam_cache_from_prefill(c, nb, max_new_tokens)
+            for k, c in state.items()
+        }
+
+    def _beam_embed_fn(self):
+        cfg = self.cfg
+
+        def f(top, tokens, positions, cache):
+            x = T.embed(cfg, top, tokens, positions)
+            return x, T._alibi_beam_bias(cfg, cache, positions)
+
+        return self._jit("beam_embed", f)
+
+    def _beam_segment_fn(self, n_layers: int):
+        """Resident prefix as one fused scan over the grouped beam cache."""
+        cfg = self.cfg
+
+        def f(seg_params, x, cache, bias, positions):
+            return T.beam_decode_layers_scan(
+                cfg, seg_params, x, cache, bias, positions, n_layers
+            )
+
+        return self._jit(("beam_seg", n_layers), f, donate_argnums=(2,))
+
+    def _beam_layer_fn(self):
+        """One streamed layer's grouped-beam decode step: attend over
+        [shared prompt | this beam's tail | fresh], write the fresh K/V into
+        the tail plane at (layer idx, tail_len)."""
+        cfg = self.cfg
+        from lia_tpu.ops import attention as att
+        from lia_tpu.ops.quant import dequantize_kv, is_quantized_kv, quantize_kv
+
+        def f(lp, x, cache, idx, bias, positions):
+            residual = x
+            q, k, v = T.attn_in(cfg, lp, x, positions)
+            if is_quantized_kv(cache.tail_k):
+                kq, vq = quantize_kv(k), quantize_kv(v)
+                kf, vf = dequantize_kv(kq, x.dtype), dequantize_kv(vq, x.dtype)
+            else:
+                kq, vq, kf, vf = k, v, k, v
+            attn_out = att.attend_decode_beam(q, kf, vf, cache, idx, bias=bias)
+            x = T.attn_post_mlp(cfg, lp, residual, attn_out)
+            cache = cache._replace(
+                tail_k=kvc.write_token(cache.tail_k, kq, idx, cache.tail_len),
+                tail_v=kvc.write_token(cache.tail_v, vq, idx, cache.tail_len),
+            )
+            return x, cache
+
+        return self._jit("beam_layer", f, donate_argnums=(2,))
+
+    def decode_pass_beam(self, tok, pos, state):
+        """One grouped beam decode pass: ``tok``/``pos`` are [B0*nb]; the
+        resident prefix runs as one fused scan, streamed layers run per-layer
+        with weight prefetch (same pipeline as :meth:`decode_pass`)."""
+        n_res, L = self.wm.n_resident, self.cfg.num_layers
+        res, strc = state["res"], state["str"]
+        ref = res if res is not None else strc
+        x, bias = self._beam_embed_fn()(
+            self.top, tok[:, None], pos[:, None].astype(jnp.int32), ref
+        )
+        positions = pos[:, None].astype(jnp.int32)
+        if res is not None:
+            x, res = self._beam_segment_fn(n_res)(
+                self.wm.resident, x, res, bias, positions
+            )
+        if strc is not None:
+            layer_f = self._beam_layer_fn()
+            overlap = self.runtime.overlap
+            _pending: collections.deque = collections.deque()
+            self.wm.prefetch(n_res)
+            for idx in range(n_res, L):
+                self.wm.prefetch(idx + 1)
+                lp = self.wm.get_layer(idx)
+                x, strc = layer_f(
+                    lp, x, strc, jnp.int32(idx - n_res), bias, positions
+                )
+                if not overlap:
+                    jax.block_until_ready(x)
+                else:
+                    _pending.append(x)
+                    if len(_pending) > max(1, self.runtime.max_inflight_layers):
+                        jax.block_until_ready(_pending.popleft())
+            # per-layer writes all landed at tail_len; advance once per step
+            strc = self._jit(
+                "beam_adv", lambda c: c._replace(tail_len=c.tail_len + 1),
+                donate_argnums=(0,),
+            )(strc)
+        logits = self._head_fn()(self.top, x)
+        return logits, {"res": res, "str": strc}
+
+    def reorder_state_beam(self, state, flat_src):
+        """Beam shuffle under tiering: gather ONLY the generated tails —
+        O(tail) traffic instead of O(cache) (the grouped win)."""
+        out = dict(state)
+        for key, jkey in (("res", "beam_reorder_r"), ("str", "beam_reorder_s")):
+            if state[key] is not None:
+                out[key] = self._jit(
+                    jkey, kvc.beam_tail_reorder, donate_argnums=(0,)
+                )(state[key], flat_src)
+        return out
+
+    # -- chunked verify pass: speculation under tiering ---------------------
+    #
+    # The single highest-leverage composition for streamed decode: a verify
+    # pass runs C = k+1 candidate tokens through every layer in ONE pass, so
+    # each streamed layer's weights transfer once per k+1 candidates instead
+    # of once per token — streamed decode's dominant cost (the weight
+    # transfer) drops by the acceptance factor. TPU-KV plans only (the chunk
+    # attention is the Pallas/jnp ragged-chunk path; host attention has no
+    # chunk kernel). Additive over the reference (LIA/IPEX ship no
+    # speculation); the verify body mirrors engine/lookahead._verify_fn.
+
+    def ragged_state(self, state):
+        """Aligned prefill state (scalar lengths) → ragged ([B] lengths) —
+        speculation advances sequences unevenly."""
+        def f(c):
+            B = c.mask.shape[0]
+            return c._replace(length=jnp.full((B,), c.length, jnp.int32))
+
+        return {
+            k: None if c is None else self._jit(("raggedify", k), f, donate_argnums=(0,))(c)
+            for k, c in state.items()
+        }
+
+    def _verify_embed_fn(self):
+        cfg = self.cfg
+        return self._jit(
+            "verify_embed",
+            lambda top, tokens, positions: T.embed(cfg, top, tokens, positions),
+        )
+
+    def _verify_head_fn(self):
+        cfg = self.cfg
+
+        def f(top, x):
+            return jnp.argmax(T.lm_head(cfg, top, x), axis=-1).astype(jnp.int32)
+
+        return self._jit("verify_head", f)
+
+    @staticmethod
+    def _chunk_slot_mask(cache, C: int):
+        ones = jnp.ones((C,), jnp.bool_)
+        return jax.vmap(
+            lambda row, p: jax.lax.dynamic_update_slice(row, ones, (p,))
+        )(cache.mask, cache.length)
+
+    def _verify_segment_fn(self, n_layers: int):
+        """Resident prefix: C chunk tokens over the stacked segment cache
+        (ragged write-then-attend at per-sequence bases, one fused scan)."""
+        cfg = self.cfg
+        from lia_tpu.ops import attention as att
+
+        def f(seg_params, x, cache, positions):
+            base = cache.length  # [B]
+            slot_mask = self._chunk_slot_mask(cache, positions.shape[1])
+            bias = att.alibi_slot_bias(cfg.num_heads, slot_mask) if cfg.alibi else None
+
+            def body(h, per_layer):
+                lp, kl, vl = per_layer
+                residual = h
+                q, k, v = T.attn_in(cfg, lp, h, positions)
+                kl, vl = kvc.update_layer(kl, vl, k, v, base)
+                attn_out = att.attend_prefill_cached(
+                    q, kl, vl, base, slot_mask, cfg.sliding_window, bias=bias
+                )
+                h = T.attn_post_mlp(cfg, lp, residual, attn_out)
+                return h, (kl, vl)
+
+            x, (k_new, v_new) = jax.lax.scan(body, x, (seg_params, cache.k, cache.v))
+            return x, cache._replace(k=k_new, v=v_new)
+
+        return self._jit(("verify_seg", n_layers), f, donate_argnums=(2,))
+
+    def _verify_layer_fn(self):
+        """One streamed layer's chunk verify step (weights arrive via the
+        prefetch pipeline; ONE transfer covers all C candidates)."""
+        cfg = self.cfg
+        from lia_tpu.ops import attention as att
+
+        def f(lp, x, cache, idx, positions):
+            base = cache.length
+            slot_mask = self._chunk_slot_mask(cache, positions.shape[1])
+            bias = att.alibi_slot_bias(cfg.num_heads, slot_mask) if cfg.alibi else None
+            residual = x
+            q, k, v = T.attn_in(cfg, lp, x, positions)
+            kl = kvc.index_layer_kv(cache.k, idx)
+            vl = kvc.index_layer_kv(cache.v, idx)
+            kl, vl = kvc.update_layer(kl, vl, k, v, base)
+            attn_out = att.attend_prefill_cached(
+                q, kl, vl, base, slot_mask, cfg.sliding_window, bias=bias
+            )
+            x = T.attn_post_mlp(cfg, lp, residual, attn_out)
+            cache = cache._replace(
+                k=kvc.set_layer_kv(cache.k, kl, idx),
+                v=kvc.set_layer_kv(cache.v, vl, idx),
+            )
+            return x, cache
+
+        return self._jit("verify_layer", f, donate_argnums=(2,))
+
+    def verify_pass(self, tokens, positions, state):
+        """Run C candidate tokens through both segments; returns (per-position
+        greedy argmax [B, C], state with the chunk's K/V written). Mask/length
+        advance separately by the ACCEPTED amount (:meth:`accept_state`)."""
+        if not self.tpu_kv_plans:
+            raise NotImplementedError(
+                "the chunked verify pass needs TPU-KV streaming plans; "
+                "host-placement policies have no chunk attention kernel"
+            )
+        n_res, L = self.wm.n_resident, self.cfg.num_layers
+        res, strc = state["res"], state["str"]
+        x = self._verify_embed_fn()(self.top, tokens, positions)
+        if res is not None:
+            x, res = self._verify_segment_fn(n_res)(
+                self.wm.resident, x, res, positions
+            )
+        if strc is not None:
+            layer_f = self._verify_layer_fn()
+            overlap = self.runtime.overlap
+            _pending: collections.deque = collections.deque()
+            self.wm.prefetch(n_res)
+            for idx in range(n_res, L):
+                self.wm.prefetch(idx + 1)
+                lp = self.wm.get_layer(idx)
+                x, strc = layer_f(lp, x, strc, jnp.int32(idx - n_res), positions)
+                if not overlap:
+                    jax.block_until_ready(x)
+                else:
+                    _pending.append(x)
+                    if len(_pending) > max(1, self.runtime.max_inflight_layers):
+                        jax.block_until_ready(_pending.popleft())
+        greedy = self._verify_head_fn()(self.top, x)
+        return greedy, {"res": res, "str": strc}
+
+    def accept_state(self, state, accept):
+        """Advance both segments' mask/length by the accepted amount (the
+        verify wrote ALL C candidates; only [0, accept) become valid)."""
+        def f(cache, acc):
+            B, S_max = cache.mask.shape
+            pos = jax.lax.broadcasted_iota(jnp.int32, (B, S_max), 1)
+            lo = cache.length[:, None]
+            hi = (cache.length + acc)[:, None]
+            mask = cache.mask | ((pos >= lo) & (pos < hi))
+            return cache._replace(mask=mask, length=cache.length + acc)
+
+        return {
+            k: None if c is None else self._jit(("accept", k), f, donate_argnums=(0,))(c, accept)
+            for k, c in state.items()
+        }
 
     def score_logprobs(self, tokens, mask, max_len: int):
         """Per-position next-token log-probs [B, S, V] with tiered weights

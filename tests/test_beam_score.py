@@ -230,3 +230,93 @@ def test_grouped_beam_int8_kv_matches_expanded():
     a = e.generate_beam(prompts, gen, grouped=True).sequences
     b = e.generate_beam(prompts, gen, grouped=False).sequences
     np.testing.assert_array_equal(a, b)
+
+
+# -- grouped beam under the streaming scheduler (tail-only reorder) -----------
+
+
+def test_grouped_beam_scheduler_matches_expanded():
+    """Tiered (streamed-weights) beam search on the grouped BeamKVCache must
+    reproduce the whole-cache-gather scheduled path bit-for-bit — the round-3
+    trade-off (scheduler.reorder_state gathered BOTH caches wholesale) closed:
+    the shuffle now touches only the generated tails of both segments."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=11, scale=0.02)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    gen = GenerationConfig(max_new_tokens=6, num_beams=4, eos_token_id=2)
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    e = InferenceEngine(cfg, params, rt)
+    assert e.scheduler is not None and e.scheduler.grouped_beam_ok
+    a = e.generate_beam(prompts, gen, grouped=True).sequences
+    b = e.generate_beam(prompts, gen, grouped=False).sequences
+    np.testing.assert_array_equal(a, b)
+    # and both match the resident engine (same model, same beams)
+    r = InferenceEngine(cfg, params).generate_beam(prompts, gen).sequences
+    np.testing.assert_array_equal(a, r)
+
+
+def test_grouped_beam_scheduler_fully_streamed():
+    """hbm_percentage=0: no resident segment — the grouped path runs entirely
+    through the per-layer streamed beam step (prefetch pipeline)."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=11, scale=0.02)
+    prompts = [[5, 9, 23, 41]]
+    gen = GenerationConfig(max_new_tokens=5, num_beams=3)
+    rt = RuntimeConfig(hbm_percentage=0, stream_weights=True)
+    e = InferenceEngine(cfg, params, rt)
+    a = e.generate_beam(prompts, gen, grouped=True).sequences
+    b = e.generate_beam(prompts, gen, grouped=False).sequences
+    np.testing.assert_array_equal(a, b)
+
+
+def test_grouped_beam_scheduler_int8_kv():
+    from lia_tpu.config import QuantConfig, RuntimeConfig
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=11, scale=0.02)
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True,
+                       quant=QuantConfig(kv_cache_dtype="int8"))
+    e = InferenceEngine(cfg, params, rt)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    gen = GenerationConfig(max_new_tokens=5, num_beams=3)
+    a = e.generate_beam(prompts, gen, grouped=True).sequences
+    b = e.generate_beam(prompts, gen, grouped=False).sequences
+    np.testing.assert_array_equal(a, b)
+
+
+def test_grouped_beam_scheduler_alibi():
+    """ALiBi families carry the key-positional bias through the grouped
+    [prompt | tail | fresh] slot layout under tiering too."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg = get_config("bloom-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=11, scale=0.02)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    gen = GenerationConfig(max_new_tokens=5, num_beams=3)
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    e = InferenceEngine(cfg, params, rt)
+    a = e.generate_beam(prompts, gen, grouped=True).sequences
+    b = e.generate_beam(prompts, gen, grouped=False).sequences
+    np.testing.assert_array_equal(a, b)
+
+
+def test_grouped_beam_scheduler_host_policy_falls_back():
+    """Host-placement plans have no grouped host kernel: generate_beam must
+    silently use the whole-cache-gather path and still match the resident
+    engine."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg = get_config("opt-tiny").replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=11, scale=0.02)
+    rt = RuntimeConfig(hbm_percentage=50, prefill_policy=0, decode_policy=0)
+    e = InferenceEngine(cfg, params, rt)
+    assert not e.scheduler.grouped_beam_ok
+    prompts = [[5, 9, 23, 41]]
+    gen = GenerationConfig(max_new_tokens=5, num_beams=3)
+    a = e.generate_beam(prompts, gen, grouped=True).sequences
+    r = InferenceEngine(cfg, params).generate_beam(prompts, gen).sequences
+    np.testing.assert_array_equal(a, r)

@@ -159,3 +159,76 @@ def test_draft_speculative_quantized_target(model):
     ref = eng.generate(prompts, gen).sequences
     seqs, steps = eng.generate_speculative_draft(draft, prompts, gen, k=3)
     np.testing.assert_array_equal(seqs, np.asarray(ref))
+
+
+# -- speculation under TIERING (scheduler.verify_pass) ------------------------
+#
+# The chunked verify pass streams each layer's weights ONCE per k+1 candidate
+# tokens — streamed decode's dominant cost drops by the acceptance factor.
+
+
+def test_speculative_scheduler_matches_resident(model):
+    """Prompt-lookup speculation with tiered (streamed) weights must emit the
+    resident engine's exact greedy sequence and save verify steps on a
+    repetitive workload."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=24)
+    prompts = [[7, 7, 8, 7, 7, 8, 7, 7, 8], [5, 9, 23, 41]]
+    ref = InferenceEngine(cfg, params).generate(prompts, gen).sequences
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    eng = InferenceEngine(cfg, params, rt)
+    seqs, steps = eng.generate_speculative(prompts, gen, ngram=3, k=4)
+    np.testing.assert_array_equal(seqs, np.asarray(ref))
+    assert steps < gen.max_new_tokens, steps
+
+
+def test_speculative_scheduler_fully_streamed(model):
+    """hbm_percentage=0: every layer streams; the verify chunk rides the
+    per-layer prefetch pipeline."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=8)
+    prompts = [[7, 7, 8, 7, 7, 8], [100, 7, 3]]
+    ref = InferenceEngine(cfg, params).generate(prompts, gen).sequences
+    rt = RuntimeConfig(hbm_percentage=0, stream_weights=True)
+    eng = InferenceEngine(cfg, params, rt)
+    seqs, steps = eng.generate_speculative(prompts, gen, ngram=3, k=3)
+    np.testing.assert_array_equal(seqs, np.asarray(ref))
+
+
+def test_speculative_scheduler_int8_kv(model):
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=8)
+    prompts = [[7, 7, 8, 7, 7, 8, 9]]
+    rt_res = RuntimeConfig(quant=QuantConfig(kv_cache_dtype="int8"))
+    ref = InferenceEngine(cfg, params, rt_res).generate(prompts, gen).sequences
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True,
+                       quant=QuantConfig(kv_cache_dtype="int8"))
+    eng = InferenceEngine(cfg, params, rt)
+    seqs, _ = eng.generate_speculative(prompts, gen, ngram=3, k=3)
+    np.testing.assert_array_equal(seqs, np.asarray(ref))
+
+
+def test_draft_speculative_scheduler_target(model):
+    """Two-model speculation with a TIERED target (the flagship composition:
+    a resident draft proposes, the streamed target verifies k+1 tokens per
+    weight transfer)."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=10)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    ref = InferenceEngine(cfg, params).generate(prompts, gen).sequences
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    target = InferenceEngine(cfg, params, rt)
+    draft = InferenceEngine(cfg, params)  # perfect draft (same model)
+    seqs, steps = target.generate_speculative_draft(draft, prompts, gen, k=4)
+    np.testing.assert_array_equal(seqs, np.asarray(ref))
+    # perfect draft => every proposal accepted => steps ~ max_new/(k+1)
+    assert steps <= -(-gen.max_new_tokens // 5) + 1
+
+
+def test_speculative_scheduler_host_policy_raises(model):
+    cfg, params = model
+    rt = RuntimeConfig(hbm_percentage=50, prefill_policy=0, decode_policy=0)
+    eng = InferenceEngine(cfg, params, rt)
+    with pytest.raises(NotImplementedError, match="TPU-KV"):
+        eng.generate_speculative([[7, 7, 8, 7, 7, 8]],
+                                 GenerationConfig(max_new_tokens=4))
