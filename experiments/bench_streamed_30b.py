@@ -79,6 +79,15 @@ def main():
         "probe_MB": round(layer_bytes_probe / 1e6, 1),
     }), flush=True)
 
+    # STAGE=C PLAIN_STEP_MS=<stage-B result>: jump straight to the
+    # speculation stage (the r4d full run hit the queue timeout inside C
+    # after A/B had burned ~45 min of relay budget)
+    if os.environ.get("STAGE", "").upper() == "C":
+        rt = RuntimeConfig(quant=QUANT, hbm_percentage=HBM, stream_weights=True)
+        eng = InferenceEngine(cfg, params, rt)
+        _stage_c(eng, prompts, gen, float(os.environ["PLAIN_STEP_MS"]))
+        return
+
     # A: resident control at n_res layers (same per-layer program as B's
     # prefix). Weights generate ON DEVICE — staging the control through the
     # ~0.1 GB/s relay would double the experiment's transfer bill; timing
@@ -132,6 +141,10 @@ def main():
         "wall_s": round(wall, 1),
     }), flush=True)
 
+    _stage_c(eng, prompts, gen, step_ms)
+
+
+def _stage_c(eng, prompts, gen, step_ms):
     # C: speculation under tiering — each verify pass streams every layer's
     # weights ONCE per k+1 candidates (scheduler.verify_pass), so ms per
     # GENERATED token drops by the acceptance factor on this
