@@ -42,7 +42,15 @@ class SystemProfile:
     tpu_flops: float = 197e12  # bf16 MXU FLOP/s (v5e ≈ 394 peak; derated 50%)
     hbm_bw: float = 700e9  # bytes/s (v5e ≈ 819 peak; derated)
     hbm_bytes: float = 14e9  # usable HBM (16 GB minus runtime reserves)
-    h2d_bw: float = 8e9  # host→HBM staging bandwidth
+    h2d_bw: float = 8e9  # host→HBM staging bandwidth (the β of α+bytes/β)
+    # Fixed per-transfer latency α: every host↔device put/get pays
+    # α + bytes/h2d_bw. On direct PCIe this is DMA-setup-scale (~30 µs) and
+    # irrelevant; on relayed/tunneled links it DOMINATES small transfers —
+    # round 4 measured ~0.3-0.9 s/put on this rig's tunnel, which made the
+    # pure-bandwidth model underpredict streamed steps 33-53×
+    # (experiments/bench_policy2_hw.py). Calibrated by a two-size put fit
+    # (Microbench.h2d_alpha_beta).
+    h2d_latency_s: float = 30e-6
     host_flops: float = 150e9  # XLA:CPU matmul FLOP/s
     host_mem_bw: float = 20e9  # host DRAM bandwidth
     # Effective per-op cost inside compiled decode loops. NOT a raw launch
@@ -81,6 +89,64 @@ class Microbench:
         return nbytes / (time.perf_counter() - t0)
 
     @staticmethod
+    def _make_put_time(during_compute: bool):
+        import jax
+
+        dev = jax.devices()[0]
+        busy = None
+        if during_compute:
+            import jax.numpy as jnp
+
+            a = jax.device_put(jnp.ones((4096, 4096), jnp.bfloat16), dev)
+            busy = jax.jit(lambda a: a @ a)
+            busy(a).block_until_ready()  # compile outside the timed region
+
+        def put_time(nbytes: int) -> float:
+            x = np.ones(max(nbytes // 4, 1), np.float32)
+            if busy is not None:
+                pending = busy(a)  # enqueue compute; the put must share the stream
+            t0 = time.perf_counter()
+            jax.device_put(x, dev).block_until_ready()
+            dt = time.perf_counter() - t0
+            if busy is not None:
+                np.asarray(jax.device_get(pending[:1, :8]))  # drain (true sync)
+            return dt
+
+        return put_time
+
+    @classmethod
+    def h2d_alpha_beta(
+        cls,
+        small: int = 4 << 20,
+        large: int = 256 << 20,
+        measure=None,
+        during_compute: bool = False,
+    ) -> Tuple[float, float]:
+        """Two-point fit of the transfer model t(b) = α + b/β.
+
+        α is the fixed per-put latency, β the asymptotic bandwidth. A
+        single-size probe conflates the two and made the cost model
+        underpredict streamed decode 33-53× (RESULTS.md r4); transfers in
+        :class:`CostModel` charge α + bytes/β instead.
+
+        ``during_compute=True`` measures each put with a compute dispatch in
+        flight — the condition streamed decode actually runs under (prefetch
+        puts layer k+1 during layer k's compute). On direct PCIe the DMA
+        engine makes busy≈idle; on this rig's tunnel a 14 MB put is ~10 ms
+        idle but ~0.3 s busy (the put serializes behind enqueued compute), so
+        the busy fit is the one that predicts streaming. ``measure`` is
+        injectable for tests."""
+        measure = measure or cls._make_put_time(during_compute)
+        measure(1 << 10)  # warm the path
+        t_small = min(measure(small) for _ in range(2))
+        t_large = min(measure(large) for _ in range(2))
+        if t_large <= t_small:  # noise floor — bandwidth-only fallback
+            return 0.0, large / t_large
+        beta = (large - small) / (t_large - t_small)
+        alpha = max(0.0, t_small - small / beta)
+        return alpha, beta
+
+    @staticmethod
     def matmul_flops(device, n: int = 2048, dtype="bfloat16") -> float:
         import jax
         import jax.numpy as jnp
@@ -100,7 +166,11 @@ class Microbench:
 
         p = profile or SystemProfile()
         try:
-            p = replace(p, h2d_bw=cls.h2d_bandwidth())
+            # busy-link fit: streaming always overlaps transfers with compute,
+            # so the α that matters is the one measured with a dispatch in
+            # flight (≈ the idle α on direct PCIe; 30× worse on this tunnel)
+            alpha, beta = cls.h2d_alpha_beta(during_compute=True)
+            p = replace(p, h2d_bw=beta, h2d_latency_s=alpha)
         except Exception:
             pass
         try:
@@ -168,8 +238,13 @@ class CostModel:
         t += p.ops_per_layer * p.op_overhead_s  # effective per-op cost (see profile)
         if not weights_resident:
             # streamed: transfer overlapped with compute — bound by the slower
-            t = max(t, self.weight_bytes_per_layer() / p.h2d_bw)
+            t = max(t, self.h2d_time(self.weight_bytes_per_layer()))
         return t
+
+    def h2d_time(self, nbytes: float, n_puts: int = 1) -> float:
+        """α + bytes/β per put (see SystemProfile.h2d_latency_s)."""
+        p = self.profile
+        return n_puts * p.h2d_latency_s + nbytes / p.h2d_bw
 
     def predict_decode_step(self, B: int, s_ctx: int, resident: bool = True) -> float:
         """Full-model decode step-time prediction (validated in
@@ -197,14 +272,14 @@ class CostModel:
         c, p = self.cfg, self.profile
         lin = self.tpu_layer_time(B, 1, 0, weights_resident)
         qkv_bytes = B * (c.num_heads + 2 * c.num_kv_heads) * c.head_dim * 2 * 2  # q,k,v + attn_out
-        xfer = qkv_bytes / p.h2d_bw
+        xfer = self.h2d_time(qkv_bytes, n_puts=2)  # D2H qkv + H2D attn_out
         attn_flops = 2 * B * s_ctx * c.num_heads * c.head_dim * 2
         host_attn = max(attn_flops / p.host_flops, self.kv_bytes_per_layer(B, s_ctx) / p.host_mem_bw)
         return lin + xfer + host_attn
 
     def policy0_decode_layer_time(self, B: int, s_ctx: int) -> float:
         """Policy 0 decode: stream KV planes host→HBM every token."""
-        t_kv = self.kv_bytes_per_layer(B, s_ctx) / self.profile.h2d_bw
+        t_kv = self.h2d_time(self.kv_bytes_per_layer(B, s_ctx))
         return self.tpu_layer_time(B, 1, s_ctx, weights_resident=False) + t_kv
 
     # -- placement search ---------------------------------------------------------

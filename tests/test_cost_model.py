@@ -109,3 +109,66 @@ def test_auto_picks_empirically_best_decode_policy():
     relay = SystemProfile(h2d_bw=0.094e9)
     _, dec, _ = CostModel(cfg, relay, qc).choose(B=64, in_len=32, out_len=8)
     assert dec in (1, 2), f"relay profile picked decode policy {dec}, expected host-side"
+
+
+def test_h2d_alpha_beta_fit_recovers_synthetic_link():
+    """Two-point α-β fit: given a link with 0.3 s fixed latency + 1 GB/s
+    bandwidth (this rig's tunnel class), the fit recovers both terms. A
+    single-size probe conflates them — the r4 policy-2 experiment showed the
+    pure-bandwidth model underpredicting streamed steps 33-53×."""
+    from lia_tpu.runtime.cost_model import Microbench
+
+    alpha_true, beta_true = 0.3, 1.0e9
+    calls = []
+
+    def fake_measure(nbytes):
+        calls.append(nbytes)
+        return alpha_true + nbytes / beta_true
+
+    alpha, beta = Microbench.h2d_alpha_beta(measure=fake_measure)
+    assert abs(alpha - alpha_true) / alpha_true < 1e-6
+    assert abs(beta - beta_true) / beta_true < 1e-6
+    assert len(calls) >= 3  # warm + two sizes (each possibly repeated)
+
+
+def test_h2d_alpha_beta_noise_floor_fallback():
+    """If the large put is not slower than the small one (pure noise), the
+    fit degrades to bandwidth-only rather than producing a negative β."""
+    from lia_tpu.runtime.cost_model import Microbench
+
+    alpha, beta = Microbench.h2d_alpha_beta(measure=lambda n: 0.1)
+    assert alpha == 0.0
+    assert beta > 0
+
+
+def test_transfer_latency_dominates_small_puts_on_relay_profile():
+    """On a relay-class profile (α=0.3 s), a 14 MB opt-125m layer put costs
+    ~α — 24× the pure-bandwidth charge — matching the r4 HW observation that
+    per-put fixed latency, not bytes, sets streamed step time at small model
+    scale (experiments/bench_policy2_hw.py: measured 860 ms/streamed-layer
+    vs 13 ms bandwidth-only prediction)."""
+    cfg = get_config("opt-125m")
+    relay = SystemProfile(h2d_bw=1.085e9, h2d_latency_s=0.3)
+    cm = CostModel(cfg, relay, QuantConfig())
+    per_layer = cm.h2d_time(cm.weight_bytes_per_layer())
+    assert per_layer > 0.3
+    bandwidth_only = cm.weight_bytes_per_layer() / relay.h2d_bw
+    assert per_layer / bandwidth_only > 20
+    # and the streamed layer time inherits the floor
+    t = cm.tpu_layer_time(8, 1, 128, weights_resident=False)
+    assert t >= 0.3
+
+
+def test_alpha_default_is_negligible_on_direct_links():
+    """The default α (30 µs, PCIe DMA-setup scale) must not disturb the
+    deployment-profile policy choice or the resident-decode anchors."""
+    cfg = get_config("opt-30b")
+    qc = QuantConfig(weight_dtype="int8", kv_cache_dtype="int8")
+    deploy = SystemProfile(h2d_bw=8e9)
+    t_stream = CostModel(cfg, deploy, qc).tpu_layer_time(
+        64, 1, 36, weights_resident=False
+    )
+    t_stream_no_alpha = CostModel(
+        cfg, SystemProfile(h2d_bw=8e9, h2d_latency_s=0.0), qc
+    ).tpu_layer_time(64, 1, 36, weights_resident=False)
+    assert abs(t_stream - t_stream_no_alpha) / t_stream_no_alpha < 0.01
