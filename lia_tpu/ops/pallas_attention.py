@@ -60,7 +60,13 @@ def _flash_kernel(
     i = pl.program_id(2)
     D = k_ref.shape[3]
     start = start_ref[pl.program_id(0), 0]
-    q = q_ref[0, 0].astype(jnp.float32).reshape(bq * G, D) * scale  # [bq*G, D]
+    # softmax in exp2 units: softmax(s) == 2^(s·log2e) / Σ 2^(s·log2e), so the
+    # log2e fold rides the existing q·scale multiply for free and every
+    # transcendental in the hot loop is the cheaper exp2 (the VPU chain — mask,
+    # exp, reductions — is ~4× the MXU time at these shapes; RESULTS.md r4)
+    q = q_ref[0, 0].astype(jnp.float32).reshape(bq * G, D) * (
+        scale * 1.4426950408889634
+    )  # [bq*G, D]
 
     m0 = jnp.full((bq * G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq * G, 1), jnp.float32)
@@ -77,16 +83,33 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq*G, bk]
-        k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq * G, bk), 1)
-        # left-padding => validity is contiguous [start, ·): a scalar compare, no
-        # mask vector to DMA (and no lane-misaligned loads for Mosaic to reject)
-        allow = (q_pos >= k_pos) & (k_pos >= start)
-        if window is not None:  # sliding window: slot-space == token-space offset
-            allow &= k_pos > q_pos - window
-        s = jnp.where(allow, s, NEG_INF)
+
+        def apply_mask(s):
+            k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq * G, bk), 1)
+            # left-padding => validity is contiguous [start, ·): a scalar
+            # compare, no mask vector to DMA (and no lane-misaligned loads for
+            # Mosaic to reject)
+            allow = (q_pos >= k_pos) & (k_pos >= start)
+            if window is not None:  # sliding window: slot == token offset
+                allow &= k_pos > q_pos - window
+            return jnp.where(allow, s, NEG_INF)
+
+        # interior blocks (every (q,k) pair visible) skip the 5-pass mask
+        # build entirely — worth a per-block cond only once a q row visits
+        # enough k blocks for interiors to dominate (~half the visited blocks
+        # when S >> bk; at S/bk < 4 nearly every block touches the diagonal
+        # and the cond is pure overhead — measured ±8% either way at S=512,
+        # +37-45% at S=2048-4096, RESULTS.md r4)
+        if seq_len // bk >= 4:
+            interior = (j * bk + bk - 1 <= i * bq) & (j * bk >= start)
+            if window is not None:
+                interior &= j * bk > i * bq + bq - 1 - window
+            s = jax.lax.cond(interior, lambda s: s, apply_mask, s)
+        else:
+            s = apply_mask(s)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
