@@ -546,6 +546,40 @@ def score_logprobs(
 
 
 
+def _split_stacked_quant(layer_params):
+    """(xs_tree, rebuild(idx, xs_slice)) — pull stacked W4A8 weights out of
+    the scan xs so they ride as closure constants addressed through
+    :class:`~lia_tpu.ops.quant.QuantizedWeightRef` (scalar-prefetch Pallas
+    kernel reads blocks straight from the stacked buffer). Scanning them as
+    xs would hand the pallas_call a materialized per-layer slice — a hidden
+    copy ≈ 2.6× the int4 bytes that made model-level W4A8 lose to int8-dyn
+    (RESULTS.md r4). Formats without a stacked kernel scan as before."""
+    from lia_tpu.ops import quant as Q
+
+    pulled = False
+
+    def strip(node):
+        nonlocal pulled
+        if Q.stackable_ref(node):
+            pulled = True
+            return jnp.zeros((node.q.shape[0], 1), jnp.int8)  # cheap xs stub
+        return node
+
+    xs = jax.tree.map(strip, layer_params, is_leaf=Q.is_quantized)
+    if not pulled:
+        return layer_params, lambda idx, sl: sl
+
+    def rebuild(idx, sliced):
+        def f(orig, sl):
+            if Q.stackable_ref(orig):
+                return Q.QuantizedWeightRef(orig.q, orig.s, orig.fmt, orig.z, idx)
+            return sl
+
+        return jax.tree.map(f, layer_params, sliced, is_leaf=Q.is_quantized)
+
+    return xs, rebuild
+
+
 def decode_layers_scan(
     cfg: ModelConfig,
     layer_params: Params,  # stacked [n, ...]
@@ -570,9 +604,11 @@ def decode_layers_scan(
     from lia_tpu.ops.quant import is_quantized_kv, quantize_kv
 
     quantized = is_quantized_kv(ck)
+    xs, rebuild = _split_stacked_quant(layer_params)
 
     def body(h, inputs):
         lp, idx = inputs
+        lp = rebuild(idx, lp)
         residual = h
         q, k, v = attn_in(cfg, lp, h, positions)
         if quantized:
@@ -582,7 +618,7 @@ def decode_layers_scan(
         return h, (k, v)
 
     x, (k_stack, v_stack) = jax.lax.scan(
-        body, x, (layer_params, jnp.arange(n_layers, dtype=jnp.int32))
+        body, x, (xs, jnp.arange(n_layers, dtype=jnp.int32))
     )
     ck = kvc.write_token_all(ck, k_stack, start)
     cv = kvc.write_token_all(cv, v_stack, start)

@@ -104,6 +104,33 @@ def stacked_kernel_enabled() -> bool:
     return True
 
 
+_STACKED_W4A8: Optional[bool] = None
+
+
+def set_stacked_w4a8(v: Optional[bool]) -> None:
+    global _STACKED_W4A8
+    _STACKED_W4A8 = v
+
+
+def stacked_w4a8_enabled() -> bool:
+    """Scalar-prefetch stacked-weight W4A8 gate (fused decode scan pulls
+    int4-dyn weights out of the scan xs; kernel reads blocks straight from
+    the stacked buffer — no per-layer slice copy).
+
+    Default OFF: measured r4 on the v5e, OPT-6.7B b16 fused decode, the
+    stacked route LOSES at model level (747.6 vs 931.9 tok/s) even though it
+    WINS isolated per-call A/Bs (306 vs 353 µs at the qkv shape). XLA's scan
+    lowering overlaps the next layer's xs copy with the current layer's
+    compute, so the 'hidden copy' is pipelined — while the pallas kernel's
+    own block DMA competes with its compute windows (same mechanism as the
+    fused-MLP verdict below). Kept as infrastructure + kill-switch for
+    future toolchains; `set_stacked_w4a8(True)` enables.
+    """
+    if _STACKED_W4A8 is not None:
+        return _STACKED_W4A8
+    return False
+
+
 _FUSED_MLP: Optional[bool] = None
 
 

@@ -243,6 +243,33 @@ def _woq4z_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _w4a8_accumulate(acc_ref, x, xh, packed, slo, shi, gpt: int):
+    """Shared W4A8 tile body: unpack nibbles in-register, per-group int8 MXU
+    dots, deferred per-group scales onto the fp32 accumulator.
+
+    (Two rejected variants, measured r4: an int8-lane XOR/shift unpack —
+    Mosaic does not legalize arith.shli on int8 vectors — and batched
+    per-group dot_general, which lowered ~1.4× SLOWER than the serial
+    per-group loop at decode shapes.)"""
+    q32 = pltpu.bitcast(packed, jnp.int8).astype(jnp.int32)  # [bkh, bn]
+    lo = ((q32 & 0xF) - 8).astype(jnp.int8)
+    hi = (((q32 >> 4) & 0xF) - 8).astype(jnp.int8)
+    bkh = q32.shape[0]
+    g = bkh // gpt
+    for gi in range(gpt):
+        sl = slice(gi * g, (gi + 1) * g)
+        part = jax.lax.dot_general(
+            x[:, sl], lo[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[:] += part.astype(jnp.float32) * slo[gi:gi + 1, :]
+        part = jax.lax.dot_general(
+            xh[:, sl], hi[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[:] += part.astype(jnp.float32) * shi[gi:gi + 1, :]
+
+
 def _w4a8_kernel(
     xlo_ref, xhi_ref, sx_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
     *, n_k: int, gpt: int
@@ -264,26 +291,34 @@ def _w4a8_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q32 = pltpu.bitcast(q_ref[:], jnp.int8).astype(jnp.int32)  # [bkh, bn]
-    lo = ((q32 & 0xF) - 8).astype(jnp.int8)
-    hi = (((q32 >> 4) & 0xF) - 8).astype(jnp.int8)
-    slo, shi = slo_ref[:], shi_ref[:]  # [gpt, bn]
-    bkh = q32.shape[0]
-    g = bkh // gpt
-    x = xlo_ref[:]  # [bm, bkh] int8
-    xh = xhi_ref[:]
-    for gi in range(gpt):
-        sl = slice(gi * g, (gi + 1) * g)
-        part = jax.lax.dot_general(
-            x[:, sl], lo[sl, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        acc_ref[:] += part.astype(jnp.float32) * slo[gi:gi + 1, :]
-        part = jax.lax.dot_general(
-            xh[:, sl], hi[sl, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        acc_ref[:] += part.astype(jnp.float32) * shi[gi:gi + 1, :]
+    _w4a8_accumulate(
+        acc_ref, xlo_ref[:], xhi_ref[:], q_ref[:], slo_ref[:], shi_ref[:], gpt
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * sx_ref[:]).astype(o_ref.dtype)
+
+
+def _w4a8_kernel_stacked(
+    li_ref, xlo_ref, xhi_ref, sx_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
+    *, n_k: int, gpt: int
+):
+    """Stacked-layer W4A8 grid cell: weight blocks carry a leading layer axis
+    selected by the prefetched scalar index — the fused decode scan passes the
+    FULL [L, K/2, N] packed array and the loop counter, so no per-layer
+    dynamic-slice copy ever materializes (XLA fuses slices into dots, but a
+    pallas_call operand must be a real buffer: the copy cost the int4 path
+    1.64× at model level — RESULTS.md r4)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _w4a8_accumulate(
+        acc_ref, xlo_ref[:], xhi_ref[:], q_ref[0], slo_ref[0], shi_ref[0], gpt
+    )
 
     @pl.when(k == n_k - 1)
     def _():
@@ -308,15 +343,26 @@ def _w4a8z_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q32 = pltpu.bitcast(q_ref[:], jnp.int8).astype(jnp.int32)  # [bkh, bn]
+    _w4a8z_accumulate(
+        acc_ref, xlo_ref[:], xhi_ref[:], q_ref[:],
+        slo_ref[:], shi_ref[:], zlo_ref[:], zhi_ref[:], gpt,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * sx_ref[:]).astype(o_ref.dtype)
+
+
+def _w4a8z_accumulate(acc_ref, x, xh, packed, slo, shi, zlo, zhi, gpt: int):
+    """Shared asymmetric-W4A8 tile body (zp as rank-1 rowsum correction).
+
+    Raw codes 0..15 rebase by −8; the wrapper passes z−8 so the math
+    matches :func:`_w4a8_accumulate` plus one rowsum per (tile, group)."""
+    q32 = pltpu.bitcast(packed, jnp.int8).astype(jnp.int32)  # [bkh, bn]
     lo = ((q32 & 0xF) - 8).astype(jnp.int8)
     hi = (((q32 >> 4) & 0xF) - 8).astype(jnp.int8)
-    slo, shi = slo_ref[:], shi_ref[:]  # [gpt, bn]
-    zlo, zhi = zlo_ref[:], zhi_ref[:]  # [gpt, bn] (z − 8)
     bkh = q32.shape[0]
     g = bkh // gpt
-    x = xlo_ref[:]
-    xh = xhi_ref[:]
     for gi in range(gpt):
         sl = slice(gi * g, (gi + 1) * g)
         xg = x[:, sl]
@@ -333,6 +379,23 @@ def _w4a8z_kernel(
         )
         rowsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
         acc_ref[:] += (part.astype(jnp.float32) - rowsum * zhi[gi:gi + 1, :]) * shi[gi:gi + 1, :]
+
+
+def _w4a8z_kernel_stacked(
+    li_ref, xlo_ref, xhi_ref, sx_ref, q_ref, slo_ref, shi_ref, zlo_ref,
+    zhi_ref, o_ref, acc_ref, *, n_k: int, gpt: int
+):
+    """Stacked-layer asymmetric W4A8 grid cell (see _w4a8_kernel_stacked)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _w4a8z_accumulate(
+        acc_ref, xlo_ref[:], xhi_ref[:], q_ref[0],
+        slo_ref[0], shi_ref[0], zlo_ref[0], zhi_ref[0], gpt,
+    )
 
     @pl.when(k == n_k - 1)
     def _():
@@ -419,6 +482,105 @@ def w4a8_matmul(
         ],
         **common,
     )(xq, xq, sx, q, s_lo, s_hi, z_lo, z_hi)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_m", "block_n", "block_k", "interpret", "out_dtype"),
+)
+def w4a8_matmul_stacked(
+    xq: jnp.ndarray,  # [M, K] int8 (pre-quantized activations)
+    sx: jnp.ndarray,  # [M, 1] f32 per-token act scales
+    q: jnp.ndarray,  # [L, K//2, N] packed uint8 — the FULL layer stack
+    s: jnp.ndarray,  # [L, ng, N] f32 weight scales
+    z: jnp.ndarray | None,  # [L, ng, N] f32 zero-points or None
+    layer: jnp.ndarray,  # scalar int32 — which layer's weights to use
+    group_size: int = -1,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 1024,
+    interpret: bool | None = None,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """W4A8 matmul against ONE layer of a stacked weight array, selected by a
+    prefetched scalar index — for the fused decode scan over layers.
+
+    The plain :func:`w4a8_matmul` inside ``lax.scan`` receives a per-layer
+    dynamic-slice, which XLA must MATERIALIZE as a copy for a pallas_call
+    operand (unlike dots, where the slice fuses into the read). That copy is
+    ~2.6× the int4 bytes of extra HBM traffic and made model-level W4A8 lose
+    to int8-dyn (931.9 vs 1041.4 tok/s, r4) while winning every isolated
+    shape. Here the kernel's weight index_maps read blocks straight out of
+    the stacked buffer at ``layer`` (same scalar-prefetch pattern as the
+    paged/stacked attention kernels).
+    """
+    M, K = xq.shape
+    L, _, N = q.shape
+    ng = s.shape[1]
+    g = K // ng
+    assert group_size in (-1, g), f"scale table implies group {g}"
+    interpret = _interpret_default() if interpret is None else interpret
+
+    bm = min(block_m, M)
+    bn = min(block_n, N)
+    Kh = K // 2
+    bkh, gpt = _int4_tiles(K, g, ng, block_k)
+    assert M % bm == 0 and N % bn == 0 and Kh % bkh == 0, (M, N, K, bm, bn, bkh)
+    n_k = Kh // bkh
+
+    ngh = max(1, ng // 2)
+    s_lo, s_hi = (s, s) if ng == 1 else (s[:, :ngh], s[:, ngh:])
+
+    def s_idx(i, j, k, li):
+        # see w4a8_matmul.s_idx: one (gpt, bn) scale block per K tile unless a
+        # single block covers the half's groups
+        return (li[0], 0, j) if gpt >= ngh else (li[0], k, j)
+
+    x_specs = [
+        pl.BlockSpec((bm, bkh), lambda i, j, k, li: (i, k)),
+        pl.BlockSpec((bm, bkh), lambda i, j, k, li: (i, k + n_k)),
+        pl.BlockSpec((bm, 1), lambda i, j, k, li: (i, 0)),
+    ]
+    w_specs = [
+        pl.BlockSpec((1, bkh, bn), lambda i, j, k, li: (li[0], k, j)),
+        pl.BlockSpec((1, gpt, bn), s_idx),
+        pl.BlockSpec((1, gpt, bn), s_idx),
+    ]
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        interpret=interpret,
+    )
+    if z is None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(M // bm, N // bn, n_k),
+            in_specs=x_specs + w_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, li: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
+        return pl.pallas_call(
+            functools.partial(_w4a8_kernel_stacked, n_k=n_k, gpt=gpt),
+            grid_spec=grid_spec,
+            **common,
+        )(layer, xq, xq, sx, q, s_lo, s_hi)
+    z8 = z - 8.0
+    z_lo, z_hi = (z8, z8) if ng == 1 else (z8[:, :ngh], z8[:, ngh:])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // bm, N // bn, n_k),
+        in_specs=x_specs + w_specs + [
+            pl.BlockSpec((1, gpt, bn), s_idx),
+            pl.BlockSpec((1, gpt, bn), s_idx),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, li: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_w4a8z_kernel_stacked, n_k=n_k, gpt=gpt),
+        grid_spec=grid_spec,
+        **common,
+    )(layer, xq, xq, sx, q, s_lo, s_hi, z_lo, z_hi)
 
 
 def _int4_tiles(K: int, g: int, ng: int, block_k: int):

@@ -91,7 +91,66 @@ class QuantizedWeight:
 
 
 def is_quantized(w: Any) -> bool:
-    return isinstance(w, QuantizedWeight)
+    return isinstance(w, (QuantizedWeight, QuantizedWeightRef))
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedWeightRef:
+    """One layer's view into a STACKED QuantizedWeight, selected by a traced
+    index — built by the fused decode scan so the W4A8 Pallas kernel can read
+    weight blocks straight out of the stacked buffer (scalar-prefetch
+    index_map) instead of consuming a per-layer dynamic-slice.
+
+    Why: XLA fuses a leading-dim slice into a consuming dot, but a
+    ``pallas_call`` operand must be a materialized buffer, so scanning sliced
+    int4 weights pays a hidden copy ≈ 2.6× the packed bytes — measured 1.64×
+    per call and the reason model-level W4A8 lost to int8-dyn in r4
+    (RESULTS.md). Formats without a stacked kernel fall back to an eager
+    slice in :func:`quantized_matmul` (identical to the old behavior).
+    """
+
+    __slots__ = ("q", "s", "fmt", "z", "idx")
+
+    def __init__(self, q, s, fmt: str, z, idx):
+        self.q = q  # [L, ...] stacked
+        self.s = s
+        self.fmt = fmt
+        self.z = z
+        self.idx = idx  # scalar int32 layer index (traced)
+
+    def tree_flatten(self):
+        return (self.q, self.s, self.z, self.idx), self.fmt
+
+    @classmethod
+    def tree_unflatten(cls, fmt, children):
+        return cls(children[0], children[1], fmt, children[2], children[3])
+
+    def sliced(self) -> "QuantizedWeight":
+        """Eager per-layer slice (the XLA fallback path)."""
+        take = lambda a: (
+            None if a is None else jax.lax.dynamic_index_in_dim(a, self.idx, 0, False)
+        )
+        return QuantizedWeight(take(self.q), take(self.s), self.fmt, take(self.z))
+
+
+_STACKED_KERNEL_FMTS = ("woq_int4_dyn", "woq_int4z_dyn")
+
+
+def stackable_ref(rec) -> bool:
+    """Should the fused decode scan pull this stacked weight out of the scan
+    xs and address it via :class:`QuantizedWeightRef`? Only formats with a
+    stacked Pallas kernel benefit; everything else scans as before (XLA fuses
+    the slice into the dot for free)."""
+    from lia_tpu.ops import dispatch
+
+    return (
+        isinstance(rec, QuantizedWeight)
+        and rec.fmt in _STACKED_KERNEL_FMTS
+        and rec.q.ndim == 3  # stacked [L, K/2, N]
+        and dispatch.use_pallas()
+        and dispatch.stacked_w4a8_enabled()  # default OFF — measured slower
+        # at model level than XLA's pipelined scan-xs copies (see dispatch)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -450,6 +509,40 @@ def _pallas_woq_viable(x2d, rec) -> bool:
     return True
 
 
+def _stacked_ref_matmul(x: jnp.ndarray, rec: "QuantizedWeightRef"):
+    """W4A8 against one layer of a stacked weight via the scalar-prefetch
+    kernel, or None → caller slices eagerly (old behavior). Mirrors the
+    woq_int4_dyn / woq_int4z_dyn fused branches of :func:`quantized_matmul`.
+    """
+    if rec.fmt not in _STACKED_KERNEL_FMTS or rec.q.ndim != 3:
+        return None
+    if rec.fmt == "woq_int4z_dyn" and rec.z is None:
+        return None
+    ng = rec.s.shape[-2]
+    if not (ng == 1 or ng % 2 == 0):
+        return None
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = rec.q.shape[-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    blocks = _w4a8_blocks(M, K, N, ng)
+    if blocks is None:
+        return None
+    from lia_tpu.ops.pallas_matmul import w4a8_matmul_stacked
+
+    s_x = jnp.max(jnp.abs(x2).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-8)
+    xq = jnp.round(x2.astype(jnp.float32) / s_x).astype(jnp.int8)
+    bm, bn = blocks
+    z = rec.z if rec.fmt == "woq_int4z_dyn" else None
+    out = w4a8_matmul_stacked(
+        xq, s_x, rec.q, rec.s, z, rec.idx,
+        group_size=-1 if ng == 1 else K // ng, block_m=bm, block_n=bn,
+    )
+    return out.reshape(*lead, N)
+
+
 def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
     """x @ dequant(rec) with fp32 accumulation; returns fp32.
 
@@ -458,6 +551,11 @@ def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
     dequantized in-register before the MXU, so HBM traffic is the quantized
     bytes. Fallback is the XLA ``convert → scale → dot`` form.
     """
+    if isinstance(rec, QuantizedWeightRef):
+        out = _stacked_ref_matmul(x, rec)
+        if out is not None:
+            return out
+        rec = rec.sliced()  # no stacked kernel for this shape — old behavior
     if rec.fmt == "static_int8":
         # W8A8: static per-tensor act quant → int8×int8→int32 MXU dot → rescale.
         # XLA lowers the int8 dot to the MXU's double-rate int8 mode natively;
