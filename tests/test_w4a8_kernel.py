@@ -232,6 +232,9 @@ def test_decode_scan_stacked_ref_parity(rng, monkeypatch):
     monkeypatch.setattr(dispatch, "_FORCE", True)
     monkeypatch.setattr(dispatch, "_INTERPRET", True)
     monkeypatch.setattr(dispatch, "_STACKED_W4A8", True)  # gate default-off
+    # _TP_ACTIVE is process-sticky (set by any earlier TP-mesh test) and
+    # would silently turn use_pallas() off — neutralize for this test
+    monkeypatch.setattr(dispatch, "_TP_ACTIVE", False)
     from lia_tpu.ops import quant as Q
 
     assert any(
