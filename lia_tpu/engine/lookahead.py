@@ -551,8 +551,10 @@ def generate_draft_speculative_sampled(
     if gen.num_beams > 1:
         raise NotImplementedError("speculation composes with greedy/sampling only")
     _reject_processors(gen)
-    if engine.scheduler is not None or draft_engine.scheduler is not None:
-        raise NotImplementedError("speculation runs on the resident engine path")
+    if draft_engine.scheduler is not None:
+        # the draft is the SMALL model — keep it resident; only the target
+        # streams (tiered target verify composes via scheduler.verify_pass)
+        raise NotImplementedError("the draft model must be resident")
     if draft_engine.cfg.vocab_size != engine.cfg.vocab_size:
         # the on-device acceptance math subtracts q from p elementwise, so the
         # warped distributions must live over the SAME vocab (the greedy path
@@ -567,18 +569,56 @@ def generate_draft_speculative_sampled(
     max_len = -(-(S + gen.max_new_tokens + C) // 128) * 128
     rng = np.random.default_rng(seed)
 
-    cache = kvc.init_cache(
-        cfg, B, max_len, jnp.dtype(cfg.dtype),
-        quantized=engine.runtime.quant.kv_cache_dtype == "int8",
-    )
-    logits, cache = engine._get_prefill()(
-        engine.params, jnp.asarray(tokens), jnp.asarray(mask), cache
-    )
+    sched = engine.scheduler
+    if sched is not None:
+        # tiered TARGET: prefill + chunk verifies run through the scheduler
+        # (each streamed layer's weights transfer once per C candidates)
+        logits, _state0 = sched.prefill_pass(
+            jnp.asarray(tokens), jnp.asarray(mask), max_len
+        )
+        _holder = {"state": sched.ragged_state(_state0)}
+
+        def verify_probs(chunk, positions):
+            ps, _holder["state"] = sched.verify_pass(
+                jnp.asarray(chunk), jnp.asarray(positions), _holder["state"],
+                probs_gen=gen,
+            )
+            return ps
+
+        def advance_target(accept):
+            _holder["state"] = sched.accept_state(
+                _holder["state"], jnp.asarray(accept)
+            )
+    else:
+        cache = kvc.init_cache(
+            cfg, B, max_len, jnp.dtype(cfg.dtype),
+            quantized=engine.runtime.quant.kv_cache_dtype == "int8",
+        )
+        logits, cache = engine._get_prefill()(
+            engine.params, jnp.asarray(tokens), jnp.asarray(mask), cache
+        )
+        cache = cache._replace(length=jnp.full((B,), int(cache.length), jnp.int32))
+        _verify = engine._compiled.setdefault(
+            ("spec_verify_sampled", C, gen.temperature, gen.top_k, gen.top_p),
+            _verify_sampled_fn(cfg, gen),
+        )
+        _advance = engine._compiled.setdefault("spec_advance", _accept_fn())
+        _holder = {"cache": cache}
+
+        def verify_probs(chunk, positions):
+            ps, _holder["cache"] = _verify(
+                engine.params, jnp.asarray(chunk), jnp.asarray(positions),
+                _holder["cache"],
+            )
+            return ps
+
+        def advance_target(accept):
+            _holder["cache"] = _advance(_holder["cache"], jnp.asarray(accept))
+
     p0 = np.asarray(sampling.warped_probs(logits, gen))  # [B, V]
     pending = np.array(
         [rng.choice(p0.shape[1], p=p0[b] / p0[b].sum()) for b in range(B)], np.int32
     )
-    cache = cache._replace(length=jnp.full((B,), int(cache.length), jnp.int32))
 
     dcache = kvc.init_cache(
         dcfg, B, max_len, jnp.dtype(dcfg.dtype),
@@ -595,11 +635,6 @@ def generate_draft_speculative_sampled(
     done = [gen.eos_token_id is not None and out[b][0] == gen.eos_token_id
             for b in range(B)]
 
-    verify = engine._compiled.setdefault(
-        ("spec_verify_sampled", C, gen.temperature, gen.top_k, gen.top_p),
-        _verify_sampled_fn(cfg, gen),
-    )
-    advance = engine._compiled.setdefault("spec_advance", _accept_fn())
     draft_loop = draft_engine._compiled.setdefault(
         ("spec_draft_sampled", k, gen.temperature, gen.top_k, gen.top_p),
         _draft_loop_sampled_fn(dcfg, k, gen),
@@ -617,9 +652,7 @@ def generate_draft_speculative_sampled(
         props_np = np.asarray(props)  # [B, k] — small
         chunk = np.concatenate([pending[:, None], props_np], axis=1)
         positions = n_real[:, None] + np.arange(C, dtype=np.int32)[None, :]
-        ps, cache = verify(
-            engine.params, jnp.asarray(chunk), jnp.asarray(positions), cache
-        )
+        ps = verify_probs(chunk, positions)
         # acceptance runs on-device over the full distributions; only [B]
         # counts/tokens come back (no [B, k, V] host ship through the relay)
         a_dev, extra_dev = accept_fn(props, qs, ps, sub2)
@@ -640,7 +673,7 @@ def generate_draft_speculative_sampled(
             pending[b] = new_toks[-1]
         n_real = n_real + accept
         abs_len = abs_len + accept
-        cache = advance(cache, jnp.asarray(accept))
+        advance_target(accept)
         dcache = rewind(dcache, jnp.asarray(abs_len))
 
     pad = gen.pad_token_id

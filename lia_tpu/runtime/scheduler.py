@@ -954,6 +954,19 @@ class StreamingScheduler:
 
         return self._jit("verify_head", f)
 
+    def _verify_probs_head_fn(self, gen):
+        """Warped target distributions p [B, C, V] over the chunk — the head
+        the SAMPLED speculation acceptance needs (Leviathan p/q math)."""
+        cfg = self.cfg
+        from lia_tpu.ops import sampling
+
+        def f(top, x):
+            return sampling.warped_probs(T.lm_head(cfg, top, x), gen)
+
+        return self._jit(
+            ("verify_head_probs", gen.temperature, gen.top_k, gen.top_p), f
+        )
+
     @staticmethod
     def _chunk_slot_mask(cache, C: int):
         ones = jnp.ones((C,), jnp.bool_)
@@ -1015,10 +1028,13 @@ class StreamingScheduler:
 
         return self._jit("verify_layer", f, donate_argnums=(2,))
 
-    def verify_pass(self, tokens, positions, state):
+    def verify_pass(self, tokens, positions, state, probs_gen=None):
         """Run C candidate tokens through both segments; returns (per-position
-        greedy argmax [B, C], state with the chunk's K/V written). Mask/length
-        advance separately by the ACCEPTED amount (:meth:`accept_state`)."""
+        head output, state with the chunk's K/V written). The head is greedy
+        argmax [B, C] by default, or warped probs [B, C, V] when ``probs_gen``
+        (a GenerationConfig) is given — the sampled-speculation acceptance
+        input. Mask/length advance separately by the ACCEPTED amount
+        (:meth:`accept_state`)."""
         if not self.tpu_kv_plans:
             raise NotImplementedError(
                 "the chunked verify pass needs TPU-KV streaming plans; "
@@ -1046,8 +1062,13 @@ class StreamingScheduler:
                     _pending.append(x)
                     if len(_pending) > max(1, self.runtime.max_inflight_layers):
                         jax.block_until_ready(_pending.popleft())
-        greedy = self._verify_head_fn()(self.top, x)
-        return greedy, {"res": res, "str": strc}
+        head = (
+            self._verify_head_fn()
+            if probs_gen is None
+            else self._verify_probs_head_fn(probs_gen)
+        )
+        out = head(self.top, x)
+        return out, {"res": res, "str": strc}
 
     def accept_state(self, state, accept):
         """Advance both segments' mask/length by the accepted amount (the

@@ -232,3 +232,41 @@ def test_speculative_scheduler_host_policy_raises(model):
     with pytest.raises(NotImplementedError, match="TPU-KV"):
         eng.generate_speculative([[7, 7, 8, 7, 7, 8]],
                                  GenerationConfig(max_new_tokens=4))
+
+
+def test_draft_speculative_sampled_scheduler_target(model):
+    """SAMPLED two-model speculation with a tiered target: top_k=1 warping
+    makes the acceptance math degenerate to greedy-exact, so the streamed
+    composition (scheduler.verify_pass(probs_gen=...)) is pinnable bit-for-
+    bit against the plain greedy reference."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=10, do_sample=True, top_k=1)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    ref = InferenceEngine(cfg, params).generate(
+        prompts, GenerationConfig(max_new_tokens=10)
+    ).sequences
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    target = InferenceEngine(cfg, params, rt)
+    draft = InferenceEngine(cfg, params)  # perfect draft (same model)
+    seqs, steps = target.generate_speculative_draft(draft, prompts, gen, k=4)
+    np.testing.assert_array_equal(seqs, np.asarray(ref))
+    assert steps <= -(-gen.max_new_tokens // 5) + 1
+
+
+def test_draft_speculative_sampled_scheduler_target_stochastic(model):
+    """Stochastic smoke on the tiered sampled path: valid tokens, right
+    shapes, and the resident-path sampler with the same seed agrees (the two
+    paths share the acceptance math and per-step RNG stream)."""
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=8, do_sample=True, temperature=0.9, top_k=20)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+    draft = InferenceEngine(cfg, params)
+    res_seqs, _ = InferenceEngine(cfg, params).generate_speculative_draft(
+        draft, prompts, gen, k=3, seed=7
+    )
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    tiered = InferenceEngine(cfg, params, rt)
+    seqs, steps = tiered.generate_speculative_draft(draft, prompts, gen, k=3, seed=7)
+    assert seqs.shape == (2, gen.max_new_tokens)
+    assert (seqs >= 0).all() and (seqs < cfg.vocab_size).all()
+    np.testing.assert_array_equal(seqs, res_seqs)
