@@ -201,6 +201,8 @@ class RuntimeConfig:
     max_inflight_layers: int = 2
     fuse_projections: bool = True  # concat q/k/v + gate/up weights (ops/fuse.py)
     use_pallas: bool = True  # use Pallas kernels (False => pure-XLA fallback)
+    tp_pallas: bool = True  # shard_map the Pallas kernels under a TP mesh
+    # (False => jnp paths under TP, the pre-r5 conservative behavior)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model) mesh axes
     mesh_axis_names: Tuple[str, ...] = ("data", "model")
     quant: QuantConfig = QuantConfig()

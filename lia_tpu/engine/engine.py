@@ -111,11 +111,15 @@ class InferenceEngine:
             dispatch.set_use_pallas(False)  # --no-pallas kill-switch
         if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
             # Pallas kernels are per-chip programs; GSPMD won't partition a
-            # pallas_call, so under a real TP mesh they'd force all-gathers of
-            # the sharded operands. Route everything through the jnp paths
-            # (which GSPMD partitions) until the kernels are shard_map-wrapped
-            # and multi-chip-validated. See dispatch.set_tp_active.
+            # pallas_call. With tp_pallas (default), register the mesh so the
+            # dispatched entry points wrap each kernel in shard_map with
+            # per-shard shapes (heads/features on "model" — the analog of the
+            # reference running AMX kernels on every TP rank,
+            # reference decoder.py:60-77). The kill-switch falls back to the
+            # jnp paths, which GSPMD partitions. See dispatch.set_tp_mesh.
             dispatch.set_tp_active(True)
+            if runtime.tp_pallas and runtime.use_pallas:
+                dispatch.set_tp_mesh(mesh)
         if runtime.fuse_projections and mesh is None:
             from lia_tpu.ops.fuse import fuse_projections
 

@@ -126,6 +126,13 @@ def _make_verify(engine, tokens, mask, max_len: int, C: int):
     B = tokens.shape[0]
     sched = engine.scheduler
     if sched is not None:
+        if not sched.tpu_kv_plans:
+            # reject BEFORE the (possibly expensive streamed) prefill runs —
+            # verify_pass would raise the same afterwards (ADVICE r4)
+            raise NotImplementedError(
+                "the chunked verify pass needs TPU-KV streaming plans; "
+                "host-placement policies have no chunk attention kernel"
+            )
         logits, state_0 = sched.prefill_pass(tokens, mask, max_len)
         pending = np.array(jnp.argmax(logits, -1).astype(jnp.int32))
         holder = {"state": sched.ragged_state(state_0)}
@@ -571,6 +578,12 @@ def generate_draft_speculative_sampled(
 
     sched = engine.scheduler
     if sched is not None:
+        if not sched.tpu_kv_plans:
+            # reject BEFORE the streamed prefill runs (ADVICE r4)
+            raise NotImplementedError(
+                "the chunked verify pass needs TPU-KV streaming plans; "
+                "host-placement policies have no chunk attention kernel"
+            )
         # tiered TARGET: prefill + chunk verifies run through the scheduler
         # (each streamed layer's weights transfer once per C candidates)
         logits, _state0 = sched.prefill_pass(

@@ -117,9 +117,12 @@ class ContinuousBatcher:
         most the smallest remaining budget across active slots beyond the
         slot-free event it was already waiting for (after admission, queued ==
         no free slot), so blocks keep shortening as a slot nears its finish.
-        Composes with slab and paged storage, TP meshes, and per-row sampling;
-        logits processors, speculation, and the streaming scheduler keep the
-        per-step path (they need host work between steps)."""
+        Composes with slab and paged storage, TP meshes, per-row sampling, and
+        (r5) the in-graph logits processors — repetition penalty and
+        min-new-tokens ride the fused scan with the ``seen`` bitmap updated
+        in-graph; only no-repeat-ngram (host-computed ban lists) forces the
+        per-step path, as do speculation and the streaming scheduler (host
+        work between steps)."""
         self.cfg = cfg
         self.gen = gen
         self.B = max_batch
@@ -252,19 +255,24 @@ class ContinuousBatcher:
         self.speculate_k = speculate_k
         self.speculate_ngram = speculate_ngram
         if speculate_k is not None:
-            if self.sched is not None or mesh is not None:
+            if mesh is not None:
                 raise NotImplementedError(
-                    "speculative serving runs on the resident (slab or paged) "
-                    "path. ×scheduler: needs a (k+1)-token chunk pass over "
-                    "the scheduler's segment caches (prefill assumes fresh "
-                    "caches, decode assumes one token) — worth building: a "
-                    "verify chunk would stream each layer's weights once per "
-                    "k+1 candidates, cutting streamed decode's dominant cost "
-                    "by the acceptance factor. ×TP mesh: the draft would "
-                    "replicate per shard and each verify adds two psums × "
-                    "k+1 positions; at draft sizes where speculation pays, "
-                    "ICI latency eats the step savings."
+                    "speculative serving ×TP mesh: the draft would replicate "
+                    "per shard and each verify adds two psums × k+1 "
+                    "positions; at draft sizes where speculation pays, ICI "
+                    "latency eats the step savings."
                 )
+            if self.sched is not None and not self.sched.tpu_kv_plans:
+                raise NotImplementedError(
+                    "speculative serving over the streaming scheduler needs "
+                    "TPU-KV streaming plans (policy-3 tiering); "
+                    "host-placement policies have no chunk attention kernel"
+                )
+            # ×scheduler (r5): each verify chunk streams every layer's weights
+            # ONCE for all k+1 candidates via sched.verify_pass, cutting
+            # streamed decode's dominant cost (weight transfer) by the
+            # acceptance factor — the serving-level form of the engine
+            # composition measured 2.49×/1.81× in r4 (RESULTS.md).
             # draft speculation composes with paged targets and chunked
             # admission: the draft's slab cache is prefilled per admission
             # (_draft_admit) independent of the target's storage
@@ -299,8 +307,13 @@ class ContinuousBatcher:
             self.dlen = np.zeros(max_batch, np.int64)  # host mirror of lengths
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.tokens = np.full(max_batch, gen.pad_token_id, np.int32)
-        if prefill_chunk is not None and (self.sched is not None or mesh is not None):
-            raise ValueError("prefill_chunk composes with resident (slab or paged) serving only")
+        if prefill_chunk is not None and self.sched is not None:
+            raise ValueError(
+                "prefill_chunk composes with resident (slab or paged) serving "
+                "only — the scheduler's streamed prefill already minibatches "
+                "per layer; chunking it would re-stream every layer's weights "
+                "per chunk (docs/serving.md matrix)"
+            )
         self.prefill_chunk = prefill_chunk
         self._pending = None  # in-flight chunked admission state
         self.queue: Deque[Request] = deque()
@@ -706,6 +719,8 @@ class ContinuousBatcher:
                     quantized=self.cache is not None
                     and not isinstance(self.cache.k, jnp.ndarray),
                 )
+                if self._cache_shardings is not None:  # chunked × TP mesh
+                    seg = jax.device_put(seg, self._cache_shardings)
             self._pending = [req, slot, seg, toks, mask, 0, plan]
         req, slot, seg, toks, mask, off, plan = self._pending
         logits, seg = self._chunk_fn(C)(
@@ -796,6 +811,8 @@ class ContinuousBatcher:
                 self._rng, sub = jax.random.split(self._rng)
                 first = self._sample_one(logits, sub, req)
                 self.state = self.sched.insert_slot_state(self.state, seg_state, slot)
+                if self.draft is not None:
+                    self._draft_admit(tokens, mask, slot, bucket)
             else:
                 seg = kvc.init_cache(
                     self.cfg, 1, self.max_len,
@@ -942,6 +959,19 @@ class ContinuousBatcher:
                 ps = self._compiled[skey](logits)
             else:
                 greedy = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        elif self.sched is not None:
+            # tiered verify: ONE chunked pass streams every layer's weights
+            # once for all k+1 candidates (runtime/scheduler.py verify_pass)
+            if sampled:
+                ps, self.state = self.sched.verify_pass(
+                    jnp.asarray(chunk), jnp.asarray(positions), self.state,
+                    probs_gen=g,
+                )
+            else:
+                greedy, self.state = self.sched.verify_pass(
+                    jnp.asarray(chunk), jnp.asarray(positions), self.state
+                )
+                greedy = np.asarray(greedy)
         elif sampled:
             vkey = ("spec_verify_sampled", C, g.temperature, g.top_k, g.top_p)
             if vkey not in self._compiled:
@@ -1005,6 +1035,8 @@ class ContinuousBatcher:
             # slots that FINISHED this step already released their pages and
             # zeroed their length in _maybe_finish — don't re-advance them
             self.kv_lengths = self.kv_lengths + accept * self.active
+        elif self.sched is not None:
+            self.state = self.sched.accept_state(self.state, jnp.asarray(accept))
         else:
             if "spec_advance" not in self._compiled:
                 self._compiled["spec_advance"] = la._accept_fn()
@@ -1038,8 +1070,13 @@ class ContinuousBatcher:
             or self._pending is not None
             or self.speculate_k is not None
             or self.sched is not None
-            or self.use_processors
         ):
+            return 1
+        if self.use_processors and (self.s_ngram > 0).any():
+            # repetition_penalty / min_new_tokens ride the fused scan in-graph
+            # (seen bitmap + per-slot vectors); no-repeat-ngram ban lists are
+            # computed host-side from each slot's un-padded history, so any
+            # slot with ngram active keeps the per-step path
             return 1
         remaining = [
             self.slot_req[b].max_new_tokens - len(self.slot_req[b].output)
@@ -1050,58 +1087,80 @@ class ContinuousBatcher:
             return 1
         return max(1, min(self.fused_steps, min(remaining)))
 
-    def _fused_decode_fn(self, k: int, greedy_all: bool):
-        """k decode+sample steps under one jit (lax.scan); returns [k, B] tokens."""
-        key = ("fused", k, greedy_all, self.paged)
+    def _fused_decode_fn(self, k: int, greedy_all: bool, proc: bool):
+        """k decode+sample steps under one jit (lax.scan); returns [k, B] tokens.
+
+        ``proc``: apply the per-slot logits processors IN-GRAPH each scan step
+        (repetition-penalty over the ``seen`` presence bitmap + min-new-tokens
+        EOS suppression, with the bitmap updated inside the scan) — the
+        serving analog of the engine's fused-loop processors
+        (engine.py _get_fused_decode). ``p`` = (seen, rep, minnew, gen0) where
+        ``gen0`` counts tokens already generated per slot at block entry."""
+        key = ("fused", k, greedy_all, self.paged, proc)
         if key in self._compiled:
             return self._compiled[key]
         cfg = self.cfg
+        eos = self.gen.eos_token_id
+
+        def emit(logits, sub, s, active, p, j):
+            if proc:
+                seen, rep, minnew, gen0 = p
+                suppress = active & (gen0 + j < minnew)
+                logits = sampling.process_logits_rows(
+                    logits, seen, rep, suppress, eos
+                )
+            nxt = (
+                sampling.greedy(logits)
+                if greedy_all
+                else sampling.sample_per_row(logits, sub, *s)
+            )
+            if proc:
+                seen, rep, minnew, gen0 = p
+                p = (sampling.mark_seen(seen, nxt, active), rep, minnew, gen0)
+            return nxt, p
 
         if self.paged:
             from lia_tpu.ops import paged as pg
 
-            def fused(params, tokens, pos, k_pool, v_pool, table, lengths, active, rng, s):
+            def fused(params, tokens, pos, k_pool, v_pool, table, lengths,
+                      active, rng, s, p):
                 adv = active.astype(jnp.int32)
 
-                def body(carry, _):
-                    tok, pos, kp, vp, ln, rng = carry
+                def body(carry, j):
+                    tok, pos, kp, vp, ln, rng, p = carry
                     logits, kp, vp = pg.decode_step_paged(
                         cfg, params, tok[:, None], pos, kp, vp, table, ln, active
                     )
                     rng, sub = jax.random.split(rng)
-                    nxt = (
-                        sampling.greedy(logits)
-                        if greedy_all
-                        else sampling.sample_per_row(logits, sub, *s)
-                    )
-                    return (nxt, pos + adv, kp, vp, ln + adv, rng), nxt
+                    nxt, p = emit(logits, sub, s, active, p, j)
+                    return (nxt, pos + adv, kp, vp, ln + adv, rng, p), nxt
 
-                carry = (tokens, pos, k_pool, v_pool, lengths, rng)
-                (_, _, kp, vp, _, _), out = jax.lax.scan(body, carry, None, length=k)
-                return out, kp, vp
+                carry = (tokens, pos, k_pool, v_pool, lengths, rng, p)
+                (_, _, kp, vp, _, _, p), out = jax.lax.scan(
+                    body, carry, jnp.arange(k, dtype=jnp.int32)
+                )
+                return out, kp, vp, (p[0] if proc else None)
 
             fn = jax.jit(fused, donate_argnums=(3, 4))
         else:
 
-            def fused(params, tokens, pos, cache, active, rng, s):
+            def fused(params, tokens, pos, cache, active, rng, s, p):
                 adv = active.astype(jnp.int32)
 
-                def body(carry, _):
-                    tok, pos, cache, rng = carry
+                def body(carry, j):
+                    tok, pos, cache, rng, p = carry
                     logits, cache = T.decode_step_ragged(
                         cfg, params, tok[:, None], pos, cache, active
                     )
                     rng, sub = jax.random.split(rng)
-                    nxt = (
-                        sampling.greedy(logits)
-                        if greedy_all
-                        else sampling.sample_per_row(logits, sub, *s)
-                    )
-                    return (nxt, pos + adv.astype(pos.dtype), cache, rng), nxt
+                    nxt, p = emit(logits, sub, s, active, p, j)
+                    return (nxt, pos + adv.astype(pos.dtype), cache, rng, p), nxt
 
-                carry = (tokens, pos, cache, rng)
-                (_, _, cache, _), out = jax.lax.scan(body, carry, None, length=k)
-                return out, cache
+                carry = (tokens, pos, cache, rng, p)
+                (_, _, cache, _, p), out = jax.lax.scan(
+                    body, carry, jnp.arange(k, dtype=jnp.int32)
+                )
+                return out, cache, (p[0] if proc else None)
 
             fn = jax.jit(fused, donate_argnums=(3,))
         self._compiled[key] = fn
@@ -1122,24 +1181,36 @@ class ContinuousBatcher:
                     jnp.asarray(self.s_topp), jnp.asarray(self.s_greedy),
                 )
             s = self._s_dev
+        proc = self.use_processors
+        if proc:
+            gen0 = np.array([
+                len(self.slot_req[b].output) if self.slot_req[b] is not None else 0
+                for b in range(self.B)
+            ], np.int32)
+            p = (self.seen, jnp.asarray(self.s_rep), jnp.asarray(self.s_minnew),
+                 jnp.asarray(gen0))
+        else:
+            p = None
         self._rng, sub = jax.random.split(self._rng)
-        fn = self._fused_decode_fn(k, greedy_all)
+        fn = self._fused_decode_fn(k, greedy_all, proc)
         active = jnp.asarray(self.active)
         if self.paged:
-            out, self.k_pool, self.v_pool = fn(
+            out, self.k_pool, self.v_pool, seen = fn(
                 self.params, jnp.asarray(self.tokens),
                 jnp.asarray(self.logical_pos, jnp.int32),
                 self.k_pool, self.v_pool, jnp.asarray(self.block_table),
-                jnp.asarray(self.kv_lengths, jnp.int32), active, sub, s,
+                jnp.asarray(self.kv_lengths, jnp.int32), active, sub, s, p,
             )
             if self._sync_pools:
                 jax.block_until_ready((self.k_pool, self.v_pool))
         else:
-            out, self.cache = fn(
+            out, self.cache, seen = fn(
                 self.params, jnp.asarray(self.tokens),
                 jnp.asarray(self.logical_pos, jnp.int32),
-                self.cache, active, sub, s,
+                self.cache, active, sub, s, p,
             )
+        if proc:
+            self.seen = seen
         toks = np.asarray(out)  # [k, B]
         self._steps += k
         self._dispatches += 1

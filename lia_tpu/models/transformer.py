@@ -40,18 +40,26 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-def linear(x: jnp.ndarray, w: Any, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def linear(
+    x: jnp.ndarray, w: Any, b: Optional[jnp.ndarray] = None,
+    tp_split: Optional[str] = None,
+) -> jnp.ndarray:
     """x @ w (+ b) with fp32 MXU accumulation; returns x.dtype.
 
     ``w`` may be a raw ``[in, out]`` array or a quantized weight record (dispatched
     in :mod:`lia_tpu.ops.quant`) — the single dispatch point that lets WOQ slot in
     underneath every projection, mirroring how the reference routes every linear
     through tpp_linear*/woq_linear* (models/cpu/fusions/linear_fusion.py:14-422).
+
+    ``tp_split`` names the weight's TP sharding ("col": output dim on "model";
+    "row": input dim on "model") so the WOQ kernels can run per shard under a
+    mesh (quant._tp_quantized_matmul) — the call site knows the split, the
+    trace-time array does not.
     """
     from lia_tpu.ops.quant import is_quantized, quantized_matmul
 
     if is_quantized(w):
-        y = quantized_matmul(x, w)
+        y = quantized_matmul(x, w, tp_split=tp_split)
     else:
         y = jax.lax.dot_general(
             x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -95,14 +103,14 @@ def qkv_project(
         # fused projection (ops/fuse.py): one [H, qd+2*kd] matmul, sliced apart
         qd = cfg.num_heads * cfg.head_dim
         kd = cfg.num_kv_heads * cfg.head_dim
-        y = linear(x, a["wqkv"], a.get("bqkv"))
+        y = linear(x, a["wqkv"], a.get("bqkv"), tp_split="col")
         q = y[..., :qd].reshape(B, S, cfg.num_heads, cfg.head_dim)
         k = y[..., qd : qd + kd].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
         v = y[..., qd + kd :].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     else:
-        q = linear(x, a["wq"], a.get("bq")).reshape(B, S, cfg.num_heads, cfg.head_dim)
-        k = linear(x, a["wk"], a.get("bk")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-        v = linear(x, a["wv"], a.get("bv")).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        q = linear(x, a["wq"], a.get("bq"), tp_split="col").reshape(B, S, cfg.num_heads, cfg.head_dim)
+        k = linear(x, a["wk"], a.get("bk"), tp_split="col").reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(x, a["wv"], a.get("bv"), tp_split="col").reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     if cfg.rope:
         q = apply_rope(q, positions, cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
         k = apply_rope(k, positions, cfg.rope_theta, cfg.rotary_dim, cfg.rope_interleaved)
@@ -165,11 +173,11 @@ def mlp(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> jnp.ndarray:
             gate = jax.nn.silu(y[..., : cfg.ffn_size])
             up = y[..., cfg.ffn_size :]
         else:
-            gate = jax.nn.silu(linear(x, m["wg"], None).astype(jnp.float32))
-            up = linear(x, m["w1"], None).astype(jnp.float32)
-        return linear((gate * up).astype(x.dtype), m["w2"], m.get("b2"))
-    h = activation_fn(cfg, linear(x, m["w1"], m.get("b1")))
-    return linear(h, m["w2"], m.get("b2"))
+            gate = jax.nn.silu(linear(x, m["wg"], None, tp_split="col").astype(jnp.float32))
+            up = linear(x, m["w1"], None, tp_split="col").astype(jnp.float32)
+        return linear((gate * up).astype(x.dtype), m["w2"], m.get("b2"), tp_split="row")
+    h = activation_fn(cfg, linear(x, m["w1"], m.get("b1"), tp_split="col"))
+    return linear(h, m["w2"], m.get("b2"), tp_split="row")
 
 
 # The layer is split at the attention boundary into composable pieces so the
@@ -230,7 +238,8 @@ def attn_post_mlp(cfg: ModelConfig, lp: Params, residual: jnp.ndarray, attn_out)
 
 def _attn_post_mlp(cfg: ModelConfig, lp: Params, residual: jnp.ndarray, attn_out):
     B, S = attn_out.shape[:2]
-    h = linear(attn_out.reshape(B, S, -1), lp["attn"]["wo"], lp["attn"].get("bo"))
+    h = linear(attn_out.reshape(B, S, -1), lp["attn"]["wo"], lp["attn"].get("bo"),
+               tp_split="row")
     if cfg.parallel_residual:
         # single residual stream: out = x + attn(ln1(x)) + mlp(ln_mlp(x)), where
         # ln_mlp is ln1 itself (gpt-j / falcon-7b shared norm) or a separate ln2
@@ -261,6 +270,8 @@ def _fused_mlp_viable(cfg: ModelConfig, lp: Params, x: jnp.ndarray) -> bool:
     from lia_tpu.ops.quant import is_quantized
 
     if not dispatch.use_pallas() or not dispatch.fused_mlp_enabled():
+        return False
+    if dispatch.tp_mesh() is not None:  # fused-MLP kernel has no shard_map wrap
         return False
     m = lp["mlp"]
     if "w1" not in m:  # fused gate|up layout (ops/fuse.py) — kernel expects split
@@ -393,7 +404,7 @@ def _lm_head(cfg: ModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
             # WOQ lm_head (reference WOQ converts lm_head like any Linear);
             # the vocab projection is the single largest per-step HBM read
             # after the decoder stack, so it quantizes with the layers.
-            y = quantized_matmul(x, w)
+            y = quantized_matmul(x, w, tp_split="col")  # vocab split
             if y.shape[-1] != cfg.vocab_size:
                 # quantize_head_2d pads the vocab to the W4A8 kernel's 128
                 # tiling; the pad columns are exact zeros but MUST be sliced

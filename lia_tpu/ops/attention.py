@@ -194,26 +194,60 @@ def decode_attn_ctx(
     return DecodeAttn(slot_mask, length, decode_mask(slot_mask, length), bias)
 
 
+def _tp_shard_info(q_heads: int, kv_heads: int, head_dim: int):
+    """(ok, mesh) for shard-aware kernel dispatch.
+
+    ``ok`` is True when the kernel is legal at PER-SHARD head counts (heads
+    divide the model axis, per-shard GQA shapes pass
+    :func:`dispatch.gqa_kernel_ok`); ``mesh`` is the registered TP mesh to
+    shard_map over, or None for plain single-device dispatch. ``ok`` False →
+    the caller falls back to the jnp path, which GSPMD partitions."""
+    from lia_tpu.ops import dispatch
+    from lia_tpu.ops import tp_shard as tps
+
+    mesh = dispatch.tp_mesh()
+    if mesh is None:
+        return dispatch.gqa_kernel_ok(q_heads, kv_heads, head_dim), None
+    tp, _ = tps.axis_sizes(mesh)
+    ok = (
+        q_heads % tp == 0
+        and kv_heads % tp == 0
+        and dispatch.gqa_kernel_ok(q_heads // tp, kv_heads // tp, head_dim)
+    )
+    return ok, mesh
+
+
 def attend_prefill(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, ctx: PrefillAttn
 ) -> jnp.ndarray:
-    """Prefill attention: Pallas flash kernel on TPU, jnp fallback elsewhere."""
+    """Prefill attention: Pallas flash kernel on TPU (shard_map'd per chip
+    under a TP mesh — heads shard on "model"), jnp fallback elsewhere."""
+    from functools import partial
+
     from lia_tpu.ops import dispatch
 
     S = q.shape[1]
-    if (
-        ctx.bias is None  # additive-bias models (ALiBi) take the jnp path
-        and dispatch.use_pallas()
-        and dispatch.gqa_kernel_ok(q.shape[2], k.shape[1], q.shape[3])
-    ):
+    if ctx.bias is None and dispatch.use_pallas():
+        # additive-bias models (ALiBi) take the jnp path
+        ok, mesh = _tp_shard_info(q.shape[2], k.shape[1], q.shape[3])
         bq = dispatch.pick_block(S, 256, minimum=16)
         bk = dispatch.pick_block(S, 512, minimum=16)
-        if bq is not None and bk is not None:
+        if ok and bq is not None and bk is not None:
             from lia_tpu.ops.pallas_attention import flash_attention_prefill
 
-            return flash_attention_prefill(
-                q, k, v, ctx.input_mask, block_q=bq, block_k=bk,
+            call = partial(
+                flash_attention_prefill, block_q=bq, block_k=bk,
                 window=ctx.window, interpret=dispatch.interpret_mode(),
+            )
+            if mesh is None:
+                return call(q, k, v, ctx.input_mask)
+            from lia_tpu.ops import tp_shard as tps
+
+            d = tps.batch_axis(mesh, q.shape[0])
+            return tps.shard_call(
+                call, mesh,
+                (tps.qspec(d), tps.kvspec(d), tps.kvspec(d), tps.maskspec(d)),
+                tps.qspec(d), q, k, v, ctx.input_mask,
             )
     return attend(q, k, v, ctx.mask, bias=ctx.bias)
 
@@ -237,18 +271,28 @@ def attend_prefill_cached(
         v_cache = dequantize_kv(v_cache, q.dtype)
     B, C = q.shape[:2]
     S_max = k_cache.shape[2]
-    if (
-        bias is None
-        and dispatch.use_pallas()
-        and dispatch.gqa_kernel_ok(q.shape[2], k_cache.shape[1], q.shape[3])
-    ):
+    if bias is None and dispatch.use_pallas():
+        from functools import partial
+
+        ok, mesh = _tp_shard_info(q.shape[2], k_cache.shape[1], q.shape[3])
         bk = dispatch.pick_block(S_max, 512, minimum=64)
-        if bk is not None:
+        if ok and bk is not None:
             from lia_tpu.ops.pallas_attention import flash_attention_cached
 
-            return flash_attention_cached(
-                q, k_cache, v_cache, base, slot_mask, block_k=bk,
-                window=window, interpret=dispatch.interpret_mode(),
+            call = partial(
+                flash_attention_cached, block_k=bk, window=window,
+                interpret=dispatch.interpret_mode(),
+            )
+            if mesh is None:
+                return call(q, k_cache, v_cache, base, slot_mask)
+            from lia_tpu.ops import tp_shard as tps
+
+            d = tps.batch_axis(mesh, B)
+            return tps.shard_call(
+                call, mesh,
+                (tps.qspec(d), tps.kvspec(d), tps.kvspec(d),
+                 tps.lenspec(base, d), tps.maskspec(d)),
+                tps.qspec(d), q, k_cache, v_cache, base, slot_mask,
             )
     bases = jnp.broadcast_to(base, (B,))
     q_pos = bases[:, None] + jnp.arange(C)[None, :]  # [B, C]
@@ -274,18 +318,27 @@ def attend_decode(
         k_cache = dequantize_kv(k_cache, q.dtype)
         v_cache = dequantize_kv(v_cache, q.dtype)
     S_max = k_cache.shape[2]
-    if (
-        ctx.bias is None
-        and dispatch.use_pallas()
-        and dispatch.gqa_kernel_ok(q.shape[2], k_cache.shape[1], q.shape[3])
-    ):
+    if ctx.bias is None and dispatch.use_pallas():
+        from functools import partial
+
+        ok, mesh = _tp_shard_info(q.shape[2], k_cache.shape[1], q.shape[3])
         bk = dispatch.pick_block(S_max, 512, minimum=64)
-        if bk is not None:
+        if ok and bk is not None:
             from lia_tpu.ops.pallas_attention import decode_attention
 
-            return decode_attention(
-                q, k_cache, v_cache, ctx.slot_mask, ctx.length, block_k=bk,
-                interpret=dispatch.interpret_mode(),
+            call = partial(
+                decode_attention, block_k=bk, interpret=dispatch.interpret_mode(),
+            )
+            if mesh is None:
+                return call(q, k_cache, v_cache, ctx.slot_mask, ctx.length)
+            from lia_tpu.ops import tp_shard as tps
+
+            d = tps.batch_axis(mesh, q.shape[0])
+            return tps.shard_call(
+                call, mesh,
+                (tps.qspec(d), tps.kvspec(d), tps.kvspec(d),
+                 tps.maskspec(d), tps.lenspec(ctx.length, d)),
+                tps.qspec(d), q, k_cache, v_cache, ctx.slot_mask, ctx.length,
             )
     return attend(q, k_cache, v_cache, ctx.mask, bias=ctx.bias)
 
@@ -317,33 +370,68 @@ def attend_decode_fresh(
         ctx.bias is None
         and dispatch.use_pallas()
         and dispatch.stacked_kernel_enabled()
-        and dispatch.gqa_kernel_ok(q.shape[2], Nkv, q.shape[3])
     ):
+        from functools import partial
+
+        ok, mesh = _tp_shard_info(q.shape[2], Nkv, q.shape[3])
         # int8-KV kernels lane-dim-slice their per-token SCALE planes, and
         # Mosaic requires dynamic lane offsets provably 128-aligned — so the
         # quantized path needs bk to be a 128 multiple (bf16 slices only
         # sublane dims; 64 suffices there)
         bk = dispatch.pick_block(S_max, 512, minimum=128 if quantized else 64)
-        if bk is not None:
+        if ok and bk is not None:
+            from lia_tpu.ops import tp_shard as tps
+
+            d = None if mesh is None else tps.batch_axis(mesh, q.shape[0])
             if quantized:
                 from lia_tpu.ops.pallas_attention import decode_attention_fresh_int8
 
                 kf = dequantize_kv(k_fresh, q.dtype) if is_quantized_kv(k_fresh) else k_fresh.astype(q.dtype)
                 vf = dequantize_kv(v_fresh, q.dtype) if is_quantized_kv(v_fresh) else v_fresh.astype(q.dtype)
-                return decode_attention_fresh_int8(
-                    q, kf, vf,
-                    k_cache_full.q, k_cache_full.s,
-                    v_cache_full.q, v_cache_full.s,
-                    layer_idx, ctx.slot_mask, ctx.length, block_k=bk,
+                call = partial(
+                    decode_attention_fresh_int8, block_k=bk,
                     interpret=dispatch.interpret_mode(),
+                )
+                if mesh is None:
+                    return call(
+                        q, kf, vf, k_cache_full.q, k_cache_full.s,
+                        v_cache_full.q, v_cache_full.s,
+                        layer_idx, ctx.slot_mask, ctx.length,
+                    )
+                return tps.shard_call(
+                    call, mesh,
+                    (tps.qspec(d), tps.kvspec(d), tps.kvspec(d),
+                     tps.kv_stacked_spec(d), tps.scale_stacked_spec(d),
+                     tps.kv_stacked_spec(d), tps.scale_stacked_spec(d),
+                     jax.sharding.PartitionSpec(), tps.maskspec(d),
+                     tps.lenspec(ctx.length, d)),
+                    tps.qspec(d),
+                    q, kf, vf, k_cache_full.q, k_cache_full.s,
+                    v_cache_full.q, v_cache_full.s,
+                    layer_idx, ctx.slot_mask, ctx.length,
                 )
             from lia_tpu.ops.pallas_attention import decode_attention_fresh
 
-            return decode_attention_fresh(
-                q, k_fresh.astype(q.dtype), v_fresh.astype(q.dtype),
-                k_cache_full, v_cache_full, layer_idx,
-                ctx.slot_mask, ctx.length, block_k=bk,
+            call = partial(
+                decode_attention_fresh, block_k=bk,
                 interpret=dispatch.interpret_mode(),
+            )
+            kf = k_fresh.astype(q.dtype)
+            vf = v_fresh.astype(q.dtype)
+            if mesh is None:
+                return call(
+                    q, kf, vf, k_cache_full, v_cache_full, layer_idx,
+                    ctx.slot_mask, ctx.length,
+                )
+            return tps.shard_call(
+                call, mesh,
+                (tps.qspec(d), tps.kvspec(d), tps.kvspec(d),
+                 tps.kv_stacked_spec(d), tps.kv_stacked_spec(d),
+                 jax.sharding.PartitionSpec(), tps.maskspec(d),
+                 tps.lenspec(ctx.length, d)),
+                tps.qspec(d),
+                q, kf, vf, k_cache_full, v_cache_full, layer_idx,
+                ctx.slot_mask, ctx.length,
             )
     from lia_tpu.ops import kv_cache as kvc
 
@@ -394,33 +482,66 @@ def attend_decode_beam(
         cache.prompt_mask.astype(jnp.int32), axis=1
     )  # [B0]
     bk_min = 128 if quantized else 64  # int8 scale planes are lane-sliced
+    ok, mesh = _tp_shard_info(q.shape[2], Nkv, q.shape[3])
     if (
         bias is None
         and dispatch.use_pallas()
         and dispatch.stacked_kernel_enabled()
-        and dispatch.gqa_kernel_ok(q.shape[2], Nkv, q.shape[3])
+        and ok
         and dispatch.pick_block(S_p, 512, minimum=bk_min) is not None
         and T_max % (128 if quantized else 8) == 0
     ):
+        from functools import partial
+
+        from lia_tpu.ops import tp_shard as tps
+
         bk = dispatch.pick_block(S_p, 512, minimum=bk_min)
+        B0 = q.shape[0] // nb
+        # batch shards on "data" only when the GROUP count divides dp (the
+        # per-beam arrays then split along whole groups: B = B0 * nb)
+        d = None if mesh is None else tps.batch_axis(mesh, B0)
+        P_ = jax.sharding.PartitionSpec
         if quantized:
             from lia_tpu.ops.pallas_attention import decode_beam_attention_int8
 
             kf = dequantize_kv(k_fresh, q.dtype) if is_quantized_kv(k_fresh) else k_fresh.astype(q.dtype)
             vf = dequantize_kv(v_fresh, q.dtype) if is_quantized_kv(v_fresh) else v_fresh.astype(q.dtype)
-            return decode_beam_attention_int8(
-                q, kf, vf, kp.q, kp.s, vp.q, vp.s, kt.q, kt.s, vt.q, vt.s,
-                layer_idx, prompt_starts, cache.prompt_len, cache.tail_len, nb,
-                block_k=bk, interpret=dispatch.interpret_mode(),
+            call = partial(
+                decode_beam_attention_int8, nb=nb, block_k=bk,
+                interpret=dispatch.interpret_mode(),
+            )
+            args = (q, kf, vf, kp.q, kp.s, vp.q, vp.s, kt.q, kt.s, vt.q, vt.s,
+                    layer_idx, prompt_starts, cache.prompt_len, cache.tail_len)
+            if mesh is None:
+                return call(*args)
+            return tps.shard_call(
+                call, mesh,
+                (tps.qspec(d), tps.kvspec(d), tps.kvspec(d),
+                 tps.kv_stacked_spec(d), tps.scale_stacked_spec(d),
+                 tps.kv_stacked_spec(d), tps.scale_stacked_spec(d),
+                 tps.kv_stacked_spec(d), tps.scale_stacked_spec(d),
+                 tps.kv_stacked_spec(d), tps.scale_stacked_spec(d),
+                 P_(), P_(d), P_(), P_()),
+                tps.qspec(d), *args,
             )
         from lia_tpu.ops.pallas_attention import decode_beam_attention
 
-        return decode_beam_attention(
-            q, k_fresh.astype(q.dtype), v_fresh.astype(q.dtype),
-            kp, vp, kt, vt, layer_idx, prompt_starts,
-            cache.prompt_len, cache.tail_len, nb,
-            block_k=bk,
+        call = partial(
+            decode_beam_attention, nb=nb, block_k=bk,
             interpret=dispatch.interpret_mode(),
+        )
+        args = (q, k_fresh.astype(q.dtype), v_fresh.astype(q.dtype),
+                kp, vp, kt, vt, layer_idx, prompt_starts,
+                cache.prompt_len, cache.tail_len)
+        if mesh is None:
+            return call(*args)
+        return tps.shard_call(
+            call, mesh,
+            (tps.qspec(d), tps.kvspec(d), tps.kvspec(d),
+             tps.kv_stacked_spec(d), tps.kv_stacked_spec(d),
+             tps.kv_stacked_spec(d), tps.kv_stacked_spec(d),
+             P_(), P_(d), P_(), P_()),
+            tps.qspec(d), *args,
         )
 
     # golden fallback: expand the prompt per beam and concatenate the segments
@@ -472,16 +593,34 @@ def attend_decode_stacked(
             ctx.bias is None
             and dispatch.use_pallas()
             and dispatch.stacked_kernel_enabled()
-            and dispatch.gqa_kernel_ok(q.shape[2], k_cache_full.shape[2], q.shape[3])
         ):
+            from functools import partial
+
+            ok, mesh = _tp_shard_info(q.shape[2], k_cache_full.shape[2], q.shape[3])
             bk = dispatch.pick_block(S_max, 512, minimum=64)
-            if bk is not None:
+            if ok and bk is not None:
                 from lia_tpu.ops.pallas_attention import decode_attention_stacked
 
-                return decode_attention_stacked(
-                    q, k_cache_full, v_cache_full, layer_idx,
-                    ctx.slot_mask, ctx.length, block_k=bk,
+                call = partial(
+                    decode_attention_stacked, block_k=bk,
                     interpret=dispatch.interpret_mode(),
+                )
+                if mesh is None:
+                    return call(
+                        q, k_cache_full, v_cache_full, layer_idx,
+                        ctx.slot_mask, ctx.length,
+                    )
+                from lia_tpu.ops import tp_shard as tps
+
+                d = tps.batch_axis(mesh, q.shape[0])
+                return tps.shard_call(
+                    call, mesh,
+                    (tps.qspec(d), tps.kv_stacked_spec(d), tps.kv_stacked_spec(d),
+                     jax.sharding.PartitionSpec(), tps.maskspec(d),
+                     tps.lenspec(ctx.length, d)),
+                    tps.qspec(d),
+                    q, k_cache_full, v_cache_full, layer_idx,
+                    ctx.slot_mask, ctx.length,
                 )
     from lia_tpu.ops import kv_cache as kvc
 

@@ -30,18 +30,80 @@ def set_use_pallas(v: Optional[bool]) -> None:
 def set_tp_active(v: bool) -> None:
     """Flag that a tensor-parallel mesh (model axis > 1) is in use.
 
-    Pallas kernels here are written for per-chip shapes; under GSPMD-sharded
-    operands a ``pallas_call`` is not partitioned — XLA would all-gather the
-    sharded operands around it (silently defeating TP) or fail to lower. Until
-    the kernels are wrapped in ``shard_map`` with per-shard shapes AND validated
-    on real multi-chip hardware (this rig has one chip), an active TP mesh
-    forces the jnp paths, which GSPMD partitions correctly. Set by
-    :class:`lia_tpu.engine.engine.InferenceEngine` when its mesh has a >1
-    "model" axis; process-level and sticky by design (conservative for
-    mixed-engine processes).
+    Pallas kernels are per-chip programs: under GSPMD-sharded operands an
+    unwrapped ``pallas_call`` would force all-gathers (silently defeating TP).
+    The shard-aware dispatch (:func:`set_tp_mesh` + the ``shard_map`` wrappers
+    in :mod:`lia_tpu.ops.attention` / :mod:`lia_tpu.ops.quant`) runs each
+    kernel per shard with per-shard shapes instead — the analog of the
+    reference running its AMX kernels on every TP rank
+    (models/reference/modules/decoder.py:60-77). When no mesh is registered
+    (``tp_pallas`` kill-switch off), an active TP flag conservatively forces
+    the jnp paths, which GSPMD partitions correctly. Process-level and sticky
+    by design (conservative for mixed-engine processes).
     """
     global _TP_ACTIVE
     _TP_ACTIVE = v or _TP_ACTIVE
+
+
+_TP_MESH = None  # jax.sharding.Mesh registered for shard-aware kernel dispatch
+
+
+def set_tp_mesh(mesh) -> None:
+    """Register the TP mesh for shard-aware Pallas dispatch (None clears it).
+
+    With a mesh registered, the dispatched entry points wrap their kernels in
+    ``jax.shard_map`` over it (heads/features on "model", batch on "data"),
+    so ``use_pallas()`` stays true under TP. Process-global — set by the
+    engine at init; tests use :func:`tp_mesh_ctx` for scoped overrides.
+    """
+    global _TP_MESH
+    _TP_MESH = mesh
+
+
+@contextlib.contextmanager
+def tp_mesh_ctx(mesh):
+    """Scoped (thread-local) TP-mesh override for tests / multi-engine runs."""
+    prev = getattr(_tls, "tp_mesh", _UNSET)
+    _tls.tp_mesh = mesh
+    try:
+        yield
+    finally:
+        if prev is _UNSET:
+            del _tls.tp_mesh
+        else:
+            _tls.tp_mesh = prev
+
+
+_UNSET = object()
+
+
+@contextlib.contextmanager
+def tp_inner():
+    """Mark code traced INSIDE a shard_map shard: ``tp_mesh()`` reports None
+    there, so per-shard kernel calls dispatch as single-device programs."""
+    prev = getattr(_tls, "tp_inner", False)
+    _tls.tp_inner = True
+    try:
+        yield
+    finally:
+        _tls.tp_inner = prev
+
+
+def tp_mesh():
+    """The mesh to shard-map kernels over, or None (single-device dispatch).
+
+    Any registered multi-device mesh is returned (a >1 "data" axis also needs
+    the wrap when operand batches are sharded over it, not just "model")."""
+    if getattr(_tls, "tp_inner", False):
+        return None
+    m = getattr(_tls, "tp_mesh", _UNSET)
+    if m is _UNSET:
+        m = _TP_MESH
+    if m is None:
+        return None
+    # the shard_map wrappers hardcode the "model" axis name; a pure-dp mesh
+    # (model==1) keeps the unwrapped single-device dispatch
+    return m if dict(m.shape).get("model", 1) > 1 else None
 
 
 @contextlib.contextmanager
@@ -69,8 +131,10 @@ def set_interpret(v: Optional[bool]) -> None:
 def use_pallas() -> bool:
     if getattr(_tls, "force_off", False):
         return False
-    if _TP_ACTIVE:
-        return False  # see set_tp_active: unpartitioned pallas_call defeats TP
+    if _TP_ACTIVE and tp_mesh() is None and not getattr(_tls, "tp_inner", False):
+        # TP in use but shard-aware dispatch unavailable (tp_pallas off):
+        # an unpartitioned pallas_call would defeat TP — jnp paths only.
+        return False
     if _FORCE is not None:
         return _FORCE
     return jax.default_backend() == "tpu"

@@ -127,6 +127,52 @@ def gather_sequence(
     )
 
 
+def _paged_kernel_call(
+    q, k_pool, v_pool, layer_idx, block_table, lengths,
+    k_fresh=None, v_fresh=None, scale=None,
+):
+    """Shard-aware dispatch to :func:`paged_decode_attention`, or None → the
+    caller's jnp gather fallback. Under a TP mesh the pool's head axis shards
+    on "model" and each chip walks its own head shard's pages (page tables
+    replicate — they index blocks, not heads)."""
+    from functools import partial
+
+    from lia_tpu.ops import dispatch
+
+    if not (dispatch.use_pallas() and dispatch.stacked_kernel_enabled()):
+        return None
+    N, D = q.shape[2], q.shape[3]
+    Nkv = k_pool.shape[2]
+    mesh = dispatch.tp_mesh()
+    call = partial(
+        paged_decode_attention, scale=scale, interpret=dispatch.interpret_mode(),
+        merge_fresh=k_fresh is not None,
+    )
+    if mesh is None:
+        if not dispatch.gqa_kernel_ok(N, Nkv, D):
+            return None
+        if k_fresh is None:
+            return call(q, k_pool, v_pool, layer_idx, block_table, lengths)
+        return call(q, k_pool, v_pool, layer_idx, block_table, lengths,
+                    k_fresh, v_fresh)
+    from lia_tpu.ops import tp_shard as tps
+
+    tp, _ = tps.axis_sizes(mesh)
+    if N % tp or Nkv % tp or not dispatch.gqa_kernel_ok(N // tp, Nkv // tp, D):
+        return None
+    P_ = jax.sharding.PartitionSpec
+    d = tps.batch_axis(mesh, q.shape[0])
+    m = tps.MODEL
+    pool_spec = P_(None, None, m, None, None)
+    in_specs = [P_(d, None, m, None), pool_spec, pool_spec, P_(),
+                P_(d, None), P_(d)]
+    args = [q, k_pool, v_pool, layer_idx, block_table, lengths]
+    if k_fresh is not None:
+        in_specs += [P_(d, m, None, None), P_(d, m, None, None)]
+        args += [k_fresh, v_fresh]
+    return tps.shard_call(call, mesh, in_specs, P_(d, None, m, None), *args)
+
+
 def paged_attention(
     q: jnp.ndarray,  # [B, 1, N, D] single decode token per sequence
     cache: PagedKVCache,
@@ -138,21 +184,15 @@ def paged_attention(
 
     Pallas fast path (TPU): the block-table page walk happens inside the kernel
     via scalar-prefetch index maps; fallback is the XLA gather + jnp path."""
-    from lia_tpu.ops import dispatch
-
-    if (
-        dispatch.use_pallas()
-        and dispatch.stacked_kernel_enabled()
-        and dispatch.gqa_kernel_ok(q.shape[2], cache.k.shape[2], q.shape[3])
-    ):
-        D = q.shape[-1]
-        bs = cache.block_size
-        if D % 8 == 0 and (bs % 8 == 0 or bs >= 8):
-            return paged_decode_attention(
-                q, cache.k[None], cache.v[None], jnp.asarray(0, jnp.int32),
-                block_table, lengths, scale=scale,
-                interpret=dispatch.interpret_mode(),
-            )
+    D = q.shape[-1]
+    bs = cache.block_size
+    if D % 8 == 0 and (bs % 8 == 0 or bs >= 8):
+        out = _paged_kernel_call(
+            q, cache.k[None], cache.v[None], jnp.asarray(0, jnp.int32),
+            block_table, lengths, scale=scale,
+        )
+        if out is not None:
+            return out
     ks, vs = jax.vmap(lambda row: gather_sequence(cache, row))(block_table)
     # ks: [B, N_kv, S_virtual, D]
     B = q.shape[0]
@@ -292,19 +332,13 @@ def attend_chunk_paged(
 ) -> jnp.ndarray:
     """C-query chunk attention over pages + intra-chunk causal (speculative
     verify). Pallas block-table kernel on TPU; jnp gather fallback."""
-    from lia_tpu.ops import dispatch
-
-    if (
-        alibi_slopes is None
-        and dispatch.use_pallas()
-        and dispatch.stacked_kernel_enabled()
-        and dispatch.gqa_kernel_ok(q.shape[2], k_pool.shape[2], q.shape[3])
-    ):
-        return paged_decode_attention(
+    if alibi_slopes is None:
+        out = _paged_kernel_call(
             q, k_pool, v_pool, layer_idx, block_table, lengths,
             k_fresh=k_fresh, v_fresh=v_fresh,
-            interpret=dispatch.interpret_mode(),
         )
+        if out is not None:
+            return out
     kl = jax.lax.dynamic_index_in_dim(k_pool, layer_idx, 0, keepdims=False)
     vl = jax.lax.dynamic_index_in_dim(v_pool, layer_idx, 0, keepdims=False)
     cache = PagedKVCache(kl, vl)
@@ -387,19 +421,13 @@ def attend_decode_paged(
     ALiBi key position IS the gathered index — ``slopes · arange`` (fresh token
     at ``lengths``). ALiBi routes through the jnp gather path (the block-table
     kernel carries no bias)."""
-    from lia_tpu.ops import dispatch
-
-    if (
-        alibi_slopes is None
-        and dispatch.use_pallas()
-        and dispatch.stacked_kernel_enabled()
-        and dispatch.gqa_kernel_ok(q.shape[2], k_pool.shape[2], q.shape[3])
-    ):
-        return paged_decode_attention(
+    if alibi_slopes is None:
+        out = _paged_kernel_call(
             q, k_pool, v_pool, layer_idx, block_table, lengths,
             k_fresh=k_fresh, v_fresh=v_fresh,
-            interpret=dispatch.interpret_mode(),
         )
+        if out is not None:
+            return out
     # fallback: gather the layer's pages, append fresh, run the jnp golden path
     kl = jax.lax.dynamic_index_in_dim(k_pool, layer_idx, 0, keepdims=False)
     vl = jax.lax.dynamic_index_in_dim(v_pool, layer_idx, 0, keepdims=False)

@@ -24,7 +24,7 @@ while ``fmt`` rides in static aux data. ``fmt`` is ``woq_int8`` or ``woq_int4``
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -148,6 +148,7 @@ def stackable_ref(rec) -> bool:
         and rec.fmt in _STACKED_KERNEL_FMTS
         and rec.q.ndim == 3  # stacked [L, K/2, N]
         and dispatch.use_pallas()
+        and dispatch.tp_mesh() is None  # stacked refs have no shard_map wrap
         and dispatch.stacked_w4a8_enabled()  # default OFF — measured slower
         # at model level than XLA's pipelined scan-xs copies (see dispatch)
     )
@@ -467,6 +468,10 @@ def _w4a8_blocks(M: int, K: int, N: int, ng: int):
 
     if not dispatch.use_pallas():
         return None
+    if dispatch.tp_mesh() is not None:
+        # an unwrapped pallas_call under a mesh would force all-gathers of the
+        # sharded operands — only the shard_map path (tp_inner) may run it
+        return None
     if K % 256 != 0:
         return None
     g = K // ng
@@ -486,6 +491,8 @@ def _pallas_woq_viable(x2d, rec) -> bool:
     from lia_tpu.ops import dispatch
 
     if not dispatch.use_pallas():
+        return False
+    if dispatch.tp_mesh() is not None:  # see _w4a8_blocks: shard_map path only
         return False
     M, K = x2d.shape
     N = rec.q.shape[-1]
@@ -543,14 +550,159 @@ def _stacked_ref_matmul(x: jnp.ndarray, rec: "QuantizedWeightRef"):
     return out.reshape(*lead, N)
 
 
-def quantized_matmul(x: jnp.ndarray, rec: "QuantizedWeight") -> jnp.ndarray:
+def _tp_quantized_matmul(x, rec, split: str, mesh):
+    """Shard-mapped WOQ matmul under a TP mesh, or None → GSPMD jnp fallback.
+
+    The reference's TP runs its WOQ AMX kernels per rank on the weight shard
+    (tensor_parallel.py:266-414 shards WeightOnlyQuantizedLinear op-contexts;
+    decoder.py:60-77 allreduces after out-proj/fc2). TPU analog:
+
+    - ``col`` (wq/wk/wv/w1/wg/lm_head — output dim on "model"): each shard
+      runs the fused kernel on its N-slice; scales/zeros split the same axis;
+      no collective. Dynamic act scales come from the FULL (replicated) x, so
+      results match single-device bitwise.
+    - ``row`` (wo/w2 — input dim on "model"): each shard's contiguous slice of
+      the globally half-split packed bytes decodes rows
+      ``[b0, b0+Kh/tp) ∪ [K/2+b0, K/2+b0+Kh/tp)`` — itself a valid LOCALLY
+      half-split packed weight for the matching permuted x-slice. The shard
+      gathers those x rows from the replicated input, slices its lo/hi scale
+      groups, runs the same kernel, and a ``psum`` over "model" completes the
+      dot. Dynamic act scales are per-shard-slice — exactly the semantics of
+      the reference's per-rank dynamic quantization (each rank quantizes only
+      its own activation shard).
+    """
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    from lia_tpu.ops import dispatch, tp_shard as tps
+
+    tp, _ = tps.axis_sizes(mesh)
+    if tp == 1 or rec.q.ndim != 2:
+        return None
+    K = x.shape[-1]
+    N = rec.q.shape[-1]
+    ng = rec.s.shape[-2]
+    g = K // ng
+    int4 = rec.fmt.startswith("woq_int4") or rec.fmt == "woq_nf4"
+    fmt = rec.fmt
+    d = tps.batch_axis(mesh, x.shape[0]) if x.ndim >= 2 else None
+    lead = (d,) + (None,) * (x.ndim - 2)
+    M_ = tps.MODEL
+    has_z = rec.z is not None
+    z_arr = rec.z
+
+    def zspec(col: bool):
+        if not has_z or getattr(z_arr, "ndim", 0) == 0:
+            return P()  # static_int8 act scale — replicated scalar
+        return P(None, M_) if col else P(None, None)
+
+    if split == "col":
+        if N % tp:
+            return None
+
+        def f_col(xf, q, s, z=None):
+            return quantized_matmul(xf, QuantizedWeight(q, s, fmt, z))
+
+        in_specs = [P(*lead, None), P(None, M_), P(None, M_)]
+        args = [x, rec.q, rec.s]
+        if has_z:
+            in_specs.append(zspec(col=True))
+            args.append(z_arr)
+        return tps.shard_call(f_col, mesh, in_specs, P(*lead, M_), *args)
+
+    if split != "row":
+        return None
+    if int4:
+        Kh = K // 2
+        if Kh % tp:
+            return None
+        blk = Kh // tp  # packed bytes (= rows per half) per shard
+        if ng > 1 and (ng % 2 or blk % g):
+            return None
+    else:
+        if K % tp:
+            return None
+        blk = K // tp
+        if ng > 1 and blk % g:
+            return None
+
+    def f_row(xf, q, s, z=None):
+        i = _jax.lax.axis_index(M_)
+        if int4:
+            b0 = i * blk
+            x_loc = jnp.concatenate(
+                [
+                    _jax.lax.dynamic_slice_in_dim(xf, b0, blk, axis=-1),
+                    _jax.lax.dynamic_slice_in_dim(xf, (K // 2) + b0, blk, axis=-1),
+                ],
+                axis=-1,
+            )
+            if ng == 1:
+                s_loc, z_loc = s, z
+            else:
+                nl = blk // g
+                gl0 = i * nl
+
+                def halves(a):
+                    return jnp.concatenate(
+                        [
+                            _jax.lax.dynamic_slice_in_dim(a, gl0, nl, axis=0),
+                            _jax.lax.dynamic_slice_in_dim(a, ng // 2 + gl0, nl, axis=0),
+                        ],
+                        axis=0,
+                    )
+
+                s_loc = halves(s)
+                z_loc = halves(z) if z is not None and getattr(z, "ndim", 0) else z
+        else:
+            b0 = i * blk
+            x_loc = _jax.lax.dynamic_slice_in_dim(xf, b0, blk, axis=-1)
+            if ng == 1:
+                s_loc, z_loc = s, z
+            else:
+                nl = blk // g
+                s_loc = _jax.lax.dynamic_slice_in_dim(s, i * nl, nl, axis=0)
+                z_loc = z  # int8 formats carry no grouped zero points
+        part = quantized_matmul(x_loc, QuantizedWeight(q, s_loc, fmt, z_loc))
+        return _jax.lax.psum(part, M_)
+
+    in_specs = [P(*lead, None), P(M_, None), P(None, None)]
+    args = [x, rec.q, rec.s]
+    if has_z:
+        in_specs.append(zspec(col=False))
+        args.append(z_arr)
+    return tps.shard_call(f_row, mesh, in_specs, P(*lead, None), *args)
+
+
+def quantized_matmul(
+    x: jnp.ndarray, rec: "QuantizedWeight", tp_split: Optional[str] = None
+) -> jnp.ndarray:
     """x @ dequant(rec) with fp32 accumulation; returns fp32.
 
     On TPU (shapes permitting) this routes to the Pallas fused dequant-matmul
     (:mod:`lia_tpu.ops.pallas_matmul`) — int8/int4 tiles DMA HBM→VMEM and are
     dequantized in-register before the MXU, so HBM traffic is the quantized
     bytes. Fallback is the XLA ``convert → scale → dot`` form.
+
+    ``tp_split`` ("col" | "row" | None) names how the weight is sharded over
+    the registered TP mesh (set by the model code at each call site); under a
+    mesh the kernel then runs per shard via :func:`_tp_quantized_matmul`
+    instead of falling back to the partitioned-jnp path.
     """
+    from lia_tpu.ops import dispatch
+
+    if (
+        tp_split is not None
+        and not isinstance(rec, QuantizedWeightRef)
+        and getattr(rec, "q", None) is not None
+        and rec.q.ndim == 2
+        and dispatch.use_pallas()
+    ):
+        mesh = dispatch.tp_mesh()
+        if mesh is not None:
+            out = _tp_quantized_matmul(x, rec, tp_split, mesh)
+            if out is not None:
+                return out
     if isinstance(rec, QuantizedWeightRef):
         out = _stacked_ref_matmul(x, rec)
         if out is not None:

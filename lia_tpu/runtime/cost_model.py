@@ -272,7 +272,14 @@ class CostModel:
         c, p = self.cfg, self.profile
         lin = self.tpu_layer_time(B, 1, 0, weights_resident)
         qkv_bytes = B * (c.num_heads + 2 * c.num_kv_heads) * c.head_dim * 2 * 2  # q,k,v + attn_out
-        xfer = self.h2d_time(qkv_bytes, n_puts=2)  # D2H qkv + H2D attn_out
+        # D2H qkv + H2D attn_out, both charged at the H2D-calibrated alpha/beta.
+        # CAVEAT (ADVICE r4): relayed links can be direction-asymmetric — the
+        # D2H leg here may differ materially from the H2D fit. On this rig the
+        # qkv readback is KB-sized so the fixed per-put alpha dominates either
+        # way; consumers of ABSOLUTE policy-2 numbers on asymmetric links
+        # should calibrate a separate d2h alpha/beta (Microbench.h2d_alpha_beta
+        # with a device->host probe) before trusting the split.
+        xfer = self.h2d_time(qkv_bytes, n_puts=2)
         attn_flops = 2 * B * s_ctx * c.num_heads * c.head_dim * 2
         host_attn = max(attn_flops / p.host_flops, self.kv_bytes_per_layer(B, s_ctx) / p.host_mem_bw)
         return lin + xfer + host_attn

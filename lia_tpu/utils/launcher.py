@@ -105,18 +105,29 @@ def make_proxy(proxy_port: int, backend_ports: List[int], host: str = "127.0.0.1
     rr = itertools.cycle(backend_ports)
     lock = threading.Lock()
 
+    # hop-by-hop headers are connection-scoped and must not be forwarded
+    # (RFC 9110 §7.6.1); everything else (auth, accept, content-type, custom)
+    # passes through both ways
+    _HOP = {"connection", "keep-alive", "proxy-authenticate",
+            "proxy-authorization", "te", "trailer", "transfer-encoding",
+            "upgrade", "host", "content-length"}
+
     class Handler(BaseHTTPRequestHandler):
         def _forward(self, body: Optional[bytes]) -> None:
             with lock:
                 port = next(rr)
             try:
                 conn = http.client.HTTPConnection(host, port, timeout=600)
-                conn.request(self.command, self.path, body=body,
-                             headers={"Content-Type": "application/json"})
+                fwd = {k: v for k, v in self.headers.items()
+                       if k.lower() not in _HOP}
+                conn.request(self.command, self.path, body=body, headers=fwd)
                 resp = conn.getresponse()
                 data = resp.read()
                 self.send_response(resp.status)
-                self.send_header("Content-Type", "application/json")
+                for k, v in resp.getheaders():
+                    if k.lower() not in _HOP:
+                        self.send_header(k, v)
+                self.send_header("Content-Length", str(len(data)))
                 self.send_header("X-LIA-Replica", str(port))
                 self.end_headers()
                 self.wfile.write(data)

@@ -91,6 +91,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="streamed layers whose dispatch may run ahead of "
                         "execution (bounds pinned intermediate HBM)")
     p.add_argument("--no-pallas", action="store_true", help="disable Pallas kernels")
+    p.add_argument("--no-tp-pallas", action="store_true",
+                   help="under --tp, fall back to jnp/GSPMD paths instead of "
+                        "shard_map-wrapped Pallas kernels")
     # --- quantization (reference run.py:109-166) ---
     p.add_argument("--weight-dtype", default="none",
                    choices=["none", "int8", "int4", "nf4", "static-int8"])
@@ -318,6 +321,7 @@ def main(argv=None) -> int:
         overlap=not args.no_overlap,
         max_inflight_layers=args.max_inflight_layers,
         use_pallas=not args.no_pallas,
+        tp_pallas=not args.no_tp_pallas,
         quant=QuantConfig(
             weight_dtype=args.weight_dtype,
             group_size=args.group_size,

@@ -31,5 +31,16 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True)
+def _reset_tp_mesh():
+    """Engines register their mesh process-globally for shard-aware kernel
+    dispatch (dispatch.set_tp_mesh); clear it between tests so a TP test's
+    mesh never leaks into single-device ones."""
+    yield
+    from lia_tpu.ops import dispatch
+
+    dispatch.set_tp_mesh(None)
+
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running tests")
