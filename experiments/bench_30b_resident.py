@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""OPT-30B FULLY-RESIDENT w4a8 decode (VERDICT r4 item 5).
+
+30B int4-g128 weighs ~15.1 GB (codes + grouped scales) — it fits the v5e's
+16 GB HBM with an int8 KV cache at modest batch, making this the first 30B
+BASELINE rung number that is pure on-chip compute: no weight streaming, no
+relay in the measured loop (device_dummy_params stages zero bytes).
+Reference anchor: scripts/lia_offline.sh runs 30B as its flagship scale.
+
+    timeout 3000 python experiments/bench_30b_resident.py
+Env: BATCH (8), N_IN (256), N_OUT (32), ITERS (3).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+BATCH = int(os.environ.get("BATCH", "8"))
+N_IN = int(os.environ.get("N_IN", "256"))
+N_OUT = int(os.environ.get("N_OUT", "32"))
+ITERS = int(os.environ.get("ITERS", "3"))
+
+
+def main():
+    from lia_tpu.config import GenerationConfig, QuantConfig, RuntimeConfig
+    from lia_tpu.engine.engine import InferenceEngine
+    from lia_tpu.models.registry import get_config
+    from lia_tpu.utils.checkpoint import device_dummy_params
+
+    cfg = get_config("opt-30b")
+    quant = QuantConfig(
+        weight_dtype="int4", group_size=128, act_quant="dynamic",
+        kv_cache_dtype="int8",
+    )
+    t0 = time.perf_counter()
+    params = device_dummy_params(cfg, quant=quant)
+    jax.block_until_ready(params)
+    nbytes = sum(x.nbytes for x in jax.tree.leaves(params))
+    print(f"[30b] {nbytes/1e9:.2f} GB on device in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    engine = InferenceEngine(cfg, params, RuntimeConfig(quant=quant))
+    gen = GenerationConfig(max_new_tokens=N_OUT)
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(10, 30000, size=N_IN)) for _ in range(BATCH)]
+    t0 = time.perf_counter()
+    engine.generate(prompts, gen, fused=True)  # compile + warm
+    print(f"[30b] warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    best, rows = 0.0, []
+    for it in range(ITERS):
+        res = engine.generate(prompts, gen, fused=True)
+        s = res.summary(BATCH)
+        rows.append(round(s["decode_tokens_per_s"], 2))
+        best = max(best, s["decode_tokens_per_s"])
+    # decode roofline: weight bytes per step / HBM bw (int4 codes + scales +
+    # int8 KV reads) — the decode step is weight-bandwidth-bound at b8
+    wbytes = nbytes  # every weight byte read once per token
+    floor_ms = wbytes / 819e9 * 1e3  # v5e HBM ~819 GB/s
+    step_ms = 1e3 * BATCH / best
+    print(json.dumps({
+        "model": "opt-30b", "config": "w4a8+int8kv resident", "batch": BATCH,
+        "n_in": N_IN, "n_out": N_OUT, "weights_GB": round(nbytes / 1e9, 2),
+        "decode_tokens_per_s": round(best, 2), "iters": rows,
+        "step_ms": round(step_ms, 1), "hbm_floor_ms": round(floor_ms, 1),
+        "roofline_pct": round(100 * floor_ms / step_ms, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Speculative CONTINUOUS-BATCHING serving over the tiered scheduler, on HW
+(VERDICT r4 item 3's done-criterion: one A/B at opt-125m hbm=50% showing the
+streamed-serving tok/s gain tracks the acceptance factor; the engine-level
+composition measured 2.49× in r4).
+
+Three serving runs, same requests, same session:
+  A) plain streamed serving   (ContinuousBatcher + StreamingScheduler)
+  B) speculative streamed     (speculate_k: verify chunks stream each layer's
+                               weights once per k+1 candidates)
+  C) resident reference       (token-parity oracle)
+
+    timeout 2500 python experiments/bench_serving_spec_sched.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+from lia_tpu.config import GenerationConfig, RuntimeConfig
+from lia_tpu.engine.serving import ContinuousBatcher
+from lia_tpu.models.registry import get_config
+from lia_tpu.utils.checkpoint import init_dummy_params
+
+MODEL = os.environ.get("MODEL", "opt-125m")
+B = int(os.environ.get("B", "4"))
+N_REQ = int(os.environ.get("N_REQ", "8"))
+N_IN = int(os.environ.get("N_IN", "64"))
+N_OUT = int(os.environ.get("N_OUT", "16"))
+HBM = int(os.environ.get("HBM", "50"))
+K = int(os.environ.get("K", "4"))
+
+
+def run(cfg, params, gen, prompts, runtime=None, speculate_k=None):
+    cb = ContinuousBatcher(
+        cfg, params, max_batch=B, max_len=256, gen=gen, runtime=runtime,
+        speculate_k=speculate_k,
+    )
+    ids = [cb.submit(p) for p in prompts]
+    t0 = time.perf_counter()
+    done = cb.run()
+    dt = time.perf_counter() - t0
+    by_id = {r.req_id: r.output for r in done}
+    toks = sum(len(o) for o in by_id.values())
+    return {
+        "wall_s": round(dt, 2), "tokens": toks,
+        "tok_per_s": round(toks / dt, 2),
+        "steps": cb._steps, "dispatches": cb._dispatches,
+    }, [by_id[i] for i in ids]
+
+
+def main():
+    cfg = get_config(MODEL).replace(dtype="float32")
+    params = init_dummy_params(cfg, seed=21, scale=0.12)
+    gen = GenerationConfig(max_new_tokens=N_OUT)
+    rng = np.random.default_rng(0)
+    base = list(rng.integers(10, 30000, size=N_IN // 2))
+    # repetitive prompts so ngram proposals land (speculation's favorable case,
+    # matching the r4 engine-level A/B's workload shape)
+    prompts = [base + base[: N_IN // 2] for _ in range(N_REQ)]
+
+    rt = RuntimeConfig(hbm_percentage=HBM, stream_weights=True)
+    res_ref, toks_ref = run(cfg, params, gen, prompts)  # resident oracle
+    print(json.dumps({"config": "resident", **res_ref}), flush=True)
+    res_plain, toks_plain = run(cfg, params, gen, prompts, runtime=rt)
+    print(json.dumps({"config": f"streamed hbm={HBM}", **res_plain}), flush=True)
+    res_spec, toks_spec = run(cfg, params, gen, prompts, runtime=rt, speculate_k=K)
+    print(json.dumps({"config": f"streamed+spec k={K}", **res_spec}), flush=True)
+
+    print(json.dumps({
+        "speedup_spec_vs_plain": round(res_plain["wall_s"] / res_spec["wall_s"], 2),
+        "tokens_match_plain": toks_spec == toks_plain,
+        "tokens_match_resident": toks_spec == toks_ref,
+        "accept_tokens_per_verify": round(
+            res_spec["tokens"] / max(res_spec["steps"], 1), 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

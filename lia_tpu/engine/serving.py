@@ -147,7 +147,10 @@ class ContinuousBatcher:
             # (the scheduler validates; host-placement policies stay per-host)
             self.sched = StreamingScheduler(cfg, runtime, params_host, mesh=mesh)
             self.params = self.sched.resident_params
-            self.state = self.sched.init_serving_state(max_batch, max_len)
+            # paged mode replaces the slab serving state with the shared pool
+            self.state = (
+                None if paged else self.sched.init_serving_state(max_batch, max_len)
+            )
             self._cache_shardings = None
             self.cache = None
         elif mesh is not None:
@@ -163,7 +166,32 @@ class ContinuousBatcher:
         self.paged = paged
         if paged:
             if self.sched is not None:
-                raise ValueError("paged serving does not compose with the streaming scheduler yet")
+                # r5: paged × scheduler — one [L, nb, H, bs, D] pool covers
+                # resident and streamed layers (sched.decode_pass_paged);
+                # TPU-KV streaming plans only, and prefix reuse stays off
+                # (the APC suffix recompute needs the resident chunk path)
+                if not self.sched.tpu_kv_plans:
+                    raise NotImplementedError(
+                        "paged serving over the scheduler needs TPU-KV "
+                        "streaming plans; host-placement policies have no "
+                        "paged host kernel"
+                    )
+                if mesh is not None:
+                    raise NotImplementedError(
+                        "paged × scheduler × TP mesh is untested — drop one"
+                    )
+                if speculate_k is not None:
+                    raise NotImplementedError(
+                        "speculative × paged × scheduler: the chunk verify "
+                        "over streamed weights reads slab segment caches "
+                        "(sched.verify_pass); a paged chunk variant is the "
+                        "remaining seam"
+                    )
+                if runtime is not None and runtime.quant.kv_cache_dtype == "int8":
+                    raise NotImplementedError(
+                        "paged pools store cfg.dtype; int8-KV paged is a "
+                        "separate pool format"
+                    )
             from lia_tpu.ops import paged as pg
 
             self.block_size = block_size
@@ -397,7 +425,13 @@ class ContinuousBatcher:
         # speculative verify writes k+1 chunk tokens past the committed length
         slack = self.speculate_k + 1 if self.speculate_k is not None else 0
         n_pages = -(-(n + req.max_new_tokens + slack) // bs_pg)
-        chain, reused = self._prefix_lookup(req.prompt)
+        if self.sched is not None:
+            # prefix reuse needs the resident chunk-prefill path; under the
+            # scheduler the admission prefill is the streamed pass — allocate
+            # fresh pages only (see __init__ paged × scheduler note)
+            chain, reused = [], 0
+        else:
+            chain, reused = self._prefix_lookup(req.prompt)
         reused = min(reused, n - 1)  # >=1 token must produce logits
         base = 0
         if reused > 0:
@@ -790,6 +824,15 @@ class ContinuousBatcher:
                         jnp.ones((1, Cb), bool), seg,
                     )
                     pad = 0
+                elif self.sched is not None:
+                    # paged × scheduler: streamed prefill into slab segment
+                    # caches, then both segments' planes concatenate to one
+                    # [L, 1, H, S, D] slab for the page commit
+                    logits, seg_state = self.sched.prefill_pass(
+                        tokens, mask, bucket
+                    )
+                    seg = self._sched_seg_to_slab(seg_state)
+                    pad = bucket - n
                 else:
                     # full prefill into a throwaway contiguous cache
                     seg = kvc.init_cache(self.cfg, 1, bucket, jnp.dtype(self.cfg.dtype))
@@ -830,6 +873,21 @@ class ContinuousBatcher:
                 if self.draft is not None:
                     self._draft_admit(tokens, mask, slot, bucket)
             self._activate_slot(slot, req, first)
+
+    def _sched_seg_to_slab(self, seg_state):
+        """Concatenate the scheduler's {res, str} b=1 segment caches into one
+        [L, 1, H, S, D] slab view for the page commit (TPU-KV plans only, so
+        both segments live in HBM)."""
+        planes = [
+            (c.k, c.v) for c in (seg_state["res"], seg_state["str"]) if c is not None
+        ]
+        if len(planes) == 1:
+            k, v = planes[0]
+        else:
+            k = jnp.concatenate([p[0] for p in planes], axis=0)
+            v = jnp.concatenate([p[1] for p in planes], axis=0)
+        return kvc.KVCache(k=k, v=v, length=jnp.asarray(0, jnp.int32),
+                           mask=jnp.zeros((1, 1), bool))
 
     def _draft_admit(self, tokens, mask, slot: int, bucket: int) -> None:
         """Prefill the draft model's slab cache for a newly admitted slot.
@@ -1244,22 +1302,33 @@ class ContinuousBatcher:
             return True
         self._rng, sub = jax.random.split(self._rng)
         if self.paged:
-            from lia_tpu.ops import paged as pg
-
-            if "paged_decode" not in self._compiled:
-                self._compiled["paged_decode"] = jax.jit(
-                    partial(pg.decode_step_paged, self.cfg), donate_argnums=(3, 4)
+            if self.sched is not None:
+                # paged × scheduler: tiered per-layer streaming over the pool
+                logits, self.k_pool, self.v_pool = self.sched.decode_pass_paged(
+                    jnp.asarray(self.tokens),
+                    jnp.asarray(self.logical_pos, jnp.int32),
+                    self.k_pool, self.v_pool,
+                    jnp.asarray(self.block_table),
+                    jnp.asarray(self.kv_lengths, jnp.int32),
+                    jnp.asarray(self.active),
                 )
-            logits, self.k_pool, self.v_pool = self._compiled["paged_decode"](
-                self.params,
-                jnp.asarray(self.tokens)[:, None],
-                jnp.asarray(self.logical_pos, jnp.int32),
-                self.k_pool,
-                self.v_pool,
-                jnp.asarray(self.block_table),
-                jnp.asarray(self.kv_lengths, jnp.int32),
-                jnp.asarray(self.active),
-            )
+            else:
+                from lia_tpu.ops import paged as pg
+
+                if "paged_decode" not in self._compiled:
+                    self._compiled["paged_decode"] = jax.jit(
+                        partial(pg.decode_step_paged, self.cfg), donate_argnums=(3, 4)
+                    )
+                logits, self.k_pool, self.v_pool = self._compiled["paged_decode"](
+                    self.params,
+                    jnp.asarray(self.tokens)[:, None],
+                    jnp.asarray(self.logical_pos, jnp.int32),
+                    self.k_pool,
+                    self.v_pool,
+                    jnp.asarray(self.block_table),
+                    jnp.asarray(self.kv_lengths, jnp.int32),
+                    jnp.asarray(self.active),
+                )
             if self._sync_pools:
                 jax.block_until_ready((self.k_pool, self.v_pool))
             self.kv_lengths[self.active] += 1

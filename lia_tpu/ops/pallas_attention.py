@@ -61,12 +61,18 @@ def _flash_kernel(
     D = k_ref.shape[3]
     start = start_ref[pl.program_id(0), 0]
     # softmax in exp2 units: softmax(s) == 2^(s·log2e) / Σ 2^(s·log2e), so the
-    # log2e fold rides the existing q·scale multiply for free and every
+    # log2e fold rides the post-dot scale multiply for free and every
     # transcendental in the hot loop is the cheaper exp2 (the VPU chain — mask,
     # exp, reductions — is ~4× the MXU time at these shapes; RESULTS.md r4)
-    q = q_ref[0, 0].astype(jnp.float32).reshape(bq * G, D) * (
-        scale * 1.4426950408889634
-    )  # [bq*G, D]
+    #
+    # r5: the DOTS run in the INPUT dtype (bf16 in production) with fp32
+    # accumulation — casting q/k/v up to fp32 first ran both matmuls at the
+    # MXU's fp32 rate (~1/8 of bf16 on v5e), which by itself caps causal MFU
+    # near the 18.8% measured at s8192. bf16×bf16 products are exact in the
+    # fp32 accumulator, and the scale now applies AFTER the dot (exact, and
+    # it no longer perturbs q's bf16 mantissa).
+    q = q_ref[0, 0].reshape(bq * G, D)  # input dtype [bq*G, D]
+    sscale = scale * 1.4426950408889634
 
     m0 = jnp.full((bq * G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq * G, 1), jnp.float32)
@@ -76,51 +82,72 @@ def _flash_kernel(
         bq * G, bk
     )
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)  # [bk, D]
-        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq*G, bk]
+    def make_body(mask_mode: str):
+        """mask_mode: "none" (interior), "causal" (diagonal blocks — start
+        already cleared), "full" (start-boundary blocks)."""
 
-        def apply_mask(s):
-            k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq * G, bk), 1)
-            # left-padding => validity is contiguous [start, ·): a scalar
-            # compare, no mask vector to DMA (and no lane-misaligned loads for
-            # Mosaic to reject)
-            allow = (q_pos >= k_pos) & (k_pos >= start)
-            if window is not None:  # sliding window: slot == token offset
-                allow &= k_pos > q_pos - window
-            return jnp.where(allow, s, NEG_INF)
+        def body(j, carry):
+            m, l, acc = carry
+            k = k_ref[0, 0, pl.ds(j * bk, bk), :]  # [bk, D] input dtype
+            v = v_ref[0, 0, pl.ds(j * bk, bk), :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sscale  # [bq*G, bk] fp32
+            if mask_mode != "none":
+                k_pos = j * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq * G, bk), 1
+                )
+                # left-padding => validity is contiguous [start, ·): scalar
+                # compares, no mask vector to DMA
+                allow = q_pos >= k_pos
+                if mask_mode == "full":
+                    allow &= k_pos >= start
+                if window is not None:  # sliding window: slot == token offset
+                    allow &= k_pos > q_pos - window
+                s = jnp.where(allow, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            # p rides the PV dot in v's dtype (bf16 MXU rate); p ∈ [0,1] so
+            # the bf16 round-off (~2^-9 relative) sits below the output's own
+            # bf16 rounding once divided by l. fp32 inputs keep the fp32 dot.
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l, acc
 
-        # interior blocks (every (q,k) pair visible) skip the 5-pass mask
-        # build entirely — worth a per-block cond only once a q row visits
-        # enough k blocks for interiors to dominate (~half the visited blocks
-        # when S >> bk; at S/bk < 4 nearly every block touches the diagonal
-        # and the cond is pure overhead — measured ±8% either way at S=512,
-        # +37-45% at S=2048-4096, RESULTS.md r4)
-        if seq_len // bk >= 4:
-            interior = (j * bk + bk - 1 <= i * bq) & (j * bk >= start)
-            if window is not None:
-                interior &= j * bk > i * bq + bq - 1 - window
-            s = jax.lax.cond(interior, lambda s: s, apply_mask, s)
-        else:
-            s = apply_mask(s)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp2(s - m_new)
-        alpha = jnp.exp2(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l, acc
+        return body
 
     # causal: kv tiles beyond this q tile's last row are fully masked — skip them
     num_kv = pl.cdiv(jnp.minimum((i + 1) * bq, seq_len), bk)
-    # sliding window: tiles wholly before the earliest visible position are dead
-    first_kv = 0 if window is None else jnp.maximum(0, (i * bq - window + 1) // bk)
-    m, l, acc = jax.lax.fori_loop(first_kv, num_kv, body, (m0, l0, acc0))
+    carry = (m0, l0, acc0)
+    if window is not None:
+        # sliding window keeps the single masked loop (every visited block can
+        # touch the moving lower frontier); dead tiles before it are skipped
+        first_kv = jnp.maximum(0, (i * bq - window + 1) // bk)
+        carry = jax.lax.fori_loop(first_kv, num_kv, make_body("full"), carry)
+    else:
+        # r4 gated interior blocks behind a per-block lax.cond; Mosaic lowers
+        # vector-valued cond branches as select (BOTH branches execute), so
+        # the 5-pass mask build ran on every block anyway — measured 8 ms of
+        # the 22 ms s8192 cell time. r5: split the kv walk into three loops
+        # with traced bounds and no conds —
+        #   [jlo, e0)      start-boundary blocks   full mask (≤1 block)
+        #   [e0, d0)       interior                NO mask work at all
+        #   [d0, num_kv)   diagonal blocks         causal-only (3 passes)
+        # dead blocks before `start` are now skipped entirely too (the old
+        # loop masked them at full cost).
+        jlo = start // bk
+        js = (start + bk - 1) // bk  # first fully-start-clear block
+        jd0 = (i * bq) // bk  # first diagonal-crossing block
+        e0 = jnp.minimum(js, num_kv)
+        d0 = jnp.minimum(jnp.maximum(jd0, js), num_kv)
+        carry = jax.lax.fori_loop(jlo, e0, make_body("full"), carry)
+        carry = jax.lax.fori_loop(e0, d0, make_body("none"), carry)
+        carry = jax.lax.fori_loop(d0, num_kv, make_body("causal"), carry)
+    m, l, acc = carry
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(bq, G * D).astype(o_ref.dtype)
 
@@ -198,7 +225,10 @@ def _flash_cached_kernel(
     C, D = q_ref.shape[2], k_ref.shape[3]
     base = base_ref[b, 0]
     start = start_ref[b, 0]
-    q = q_ref[0, 0].astype(jnp.float32).reshape(C * G, D) * scale
+    # dots in the input dtype (bf16 MXU rate), scale post-dot in exp2 units —
+    # same r5 rework as _flash_kernel
+    q = q_ref[0, 0].reshape(C * G, D)
+    sscale = scale * 1.4426950408889634
 
     m0 = jnp.full((C * G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((C * G, 1), jnp.float32)
@@ -208,30 +238,55 @@ def _flash_cached_kernel(
         C * G, bk
     )
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (C * G, bk), 1)
-        allow = (k_pos <= q_pos) & (k_pos >= start)
-        if window is not None:
-            allow &= k_pos > q_pos - window
-        s = jnp.where(allow, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l, acc
+    def make_body(mask_mode: str):
+        def body(j, carry):
+            m, l, acc = carry
+            k = k_ref[0, 0, pl.ds(j * bk, bk), :]
+            v = v_ref[0, 0, pl.ds(j * bk, bk), :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sscale
+            if mask_mode != "none":
+                k_pos = j * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (C * G, bk), 1
+                )
+                allow = k_pos <= q_pos
+                if mask_mode == "full":
+                    allow &= k_pos >= start
+                if window is not None:
+                    allow &= k_pos > q_pos - window
+                s = jnp.where(allow, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l, acc
+
+        return body
 
     num_kv = pl.cdiv(base + C, bk)  # tiles beyond the chunk's frontier are dead
-    first_kv = 0 if window is None else jnp.maximum(0, (base - window + 1) // bk)
-    m, l, acc = jax.lax.fori_loop(first_kv, num_kv, body, (m0, l0, acc0))
+    carry = (m0, l0, acc0)
+    if window is not None:
+        first_kv = jnp.maximum(0, (base - window + 1) // bk)
+        carry = jax.lax.fori_loop(first_kv, num_kv, make_body("full"), carry)
+    else:
+        # same three-loop split as _flash_kernel (r5): start-boundary blocks
+        # with full mask, unmasked interior, causal-only chunk-frontier blocks
+        # — no per-block cond (Mosaic executes both cond branches) and dead
+        # blocks before `start` skipped outright.
+        jlo = start // bk
+        js = (start + bk - 1) // bk
+        jd0 = base // bk  # first block that can cross the chunk's causal edge
+        e0 = jnp.minimum(js, num_kv)
+        d0 = jnp.minimum(jnp.maximum(jd0, js), num_kv)
+        carry = jax.lax.fori_loop(jlo, e0, make_body("full"), carry)
+        carry = jax.lax.fori_loop(e0, d0, make_body("none"), carry)
+        carry = jax.lax.fori_loop(d0, num_kv, make_body("causal"), carry)
+    m, l, acc = carry
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(C, G * D).astype(o_ref.dtype)
 

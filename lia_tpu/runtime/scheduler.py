@@ -751,6 +751,126 @@ class StreamingScheduler:
         logits = self._head_fn()(self.top, x)
         return logits, {"res": res_cache, "str": str_cache}
 
+    # -- paged serving over tiered weights (r5: paged × scheduler cell) -------
+    #
+    # The paged pool replaces BOTH slab segment caches: one [L, nb, H, bs, D]
+    # pool covers resident and streamed layers alike (the layer index selects
+    # the plane inside the Pallas block-table kernel), so the scheduler's two
+    # cache segments collapse into layer ranges of the same pool. TPU-KV
+    # streaming plans only — host-placement policies have no paged host
+    # attention kernel, exactly like the grouped-beam/verify gates.
+
+    def _paged_res_segment_fn(self, n_res: int):
+        cfg = self.cfg
+        from lia_tpu.ops import attention as att
+        from lia_tpu.ops import paged as pg
+
+        def f(seg_params, x, k_pool, v_pool, table, lengths, positions):
+            slopes = att.alibi_slopes(cfg.num_heads) if cfg.alibi else None
+
+            def body(h, inputs):
+                lp, idx = inputs
+                residual = h
+                q, k, v = T.attn_in(cfg, lp, h, positions)
+                attn_out = pg.attend_decode_paged(
+                    q, k, v, k_pool, v_pool, idx, table, lengths,
+                    alibi_slopes=slopes,
+                )
+                h = T.attn_post_mlp(cfg, lp, residual, attn_out)
+                return h, (k, v)
+
+            x, (ks, vs) = jax.lax.scan(
+                body, x, (seg_params, jnp.arange(n_res, dtype=jnp.int32))
+            )
+            return x, ks, vs
+
+        return self._jit(("paged_res", n_res), f)
+
+    def _paged_layer_fn(self):
+        cfg = self.cfg
+        from lia_tpu.ops import attention as att
+        from lia_tpu.ops import paged as pg
+
+        def f(lp, x, k_pool, v_pool, idx, table, lengths, positions):
+            slopes = att.alibi_slopes(cfg.num_heads) if cfg.alibi else None
+            residual = x
+            q, k, v = T.attn_in(cfg, lp, x, positions)
+            attn_out = pg.attend_decode_paged(
+                q, k, v, k_pool, v_pool, idx, table, lengths,
+                alibi_slopes=slopes,
+            )
+            x = T.attn_post_mlp(cfg, lp, residual, attn_out)
+            return x, k, v
+
+        return self._jit("paged_layer", f)
+
+    def decode_pass_paged(
+        self, tok, logical_pos, k_pool, v_pool, block_table, lengths, active
+    ):
+        """One ragged decode step over a PAGED pool with tiered weights.
+
+        The resident prefix runs as one fused scan (reads pages in-kernel via
+        the block table); each streamed layer's weights arrive through the
+        prefetch pipeline and cover all its pages in one transfer. All layers'
+        fresh K/V stack up and TWO scatters commit them (the paged analog of
+        write_token_all — one commit per step, not per layer). Returns
+        (logits, k_pool, v_pool).
+        """
+        if not self.tpu_kv_plans:
+            raise NotImplementedError(
+                "paged serving over the scheduler needs TPU-KV streaming "
+                "plans; host-placement policies have no paged host kernel"
+            )
+        from lia_tpu.ops import paged as pg
+
+        n_res, L = self.wm.n_resident, self.cfg.num_layers
+        cfg = self.cfg
+        x = self._jit(
+            "paged_embed", lambda top, t, p: T.embed(cfg, top, t, p)
+        )(self.top, tok[:, None], logical_pos[:, None])
+        positions = logical_pos[:, None]
+        stacks = []
+        if n_res:
+            x, ks, vs = self._paged_res_segment_fn(n_res)(
+                self.wm.resident, x, k_pool, v_pool, block_table, lengths,
+                positions,
+            )
+            stacks.append((ks, vs))
+        if n_res < L:
+            layer_f = self._paged_layer_fn()
+            overlap = self.runtime.overlap
+            _pending: collections.deque = collections.deque()
+            kv_list = []
+            self.wm.prefetch(n_res)
+            for idx in range(n_res, L):
+                self.wm.prefetch(idx + 1)
+                lp = self.wm.get_layer(idx)
+                x, k, v = layer_f(
+                    lp, x, k_pool, v_pool, jnp.int32(idx), block_table,
+                    lengths, positions,
+                )
+                if not overlap:
+                    jax.block_until_ready(x)
+                else:
+                    _pending.append(x)
+                    if len(_pending) > max(1, self.runtime.max_inflight_layers):
+                        jax.block_until_ready(_pending.popleft())
+                kv_list.append((k, v))
+            ks = jnp.stack([k for k, _ in kv_list])
+            vs = jnp.stack([v for _, v in kv_list])
+            stacks.append((ks, vs))
+        k_stack = (
+            jnp.concatenate([s[0] for s in stacks]) if len(stacks) > 1 else stacks[0][0]
+        )
+        v_stack = (
+            jnp.concatenate([s[1] for s in stacks]) if len(stacks) > 1 else stacks[0][1]
+        )
+        k_pool, v_pool = self._jit(
+            "paged_commit", pg.write_token_all_layers, donate_argnums=(0, 1)
+        )(k_pool, v_pool, k_stack, v_stack, block_table, lengths, active)
+        logits = self._head_fn()(self.top, x)
+        return logits, k_pool, v_pool
+
     def reorder_state(self, state, beam_idx):
         """Gather both caches' batch rows by ``beam_idx`` (beam hypothesis
         shuffle). This is the whole-cache-gather form — O(cache) HBM/DRAM

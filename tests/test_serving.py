@@ -1196,3 +1196,60 @@ def test_chunked_admission_on_tp_mesh_matches(model):
     by_id = {r.req_id: r.output for r in cb.run()}
     for i, j in zip(ids, ids_ref):
         assert by_id[i] == ref_by_id[j], f"request {i} (chunked × mesh)"
+
+
+def test_paged_serving_over_scheduler_matches_resident(model):
+    """r5 (matrix cell: paged × scheduler): one [L, nb, H, bs, D] pool serves
+    resident AND streamed layers (sched.decode_pass_paged); per-request tokens
+    match the resident paged batcher."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=5)
+    prompts = [[5, 9, 23, 41], [100, 7, 3], [8, 8, 8, 8, 8, 12, 13], [50, 60]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen,
+                            paged=True)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    rt = RuntimeConfig(hbm_percentage=50, stream_weights=True)
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=128, gen=gen,
+                           paged=True, runtime=rt)
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j], f"request {i} (paged × scheduler)"
+    _paged_pool_accounting_clean(cb)  # asserts internally
+
+
+def test_paged_scheduler_fully_streamed(model):
+    """hbm=0 (every layer streamed): the paged pool still serves all layers."""
+    from lia_tpu.config import RuntimeConfig
+
+    cfg, params = model
+    gen = GenerationConfig(max_new_tokens=4)
+    prompts = [[5, 9, 23, 41], [100, 7, 3]]
+
+    ref = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen,
+                            paged=True)
+    ids_ref = [ref.submit(p) for p in prompts]
+    ref_by_id = {r.req_id: r.output for r in ref.run()}
+
+    rt = RuntimeConfig(hbm_percentage=0, stream_weights=True)
+    cb = ContinuousBatcher(cfg, params, max_batch=2, max_len=64, gen=gen,
+                           paged=True, runtime=rt)
+    ids = [cb.submit(p) for p in prompts]
+    by_id = {r.req_id: r.output for r in cb.run()}
+    for i, j in zip(ids, ids_ref):
+        assert by_id[i] == ref_by_id[j]
+
+
+def test_paged_scheduler_host_policy_guard(model):
+    from lia_tpu.config import RuntimeConfig
+
+    cfg, params = model
+    rt = RuntimeConfig(decode_policy=1, stream_weights=True)
+    with pytest.raises(NotImplementedError, match="TPU-KV streaming plans"):
+        ContinuousBatcher(cfg, params, max_batch=2, max_len=64, paged=True,
+                          runtime=rt)
