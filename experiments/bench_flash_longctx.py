@@ -83,7 +83,9 @@ def main():
             gold = att.attend(q[:nb], k[:nb], v[:nb], ctx.mask)
             one = flash_attention_prefill(q[:nb], k[:nb], v[:nb], maskd[:nb],
                                           block_q=bq, block_k=bk, interpret=False)
-            err = float(jnp.max(jnp.abs(one.astype(jnp.float32) - gold.astype(jnp.float32))))
+            d = jnp.abs(one.astype(jnp.float32) - gold.astype(jnp.float32))
+            # pad rows are fully masked — garbage by contract; compare real rows
+            err = float(jnp.max(d * maskd[:nb][:, :, None, None]))
         else:
             err = -1.0  # golden scores tensor exceeds HBM; parity pinned at <=4096
         row = {"B": B, "S": S, "bk": bk, "ms": round(dt * 1e3, 2),

@@ -78,9 +78,12 @@ def _flash_kernel(
     l0 = jnp.zeros((bq * G, 1), jnp.float32)
     acc0 = jnp.zeros((bq * G, D), jnp.float32)
 
-    q_pos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, G, bk), 0).reshape(
-        bq * G, bk
-    )
+    # 1-D iotas only: the masks below are broadcast compares of a [bq*G, 1]
+    # row iota against a [1, bk] column iota — building a 2-D [bq*G, bk] iota
+    # per block measured ~2.4 µs/block on the v5e, 2.4× the block's entire
+    # dot+softmax cost (RESULTS.md r5 decomposition)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, G, 1), 0).reshape(bq * G, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)  # [1, bk]
 
     def make_body(mask_mode: str):
         """mask_mode: "none" (interior), "causal" (diagonal blocks — start
@@ -94,17 +97,15 @@ def _flash_kernel(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * sscale  # [bq*G, bk] fp32
             if mask_mode != "none":
-                k_pos = j * bk + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq * G, bk), 1
-                )
-                # left-padding => validity is contiguous [start, ·): scalar
-                # compares, no mask vector to DMA
-                allow = q_pos >= k_pos
+                # relative column position vs this q block: col c is key slot
+                # j*bk + c, row r is query slot i*bq + r (per G group)
+                crel = cols + (j * bk - i * bq)  # [1, bk]
+                masked = crel > rows  # causal: key beyond the query
                 if mask_mode == "full":
-                    allow &= k_pos >= start
+                    masked |= cols < start - j * bk  # key before validity
                 if window is not None:  # sliding window: slot == token offset
-                    allow &= k_pos > q_pos - window
-                s = jnp.where(allow, s, NEG_INF)
+                    masked |= crel <= rows - window
+                s = jnp.where(masked, NEG_INF, s)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2(s - m_new)
             alpha = jnp.exp2(m - m_new)
@@ -234,9 +235,10 @@ def _flash_cached_kernel(
     l0 = jnp.zeros((C * G, 1), jnp.float32)
     acc0 = jnp.zeros((C * G, D), jnp.float32)
 
-    q_pos = base + jax.lax.broadcasted_iota(jnp.int32, (C, G, bk), 0).reshape(
-        C * G, bk
-    )
+    # 1-D iotas + broadcast compares (see _flash_kernel's r5 note); the
+    # chunk's query slot for row r is base + r
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C, G, 1), 0).reshape(C * G, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
 
     def make_body(mask_mode: str):
         def body(j, carry):
@@ -247,15 +249,13 @@ def _flash_cached_kernel(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * sscale
             if mask_mode != "none":
-                k_pos = j * bk + jax.lax.broadcasted_iota(
-                    jnp.int32, (C * G, bk), 1
-                )
-                allow = k_pos <= q_pos
+                crel = cols + (j * bk - base)  # key slot minus base
+                masked = crel > rows
                 if mask_mode == "full":
-                    allow &= k_pos >= start
+                    masked |= cols < start - j * bk
                 if window is not None:
-                    allow &= k_pos > q_pos - window
-                s = jnp.where(allow, s, NEG_INF)
+                    masked |= crel <= rows - window
+                s = jnp.where(masked, NEG_INF, s)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2(s - m_new)
             alpha = jnp.exp2(m - m_new)
