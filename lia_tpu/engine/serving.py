@@ -76,6 +76,8 @@ class ContinuousBatcher:
         speculate_k: Optional[int] = None,
         speculate_ngram: int = 3,
         draft: Optional[tuple] = None,  # (draft ModelConfig, draft host params)
+        prefix_cache: bool = True,  # paged mode: automatic prefix caching
+        # (off => every admission allocates fresh pages; the APC A/B knob)
     ):
         """``mesh``: optional (1, tp) jax Mesh — weights and KV shard over the
         "model" axis (ICI tensor parallelism); the data axis must be 1 because
@@ -221,6 +223,7 @@ class ContinuousBatcher:
             self.prefix_map: Dict[Any, int] = {}  # chain-key -> page id
             self.page_key: Dict[int, Any] = {}  # page id -> chain-key
             self.cached_pages: Dict[int, None] = {}  # insertion-ordered (FIFO)
+            self.prefix_cache = prefix_cache and self.sched is None
             self.prefix_hits = 0
             self.prefix_tokens_reused = 0
             self.max_pages = -(-max_len // block_size)
@@ -425,10 +428,10 @@ class ContinuousBatcher:
         # speculative verify writes k+1 chunk tokens past the committed length
         slack = self.speculate_k + 1 if self.speculate_k is not None else 0
         n_pages = -(-(n + req.max_new_tokens + slack) // bs_pg)
-        if self.sched is not None:
-            # prefix reuse needs the resident chunk-prefill path; under the
-            # scheduler the admission prefill is the streamed pass — allocate
-            # fresh pages only (see __init__ paged × scheduler note)
+        if self.sched is not None or not self.prefix_cache:
+            # prefix reuse needs the resident chunk-prefill path (scheduler
+            # admissions are the streamed pass), and prefix_cache=False is the
+            # APC A/B knob — allocate fresh pages only
             chain, reused = [], 0
         else:
             chain, reused = self._prefix_lookup(req.prompt)
@@ -501,7 +504,8 @@ class ContinuousBatcher:
             jax.block_until_ready((self.k_pool, self.v_pool))
         # unpin the boundary chain page (read transiently by the seed)
         self._release_pages(chain[n_shared:n_seed])
-        self._register_prefix(req.prompt, row)
+        if self.prefix_cache:
+            self._register_prefix(req.prompt, row)
         self.block_table[slot] = row
         self.kv_lengths[slot] = n
 
