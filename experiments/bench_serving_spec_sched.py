@@ -70,12 +70,21 @@ def main():
     prompts = [base + base[: N_IN // 2] for _ in range(N_REQ)]
 
     rt = RuntimeConfig(hbm_percentage=HBM, stream_weights=True)
-    res_ref, toks_ref = run(cfg, params, gen, prompts)  # resident oracle
-    print(json.dumps({"config": "resident", **res_ref}), flush=True)
-    res_plain, toks_plain = run(cfg, params, gen, prompts, runtime=rt)
-    print(json.dumps({"config": f"streamed hbm={HBM}", **res_plain}), flush=True)
-    res_spec, toks_spec = run(cfg, params, gen, prompts, runtime=rt, speculate_k=K)
-    print(json.dumps({"config": f"streamed+spec-ngram k={K}", **res_spec}), flush=True)
+    stages = os.environ.get("STAGES", "resident,plain,ngram,draft").split(",")
+    toks_plain = None
+    if "resident" in stages:
+        res_ref, toks_ref = run(cfg, params, gen, prompts)  # resident oracle
+        print(json.dumps({"config": "resident", **res_ref}), flush=True)
+    res_plain = None
+    if "plain" in stages:
+        res_plain, toks_plain = run(cfg, params, gen, prompts, runtime=rt)
+        print(json.dumps({"config": f"streamed hbm={HBM}", **res_plain}), flush=True)
+    res_spec = None
+    if "ngram" in stages:
+        res_spec, toks_spec = run(cfg, params, gen, prompts, runtime=rt, speculate_k=K)
+        print(json.dumps({"config": f"streamed+spec-ngram k={K}", **res_spec}), flush=True)
+    if "draft" not in stages:
+        return
     # self-draft: proposals == the target's own argmax — the acceptance
     # CEILING for draft speculation (a real draft approaches it per quality);
     # the draft runs resident (small by construction), the target verifies
@@ -86,16 +95,20 @@ def main():
     )
     print(json.dumps({"config": f"streamed+self-draft k={K}", **res_draft}), flush=True)
 
-    print(json.dumps({
-        "speedup_ngram_vs_plain": round(res_plain["wall_s"] / res_spec["wall_s"], 2),
-        "speedup_draft_vs_plain": round(res_plain["wall_s"] / res_draft["wall_s"], 2),
-        "tokens_match_plain_ngram": toks_spec == toks_plain,
-        "tokens_match_plain_draft": toks_draft == toks_plain,
-        "ngram_accept_per_verify": round(
-            res_spec["tokens"] / max(res_spec["steps"], 1), 2),
+    summary = {
         "draft_accept_per_verify": round(
             res_draft["tokens"] / max(res_draft["steps"], 1), 2),
-    }), flush=True)
+    }
+    if res_plain is not None:
+        summary["speedup_draft_vs_plain"] = round(
+            res_plain["wall_s"] / res_draft["wall_s"], 2)
+        summary["tokens_match_plain_draft"] = toks_draft == toks_plain
+    if res_spec is not None:
+        summary["speedup_ngram_vs_plain"] = round(
+            res_plain["wall_s"] / res_spec["wall_s"], 2)
+        summary["ngram_accept_per_verify"] = round(
+            res_spec["tokens"] / max(res_spec["steps"], 1), 2)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -117,19 +117,19 @@ def _attend(
 
 def _mlp(cfg: ModelConfig, m: Params, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.gated_mlp:  # flan: T5DenseGatedActDense
-        gate = activation_fn(cfg, linear(x, m["wg"]))
-        return linear(gate * linear(x, m["w1"]), m["w2"])
-    return linear(activation_fn(cfg, linear(x, m["w1"])), m["w2"])
+        gate = activation_fn(cfg, linear(x, m["wg"], tp_split="col"))
+        return linear(gate * linear(x, m["w1"], tp_split="col"), m["w2"], tp_split="row")
+    return linear(activation_fn(cfg, linear(x, m["w1"], tp_split="col")), m["w2"], tp_split="row")
 
 
 def _self_attention(
     cfg: ModelConfig, a: Params, x: jnp.ndarray, mask, bias
 ) -> jnp.ndarray:
     B, S, _ = x.shape
-    q = _heads(cfg, linear(x, a["wq"]), B, S)
-    k = _heads(cfg, linear(x, a["wk"]), B, S).transpose(0, 2, 1, 3)
-    v = _heads(cfg, linear(x, a["wv"]), B, S).transpose(0, 2, 1, 3)
-    return linear(_attend(q, k, v, mask, bias), a["wo"])
+    q = _heads(cfg, linear(x, a["wq"], tp_split="col"), B, S)
+    k = _heads(cfg, linear(x, a["wk"], tp_split="col"), B, S).transpose(0, 2, 1, 3)
+    v = _heads(cfg, linear(x, a["wv"], tp_split="col"), B, S).transpose(0, 2, 1, 3)
+    return linear(_attend(q, k, v, mask, bias), a["wo"], tp_split="row")
 
 
 # ---------------------------------------------------------------------------
