@@ -38,6 +38,19 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pick_heads_int8(Nkv: int, cap: int) -> int:
+    """Head-group size for the INT8-KV kernels: their per-token SCALE planes
+    are rank-3 [LB, H, S], so the head group lands in the SUBLANE dim and
+    Mosaic requires Hs % 8 == 0 or Hs == Nkv (found the hard way at OPT-30B's
+    56 heads: divisor 28 fails lowering). Falls back to the full head count
+    (always legal) when no 8-multiple divisor fits the VMEM cap."""
+    best = None
+    for d in range(1, Nkv + 1):
+        if Nkv % d == 0 and d <= cap and (d == Nkv or d % 8 == 0):
+            best = d
+    return best if best is not None else Nkv
+
+
 # ---------------------------------------------------------------------------
 # Prefill flash attention
 # ---------------------------------------------------------------------------
@@ -1011,9 +1024,7 @@ def decode_beam_attention_int8(
     qg = q.reshape(B, Nkv, 1, G * D)
     budget = 4 * 1024 * 1024
     per_head = 2 * (S_p + T_max) * (D + 4)
-    Hs = max(1, min(Nkv, budget // max(per_head, 1)))
-    while Nkv % Hs:
-        Hs -= 1
+    Hs = _pick_heads_int8(Nkv, max(1, budget // max(per_head, 1)))
 
     flat_p = lambda a: a.reshape((L * B0,) + a.shape[2:])
     flat_t = lambda a: a.reshape((L * B,) + a.shape[2:])
@@ -1186,9 +1197,7 @@ def decode_attention_fresh_int8(
     # int8 values + f32 scales: budget covers K+V blocks ×2 (double buffering)
     budget = 4 * 1024 * 1024
     per_head = 2 * S_max * (D + 4)
-    Hs = max(1, min(Nkv, budget // max(per_head, 1)))
-    while Nkv % Hs:
-        Hs -= 1
+    Hs = _pick_heads_int8(Nkv, max(1, budget // max(per_head, 1)))
 
     k_flat = kq.reshape(L * B, Nkv, S_max, D)
     ks_flat = ks.reshape(L * B, Nkv, S_max)

@@ -395,3 +395,17 @@ def test_beam_decode_int8_matches_dequant_golden(rng, tlen):
     )[:, None, :]
     ref = att.attend(q, k_all, v_all, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pick_heads_int8_sublane_rule():
+    """INT8-KV kernels' scale planes are rank-3 — head groups land in the
+    sublane dim, so Hs must be an 8-multiple or the full head count (OPT-30B's
+    56 heads picked 28 before r5 and failed Mosaic lowering)."""
+    from lia_tpu.ops.pallas_attention import _pick_heads_int8
+
+    assert _pick_heads_int8(56, 41) == 8  # 28 is illegal; 8 is the best legal
+    assert _pick_heads_int8(56, 60) == 56  # full count always legal
+    assert _pick_heads_int8(32, 20) == 16
+    assert _pick_heads_int8(32, 100) == 32
+    assert _pick_heads_int8(14, 7) == 14  # no legal divisor fits → full count
+    assert _pick_heads_int8(8, 1) == 8  # cap too small → full count (legal)
