@@ -40,8 +40,12 @@ OUT = int(os.environ.get("OUT", "8"))
 
 
 def run(cfg, params, prompts, gen, paged, prefix_cache=True):
+    from lia_tpu.engine.engine import bucket_length
+
+    # prompts bucket to the next power of two; size the slots to fit
+    bucket = bucket_length(PREFIX + TAIL)
     cb = ContinuousBatcher(
-        cfg, params, max_batch=BATCH, max_len=PREFIX + TAIL + OUT + 64, gen=gen,
+        cfg, params, max_batch=BATCH, max_len=bucket + OUT + 64, gen=gen,
         paged=paged, prefix_cache=prefix_cache,
     )
     for p in prompts:

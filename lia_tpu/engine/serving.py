@@ -509,6 +509,45 @@ class ContinuousBatcher:
         self.block_table[slot] = row
         self.kv_lengths[slot] = n
 
+    def _apc_admit_fn(self, Cb: int, bucket: int):
+        """ONE-dispatch APC admission: seed-from-pages + suffix chunk prefill
+        + page commit fused in a single jit (see the _admit call-site note —
+        separate dispatches cost more than the saved prefill on a
+        dispatch-floor-bound link)."""
+        key = ("apc_admit", Cb, bucket)
+        if key not in self._compiled:
+            from lia_tpu.ops import paged as pg
+
+            cfg = self.cfg
+
+            def f(params, k_pool, v_pool, seed_row, base, suffix, row, n,
+                  write_start):
+                seg = pg.seed_prefix_cache(k_pool, v_pool, seed_row, base,
+                                           bucket=bucket)
+                logits, seg = T.prefill_chunk(
+                    cfg, params, suffix, jnp.ones_like(suffix, bool), seg
+                )
+                k_pool, v_pool = pg.write_prompt_all_layers(
+                    k_pool, v_pool, seg.k[:, 0], seg.v[:, 0], row, n,
+                    write_start,
+                )
+                return logits, k_pool, v_pool
+
+            self._compiled[key] = jax.jit(f, donate_argnums=(1, 2))
+        return self._compiled[key]
+
+    def _finish_apc_commit(self, req, slot, row, chain, base, n_shared, n_seed):
+        """Host-side bookkeeping for a fused APC admission (the device work —
+        seed/chunk/commit — already ran inside _apc_admit_fn)."""
+        self.prefix_hits += 1
+        self.prefix_tokens_reused += base
+        # unpin the boundary chain page (read transiently by the seed)
+        self._release_pages(chain[n_shared:n_seed])
+        if self.prefix_cache:
+            self._register_prefix(req.prompt, row)
+        self.block_table[slot] = row
+        self.kv_lengths[slot] = len(req.prompt)
+
     # -- compiled fns ---------------------------------------------------------
 
     def _decode_fn(self):
@@ -819,15 +858,39 @@ class ContinuousBatcher:
                     return
                 row, chain, base, n_shared, n_seed = plan
                 if base > 0:
-                    # seed [0, base) from shared pages; chunk-prefill [base, n)
+                    # APC admission in ONE dispatch: seed [0, base) from the
+                    # shared pages, chunk-prefill [base, n), and commit the
+                    # suffix back to pages inside a single jit — on a
+                    # dispatch-floor-bound link (25 ms/dispatch here) the
+                    # separate seed/chunk/commit dispatches cost more than
+                    # the prefill compute APC saves (measured r5: 0.65-0.78×
+                    # at 448/1408-token prefixes), turning the feature into a
+                    # loss; fused, APC strictly removes both compute AND a
+                    # dispatch vs the full-prefill path.
                     Cb = n - base
-                    seg = self._paged_seed(chain, base, n_seed, bucket)
                     suffix = np.asarray(req.prompt[base:], np.int32)[None]
-                    logits, seg = self._chunk_fn(Cb)(
-                        self.params, jnp.asarray(suffix),
-                        jnp.ones((1, Cb), bool), seg,
+                    seed_row = np.zeros(self.max_pages, np.int32)
+                    seed_row[:n_seed] = chain[:n_seed]
+                    logits, self.k_pool, self.v_pool = self._apc_admit_fn(
+                        Cb, bucket
+                    )(
+                        self.params, self.k_pool, self.v_pool,
+                        jnp.asarray(seed_row), jnp.asarray(base, jnp.int32),
+                        jnp.asarray(suffix), jnp.asarray(row),
+                        jnp.asarray(n, jnp.int32),
+                        jnp.asarray(n_shared * self.block_size, jnp.int32),
                     )
-                    pad = 0
+                    if self._sync_pools:
+                        jax.block_until_ready((self.k_pool, self.v_pool))
+                    self._finish_apc_commit(
+                        req, slot, row, chain, base, n_shared, n_seed
+                    )
+                    self._rng, sub = jax.random.split(self._rng)
+                    first = self._sample_one(logits, sub, req)
+                    if self.draft is not None:
+                        self._draft_admit(tokens, mask, slot, bucket)
+                    self._activate_slot(slot, req, first)
+                    continue
                 elif self.sched is not None:
                     # paged × scheduler: streamed prefill into slab segment
                     # caches, then both segments' planes concatenate to one
