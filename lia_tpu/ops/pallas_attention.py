@@ -370,7 +370,7 @@ def _decode_kernel(
     Hs, D = k_ref.shape[1], k_ref.shape[3]
     length = len_ref[pl.program_id(0), 0]
     start = start_ref[pl.program_id(0), 0]
-    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * (scale * 1.4426950408889634)  # exp2 units
 
     m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((Hs, G, 1), jnp.float32)
@@ -383,12 +383,12 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # [Hs, G, bk]
-        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
         allow = (pos < length) & (pos >= start)
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -471,7 +471,7 @@ def _decode_stacked_kernel(
     b = pl.program_id(0)
     length = len_ref[b, 0]
     start = start_ref[b, 0]
-    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * (scale * 1.4426950408889634)  # exp2 units
 
     m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((Hs, G, 1), jnp.float32)
@@ -484,12 +484,12 @@ def _decode_stacked_kernel(
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
         allow = (pos < length) & (pos >= start)
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -602,7 +602,7 @@ def _decode_fresh_kernel(
     b = pl.program_id(0)
     length = len_ref[b, 0]
     start = start_ref[b, 0]
-    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * (scale * 1.4426950408889634)  # exp2 units
 
     m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((Hs, G, 1), jnp.float32)
@@ -615,12 +615,12 @@ def _decode_fresh_kernel(
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
         allow = (pos < length) & (pos >= start)
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -637,8 +637,8 @@ def _decode_fresh_kernel(
         q, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [Hs, G, 1]
     m_new = jnp.maximum(m, sf)
-    p = jnp.exp(sf - m_new)
-    alpha = jnp.exp(m - m_new)
+    p = jnp.exp2(sf - m_new)
+    alpha = jnp.exp2(m - m_new)
     l = l * alpha + p
     acc = acc * alpha + jax.lax.dot_general(
         p, vf, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -756,7 +756,7 @@ def _decode_beam_kernel(
     pstart = pstart_ref[b // nb, 0]
     plen = plen_ref[0, 0]
     tlen = tlen_ref[0, 0]
-    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * (scale * 1.4426950408889634)  # exp2 units
 
     m0 = jnp.full((Hs, G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((Hs, G, 1), jnp.float32)
@@ -770,11 +770,11 @@ def _decode_beam_kernel(
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
             )
-            pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+            pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
             s = jnp.where((pos < hi) & (pos >= lo), s, NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
                 p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -798,8 +798,8 @@ def _decode_beam_kernel(
         q, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     m_new = jnp.maximum(m, sf)
-    p = jnp.exp(sf - m_new)
-    alpha = jnp.exp(m - m_new)
+    p = jnp.exp2(sf - m_new)
+    alpha = jnp.exp2(m - m_new)
     l = l * alpha + p
     acc = acc * alpha + jax.lax.dot_general(
         p, vf, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -945,12 +945,12 @@ def _decode_beam_int8_kernel(
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
             )
-            s = s * (ks[:, None, :] * scale)  # K dequant + softmax scale
-            pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+            s = s * (ks[:, None, :] * (scale * 1.4426950408889634))  # K dequant + softmax scale (exp2 units)
+            pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
             s = jnp.where((pos < hi) & (pos >= lo), s, NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             v = v_src[0, :, pl.ds(j * bk, bk), :].astype(q.dtype)
             vs = vs_src[0, :, pl.ds(j * bk, bk)]
@@ -973,12 +973,12 @@ def _decode_beam_int8_kernel(
     kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)
     vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
     sf = jax.lax.dot_general(
-        q.astype(jnp.float32) * scale, kf,
+        q.astype(jnp.float32) * (scale * 1.4426950408889634), kf,
         (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     m_new = jnp.maximum(m, sf)
-    p = jnp.exp(sf - m_new)
-    alpha = jnp.exp(m - m_new)
+    p = jnp.exp2(sf - m_new)
+    alpha = jnp.exp2(m - m_new)
     l = l * alpha + p
     acc = acc * alpha + jax.lax.dot_general(
         p, vf, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -1128,13 +1128,13 @@ def _decode_fresh_int8_kernel(
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # [Hs, G, bk]
-        s = s * (ks[:, None, :] * scale)  # K dequant + softmax scale post-dot
-        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+        s = s * (ks[:, None, :] * (scale * 1.4426950408889634))  # K dequant + softmax scale post-dot (exp2 units)
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
         allow = (pos < length) & (pos >= start)
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         v = v_ref[0, :, pl.ds(j * bk, bk), :].astype(q.dtype)
         vs = vs_ref[0, :, pl.ds(j * bk, bk)]
@@ -1153,12 +1153,12 @@ def _decode_fresh_int8_kernel(
     kf = kf_ref[0, :, 0:1, :].astype(jnp.float32)
     vf = vf_ref[0, :, 0:1, :].astype(jnp.float32)
     sf = jax.lax.dot_general(
-        q.astype(jnp.float32) * scale, kf,
+        q.astype(jnp.float32) * (scale * 1.4426950408889634), kf,
         (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     m_new = jnp.maximum(m, sf)
-    p = jnp.exp(sf - m_new)
-    alpha = jnp.exp(m - m_new)
+    p = jnp.exp2(sf - m_new)
+    alpha = jnp.exp2(m - m_new)
     l = l * alpha + p
     acc = acc * alpha + jax.lax.dot_general(
         p, vf, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -1281,7 +1281,7 @@ def _decode_dma_kernel(
     )
     kdma.start()
     vdma.start()
-    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * scale
+    q = q_ref[0, :, 0].astype(jnp.float32).reshape(Hs, G, D) * (scale * 1.4426950408889634)  # exp2 units
     kdma.wait()
     vdma.wait()
 
@@ -1296,12 +1296,12 @@ def _decode_dma_kernel(
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (Hs, G, bk), 2)
+        pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
         allow = (pos < length) & (pos >= start)
         s = jnp.where(allow, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
